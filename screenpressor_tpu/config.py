@@ -1,0 +1,126 @@
+"""Codec constants and configuration.
+
+The constants and the lane policy here are *format-normative* (FORMAT.md):
+every implementation (numpy spec, JAX, native) derives identical bitstreams
+from them. Reference analogs: PROB_BITS/PROB_SCALE `ans_contexts.h:66-67`,
+RANS_L `rans_byte.h:47`, STEP ~ STEP_FX `ans_contexts.h:59`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+# ---------------------------------------------------------------------------
+# Entropy-coder constants (format-normative)
+# ---------------------------------------------------------------------------
+
+PROB_BITS = 14
+PROB_SCALE = 1 << PROB_BITS
+RANS_L = 1 << 23  # lower bound of the rANS normalization interval
+STEP = 64  # adaptation increment (STEP/PROB_SCALE = 1/256, reference STEP_FX ratio)
+
+# Lane policy (format-normative)
+K_MAX = 256
+TARGET_PER_LANE = 256
+
+# Frame header nibbles
+SPTC_VERSION_NIBBLE = 0xA
+ALG_FLAT = 1
+ALG_I = 2
+ALG_P = 3
+
+# Block geometry (reference: 16x16 blocks, `screencap.cpp:87-88`)
+BLOCK = 16
+
+# Pixel types (reference `screencap.cpp:502-556`)
+PT_LITERAL = 0
+PT_LEFT = 1
+PT_ABOVE = 2
+PT_PREVFRAME = 3  # P-frames only
+PT_GRADIENT = 4
+PT_ABOVELEFT = 5
+NUM_PTYPES = 6
+
+# Block types (reference `screencap.cpp:1033-1042`)
+BT_UNCHANGED = 0
+BT_FULL_DATA = 1
+BT_PARTIAL_DATA = 2
+BT_FULL_MOTION = 3
+BT_PARTIAL_MOTION = 4
+
+# Motion coding offset: mv symbols are component + MV_OFFSET, alphabet 512
+MV_OFFSET = 256
+
+MAX_RUN = 255
+
+# Table kinds: name -> (n_contexts, alphabet)
+TABLE_KINDS = {
+    "ptype": (NUM_PTYPES, NUM_PTYPES),
+    "nrun": (NUM_PTYPES, 256),
+    "color": (3 * 4096, 256),
+    "bt": (1, 5),
+    "btn": (1, 256),
+    "sxy": (4, 16),
+    "mvflag": (1, 2),
+    "mv": (2, 512),
+}
+
+I_SECTION_TABLES = ("ptype", "nrun", "color")
+P_SECTION_TABLES = ("ptype", "nrun", "color", "bt", "btn", "sxy", "mvflag", "mv")
+
+
+def next_pow2(n: int) -> int:
+    if n <= 1:
+        return 1
+    return 1 << (n - 1).bit_length()
+
+
+def lane_count(n_records: int, k_max: int = K_MAX, target: int = TARGET_PER_LANE) -> int:
+    """Number of interleaved rANS lanes for a section of n_records (FORMAT.md)."""
+    if n_records <= 0:
+        return 1
+    return min(k_max, next_pow2(-(-n_records // target)))
+
+
+def lane_ranges(n_records: int, k: int) -> list[tuple[int, int]]:
+    """Contiguous (start, length) per lane; lanes < n%k get one extra record."""
+    base, rem = divmod(n_records, k)
+    out = []
+    start = 0
+    for i in range(k):
+        ln = base + (1 if i < rem else 0)
+        out.append((start, ln))
+        start += ln
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    """Session configuration (reference analog: `CodecParameters`,
+    `screencap.h:49-55`, plus registry knobs `conf.h`/`conf.cpp`)."""
+
+    width: int
+    height: int
+    # keyframe policy (reference default 500, `conf.h:7`)
+    kf_interval: int = 500
+    # bit-truncation loss 0..5 (reference `screencap.cpp:127-139`)
+    loss: int = 0
+    # motion search ranges (reference: ±256 axis scans / ±8 dense window)
+    msr_x: int = 64
+    msr_y: int = 64
+    msr_low_x: int = 8
+    msr_low_y: int = 8
+    # lane policy overrides (must match between encoder and decoder)
+    k_max: int = K_MAX
+    target_per_lane: int = TARGET_PER_LANE
+
+    def lanes(self, n_records: int) -> int:
+        return lane_count(n_records, self.k_max, self.target_per_lane)
+
+    @property
+    def nbx(self) -> int:
+        return -(-self.width // BLOCK)
+
+    @property
+    def nby(self) -> int:
+        return -(-self.height // BLOCK)

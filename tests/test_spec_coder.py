@@ -1,0 +1,117 @@
+"""Round-trip tests for the K-lane BSAC section coder (numpy spec)."""
+
+import numpy as np
+import pytest
+
+from screenpressor_tpu.config import PROB_SCALE, lane_count
+from screenpressor_tpu.spec.coder import (
+    BTCodec,
+    ColCodec,
+    MVCodec,
+    RecCodec,
+    SxyCodec,
+    decode_section,
+    encode_section,
+)
+from screenpressor_tpu.spec.tables import Table, TableSet
+
+
+def _roundtrip(records, codec, k=None):
+    k = k if k is not None else lane_count(len(records))
+    enc_tabs, dec_tabs = TableSet(), TableSet()
+    blobs = encode_section(records, k, enc_tabs, codec)
+    out = decode_section(blobs, len(records), k, dec_tabs, codec)
+    assert out == list(records)
+    # encoder/decoder models must stay in lockstep
+    for name in enc_tabs.tables:
+        np.testing.assert_array_equal(enc_tabs[name].freq, dec_tabs[name].freq)
+        np.testing.assert_array_equal(enc_tabs[name].cnt, dec_tabs[name].cnt)
+    return blobs
+
+
+def test_rec_roundtrip_small():
+    recs = [(0, 1), (1, 255), (2, 16), (1, 255), (0, 3)]
+    _roundtrip(recs, RecCodec(), k=1)
+    _roundtrip(recs, RecCodec(), k=4)
+
+
+def test_rec_roundtrip_many_lanes():
+    rng = np.random.default_rng(0)
+    recs = [(int(p), int(n) + 1) for p, n in zip(rng.integers(0, 6, 3000), rng.integers(0, 255, 3000))]
+    _roundtrip(recs, RecCodec())
+
+
+def test_rec_adaptivity_compresses():
+    # heavily repetitive records should compress far below the uniform cost
+    recs = [(1, 255)] * 4000
+    blobs = _roundtrip(recs, RecCodec(), k=4)
+    total = sum(len(b) for b in blobs)
+    # uniform cost would be ~ (log2(6)+8)/8 * 4000 ~ 5200B; adaptive -> small
+    # (~740B: dominated by the adaptation transient of the first ~500 records)
+    assert total < 1000
+
+
+def test_col_roundtrip():
+    rng = np.random.default_rng(1)
+    recs = [tuple(int(v) for v in rng.integers(0, 256, 3)) for _ in range(2000)]
+    _roundtrip(recs, ColCodec())
+
+
+def test_col_correlated_compresses():
+    # screen-like palette: few distinct colors. Short sequences are dominated
+    # by the uniform-init adaptation transient (~raw-byte cost), long
+    # sequences must reach steady-state efficiency.
+    palette = [(255, 255, 255), (0, 0, 0), (30, 60, 200), (30, 60, 201)]
+    rng = np.random.default_rng(2)
+    recs = [palette[i] for i in rng.choice(4, 12000, p=[0.7, 0.2, 0.05, 0.05])]
+    blobs = _roundtrip(recs, ColCodec())
+    total = sum(len(b) for b in blobs)
+    assert total < 12000 * 3  # always beats raw bytes
+    assert total < 12000 * 0.75  # steady state well under 1B per 3B pixel
+
+
+def test_bt_sxy_codecs():
+    rng = np.random.default_rng(3)
+    bts = [(int(b), int(n) + 1) for b, n in zip(rng.integers(0, 5, 500), rng.integers(0, 255, 500))]
+    _roundtrip(bts, BTCodec())
+    sxys = [tuple(int(v) for v in rng.integers(0, 16, 4)) for _ in range(500)]
+    _roundtrip(sxys, SxyCodec())
+
+
+def test_mv_codec_with_same_flags():
+    rng = np.random.default_rng(4)
+    recs = []
+    mv = (0, 0)
+    for _ in range(800):
+        if rng.random() < 0.6:
+            recs.append(mv)  # repeat -> encoder should use the flag
+        else:
+            mv = (int(rng.integers(-64, 65)), int(rng.integers(-64, 65)))
+            recs.append(mv)
+    blobs = _roundtrip(recs, MVCodec())
+    total = sum(len(b) for b in blobs)
+    # two 512-ary symbols would cost ~2.25B each; flags push far below
+    assert total < 800 * 2
+
+
+def test_empty_section():
+    blobs = encode_section([], 1, TableSet(), RecCodec())
+    assert blobs == [b""]
+    out = decode_section(blobs, 0, 1, TableSet(), RecCodec())
+    assert out == []
+
+
+def test_rescale_bounds_hold():
+    # hammer one context to force many rescales, check invariants
+    t = Table(1, 256)
+    rng = np.random.default_rng(5)
+    for _ in range(200):
+        syms = rng.integers(0, 4, 64)
+        t.update_batch([(0, int(s)) for s in syms])
+        assert t.freq[0].sum() <= PROB_SCALE
+        assert (t.freq[0] >= 1).all()
+        assert (t.cnt[0] >= 1).all()
+        # cum consistent with freq
+        np.testing.assert_array_equal(
+            t.cum[0], np.concatenate(([0], np.cumsum(t.freq[0])[:-1]))
+        )
