@@ -1,12 +1,23 @@
-"""Host-facing codec API (placeholder until spec/jx codecs land).
+"""Host-facing codec API.
 
-Reference analog: `ScreenCodec` + `CodecInst` (`screencap.h:519-541`,
-`screenpressor.cpp`).
+Reference analog: `ScreenCodec` (format adaptation, `screencap.cpp:1560-1743`)
+plus the session semantics of the VfW layer `CodecInst` (keyframe decision and
+quality->loss mapping, `screenpressor.cpp:392-439`). Pixel formats RGB16
+(arbitrary masks), RGB24, RGB32 are converted to/from internal RGB24 planes.
+
+Backends: "spec" (numpy reference implementation) and "jax" (TPU path, lands
+with the jx package). Both produce identical bitstreams.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import enum
+
+import numpy as np
+
+from screenpressor_tpu import colorspace as cs
+from screenpressor_tpu.config import CodecConfig
 
 
 class PixelFormat(enum.Enum):
@@ -15,11 +26,138 @@ class PixelFormat(enum.Enum):
     RGB32 = 32
 
 
-class Encoder:  # pragma: no cover - implemented with the frame pipeline
-    def __init__(self, *a, **k):
-        raise NotImplementedError("landing with the frame pipeline milestone")
+@dataclasses.dataclass(frozen=True)
+class FormatParams:
+    pixel_format: PixelFormat = PixelFormat.RGB24
+    # 16-bit channel masks (reference supports 555/565 and arbitrary
+    # BI_BITFIELDS masks, `screenpressor.cpp:276-339`)
+    rmask: int = 0xF800
+    gmask: int = 0x07E0
+    bmask: int = 0x001F
 
 
-class Decoder:  # pragma: no cover
-    def __init__(self, *a, **k):
-        raise NotImplementedError("landing with the frame pipeline milestone")
+def quality_to_loss(quality: int) -> int:
+    """VfW quality 0..10000 -> loss bits 4..0
+    (`screenpressor.cpp:411-422`)."""
+    if quality >= 9000:
+        return 0
+    if quality >= 7000:
+        return 1
+    if quality >= 5000:
+        return 2
+    if quality >= 3000:
+        return 3
+    return 4
+
+
+def _make_session(cfg: CodecConfig, backend: str, encoder: bool):
+    if backend == "spec":
+        from screenpressor_tpu.spec.codec import SpecDecoder, SpecEncoder
+
+        return SpecEncoder(cfg) if encoder else SpecDecoder(cfg)
+    if backend == "jax":
+        from screenpressor_tpu.jx.codec import JaxDecoder, JaxEncoder
+
+        return JaxEncoder(cfg) if encoder else JaxDecoder(cfg)
+    raise ValueError(f"unknown backend {backend!r}")
+
+
+class _FormatAdapter:
+    def __init__(self, fmt: FormatParams):
+        self.fmt = fmt
+
+    def to_internal(self, frame: np.ndarray) -> np.ndarray:
+        pf = self.fmt.pixel_format
+        if pf is PixelFormat.RGB24:
+            if frame.ndim != 3 or frame.shape[2] != 3:
+                raise ValueError("RGB24 frame must be [H, W, 3]")
+            return np.ascontiguousarray(frame, np.uint8)
+        if pf is PixelFormat.RGB32:
+            if frame.ndim != 3 or frame.shape[2] != 4:
+                raise ValueError("RGB32 frame must be [H, W, 4]")
+            return cs.rgb32_to_rgb24(np.asarray(frame, np.uint8))
+        if frame.ndim != 2 or frame.dtype != np.uint16:
+            raise ValueError("RGB16 frame must be [H, W] uint16")
+        return cs.rgb16_to_rgb24(frame, self.fmt.rmask, self.fmt.gmask, self.fmt.bmask)
+
+    def from_internal(self, frame: np.ndarray) -> np.ndarray:
+        pf = self.fmt.pixel_format
+        if pf is PixelFormat.RGB24:
+            return frame
+        if pf is PixelFormat.RGB32:
+            return cs.rgb24_to_rgb32(frame)
+        return cs.rgb24_to_rgb16(frame, self.fmt.rmask, self.fmt.gmask, self.fmt.bmask)
+
+
+class Encoder:
+    """Per-stream encoder session.
+
+    >>> enc = Encoder(CodecConfig(width=W, height=H))
+    >>> payload, ftype = enc.encode(frame)          # ftype 0 = I, 1 = P
+    """
+
+    def __init__(
+        self,
+        cfg: CodecConfig,
+        fmt: FormatParams = FormatParams(),
+        backend: str = "spec",
+    ):
+        self.cfg = cfg
+        self.fmt = fmt
+        self._adapter = _FormatAdapter(fmt)
+        self._session = _make_session(cfg, backend, encoder=True)
+        self.frames_encoded = 0
+        self.bytes_out = 0
+
+    def encode(self, frame: np.ndarray, force_key: bool = False, quality: int | None = None):
+        if quality is not None:
+            loss = quality_to_loss(quality)
+            if loss != self.cfg.loss:
+                self.cfg = dataclasses.replace(self.cfg, loss=loss)
+                self._session.cfg = self.cfg
+        internal = self._adapter.to_internal(frame)
+        data, ftype = self._session.encode(internal, force_key=force_key)
+        self.frames_encoded += 1
+        self.bytes_out += len(data)
+        return data, ftype
+
+    @property
+    def stats(self) -> dict:
+        raw = self.frames_encoded * self.cfg.width * self.cfg.height * 3
+        return {
+            "frames": self.frames_encoded,
+            "bytes": self.bytes_out,
+            "ratio": (raw / self.bytes_out) if self.bytes_out else float("inf"),
+        }
+
+
+class Decoder:
+    """Per-stream decoder session."""
+
+    def __init__(
+        self,
+        cfg: CodecConfig,
+        fmt: FormatParams = FormatParams(),
+        backend: str = "spec",
+    ):
+        self.cfg = cfg
+        self.fmt = fmt
+        self._adapter = _FormatAdapter(fmt)
+        self._session = _make_session(cfg, backend, encoder=False)
+        # crash latch: a failed decode poisons the instance until the next
+        # keyframe (reference `crashed`, `screencap.cpp:1621-1710`)
+        self.crashed = False
+
+    def decode(self, data: bytes) -> np.ndarray:
+        from screenpressor_tpu import bitstream as bs
+        from screenpressor_tpu.config import ALG_P
+
+        if self.crashed and (not data or (data[0] & 0x0F) == ALG_P):
+            raise bs.CorruptStreamError("decoder poisoned; keyframe required")
+        try:
+            frame = self._session.decode(data)
+        except Exception:
+            self.crashed = True
+            raise
+        self.crashed = False
+        return self._adapter.from_internal(frame)
