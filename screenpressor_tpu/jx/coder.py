@@ -1,0 +1,423 @@
+"""K-lane BSAC section coder — JAX implementation.
+
+Decode: one `lax.scan` over T steps; each step resolves one record per lane
+(table-row gathers, interval search, rANS advance, batched table update).
+Encode: a forward modeling scan collecting (cum, freq) intervals, then a
+reverse scan packing each lane's rANS bytes independently (the reference's
+model/coder separation, `ransmt.h:31-135`, turned into tensor passes).
+
+Byte-identical to `spec/coder.py`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from screenpressor_tpu.config import MV_OFFSET, PROB_BITS, PROB_SCALE, RANS_L
+from screenpressor_tpu.jx.tables import update_batch
+
+MASK = PROB_SCALE - 1
+X_MAX_SHIFT = 23 - PROB_BITS + 8
+
+U32 = jnp.uint32
+
+
+# ---------------------------------------------------------------------------
+# Record codecs: static schedules of (table kind, dynamic row) sub-steps
+# ---------------------------------------------------------------------------
+
+
+class RecCodec:
+    """(ptype, run) records; see spec.coder.RecCodec."""
+
+    name = "rec"
+    kinds = ("ptype", "nrun")
+    rec_width = 2  # (ptype, n)
+
+    def init_state(self, k):
+        return jnp.zeros((k,), jnp.int32)
+
+    def dec_row(self, j, partial, state):
+        return state if j == 0 else partial[0]
+
+    def enc_syms(self, j, rec, state):
+        # rec: [K, 2] (ptype, n)
+        if j == 0:
+            return state, rec[:, 0], None
+        return rec[:, 0], rec[:, 1] - 1, None
+
+    def dec_finish(self, partial, state):
+        rec = jnp.stack([partial[0], partial[1] + 1], axis=1)
+        return rec, partial[0]
+
+    def enc_next_state(self, rec, state):
+        return rec[:, 0]
+
+
+class ColCodec:
+    """RGB literal triples with the stream-local context chain."""
+
+    name = "col"
+    kinds = ("color", "color", "color")
+    rec_width = 3
+
+    def init_state(self, k):
+        return jnp.zeros((k, 2), jnp.int32)  # (prevg, prevb)
+
+    def _row(self, j, partial_or_rec, state):
+        prevg, prevb = state[:, 0], state[:, 1]
+        if j == 0:
+            return ((prevg >> 2) << 6) | (prevb >> 2)
+        if j == 1:
+            r = partial_or_rec[0]
+            return 4096 + (((prevb >> 2) << 6) | (r >> 2))
+        r, g = partial_or_rec[0], partial_or_rec[1]
+        return 2 * 4096 + (((r >> 2) << 6) | (g >> 2))
+
+    def dec_row(self, j, partial, state):
+        return self._row(j, partial, state)
+
+    def enc_syms(self, j, rec, state):
+        parts = [rec[:, 0], rec[:, 1]]
+        return self._row(j, parts, state), rec[:, j], None
+
+    def dec_finish(self, partial, state):
+        rec = jnp.stack(partial, axis=1)
+        return rec, rec[:, 1:3]
+
+    def enc_next_state(self, rec, state):
+        return rec[:, 1:3]
+
+
+class BTCodec:
+    name = "bt"
+    kinds = ("bt", "btn")
+    rec_width = 2
+
+    def init_state(self, k):
+        return jnp.zeros((k,), jnp.int32)
+
+    def dec_row(self, j, partial, state):
+        return jnp.zeros_like(state)
+
+    def enc_syms(self, j, rec, state):
+        zero = jnp.zeros_like(state)
+        return (zero, rec[:, 0], None) if j == 0 else (zero, rec[:, 1] - 1, None)
+
+    def dec_finish(self, partial, state):
+        return jnp.stack([partial[0], partial[1] + 1], axis=1), state
+
+    def enc_next_state(self, rec, state):
+        return state
+
+
+class SxyCodec:
+    name = "sxy"
+    kinds = ("sxy", "sxy", "sxy", "sxy")
+    rec_width = 4
+
+    def init_state(self, k):
+        return jnp.zeros((k,), jnp.int32)
+
+    def dec_row(self, j, partial, state):
+        return jnp.full_like(state, j)
+
+    def enc_syms(self, j, rec, state):
+        return jnp.full_like(state, j), rec[:, j], None
+
+    def dec_finish(self, partial, state):
+        return jnp.stack(partial, axis=1), state
+
+    def enc_next_state(self, rec, state):
+        return state
+
+
+class MVCodec:
+    """(mx, my) with lane-local same-flag; sub-steps 1/2 conditional."""
+
+    name = "mv"
+    kinds = ("mvflag", "mv", "mv")
+    rec_width = 2
+
+    def init_state(self, k):
+        return jnp.zeros((k, 2), jnp.int32)  # last (mx, my)
+
+    def dec_row(self, j, partial, state):
+        k = state.shape[0]
+        if j == 0:
+            return jnp.zeros((k,), jnp.int32), None
+        skip = partial[0] == 1
+        row = jnp.full((k,), j - 1, jnp.int32)
+        return row, ~skip
+
+    def enc_syms(self, j, rec, state):
+        k = state.shape[0]
+        same = (rec[:, 0] == state[:, 0]) & (rec[:, 1] == state[:, 1])
+        if j == 0:
+            return jnp.zeros((k,), jnp.int32), same.astype(jnp.int32), None
+        row = jnp.full((k,), j - 1, jnp.int32)
+        return row, rec[:, j - 1] + MV_OFFSET, ~same
+
+    def dec_finish(self, partial, state):
+        same = (partial[0] == 1)[:, None]
+        decoded = jnp.stack([partial[1] - MV_OFFSET, partial[2] - MV_OFFSET], axis=1)
+        rec = jnp.where(same, state, decoded)
+        return rec, rec
+
+    def enc_next_state(self, rec, state):
+        return rec
+
+
+CODECS = {"rec": RecCodec(), "col": ColCodec(), "bt": BTCodec(), "sxy": SxyCodec(), "mv": MVCodec()}
+
+# dec_row may return (row, extra_active) for conditional sub-steps
+def _dec_row(codec, j, partial, state):
+    out = codec.dec_row(j, partial, state)
+    if isinstance(out, tuple):
+        return out
+    return out, None
+
+
+# ---------------------------------------------------------------------------
+# Lane geometry (format-normative chunking; mirrors config.lane_ranges)
+# ---------------------------------------------------------------------------
+
+
+def lane_lengths(n: int, k: int) -> np.ndarray:
+    base, rem = divmod(n, k)
+    return np.asarray([base + (1 if i < rem else 0) for i in range(k)], np.int32)
+
+
+def gather_order(n: int, k: int):
+    """global record index -> (lane, step) under contiguous chunking."""
+    base, rem = divmod(n, k)
+    g = np.arange(n)
+    cut = rem * (base + 1)
+    lane = np.where(g < cut, g // (base + 1), rem + (g - cut) // max(base, 1))
+    t = np.where(g < cut, g % (base + 1), (g - cut) % max(base, 1))
+    return lane.astype(np.int64), t.astype(np.int64)
+
+
+def _pad_steps(t_steps: int) -> int:
+    """Bucket scan lengths to powers of two to bound jit recompilation;
+    masked extra steps are no-ops and do not affect the stream."""
+    if t_steps <= 1:
+        return t_steps
+    return 1 << (t_steps - 1).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# rANS lane primitives
+# ---------------------------------------------------------------------------
+
+
+def _dec_init(payload):
+    """payload: [K, L] uint8 -> state [K] uint32, pos [K] int32."""
+    p = payload[:, :4].astype(U32)
+    x = p[:, 0] | (p[:, 1] << 8) | (p[:, 2] << 16) | (p[:, 3] << 24)
+    return x, jnp.full((payload.shape[0],), 4, jnp.int32)
+
+
+def _dec_advance(x, pos, payload, cum, freq, active):
+    """Masked rANS advance + <=2-byte renorm. cum/freq int32, x uint32."""
+    k = x.shape[0]
+    lanes = jnp.arange(k)
+    xx = freq.astype(U32) * (x >> PROB_BITS) + (x & MASK) - cum.astype(U32)
+    for _ in range(2):
+        need = (xx < RANS_L) & active
+        b = payload[lanes, jnp.minimum(pos, payload.shape[1] - 1)].astype(U32)
+        xx = jnp.where(need, (xx << 8) | b, xx)
+        pos = jnp.where(need, pos + 1, pos)
+    x = jnp.where(active, xx, x)
+    return x, pos
+
+
+def _lookup(cum_rows, freq_rows, sf):
+    """cum_rows/freq_rows: [K, A]; sf: [K] -> (sym, cum, freq)."""
+    sym = jnp.sum(cum_rows[:, 1:] <= sf[:, None], axis=1).astype(jnp.int32)
+    cum = jnp.take_along_axis(cum_rows, sym[:, None], axis=1)[:, 0]
+    freq = jnp.take_along_axis(freq_rows, sym[:, None], axis=1)[:, 0]
+    return sym, cum, freq
+
+
+# ---------------------------------------------------------------------------
+# Section decode
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("codec_name", "k", "t_steps"))
+def decode_section_scan(payload, lens, tables, codec_name: str, k: int, t_steps: int):
+    """payload: [K, L] uint8 lane blobs (padded); lens: [K] records per lane.
+
+    Returns (records [T, K, rec_width] int32, tables') — caller reorders to
+    global record order with `gather_order`.
+    """
+    codec = CODECS[codec_name]
+    x, pos = _dec_init(payload)
+    state0 = codec.init_state(k)
+
+    def step(carry, t):
+        x, pos, state, tables = carry
+        lane_active = t < lens
+        partial = []
+        for j, kind in enumerate(codec.kinds):
+            row, extra = _dec_row(codec, j, partial, state)
+            active = lane_active if extra is None else (lane_active & extra)
+            row = jnp.clip(row, 0, tables[kind]["cum"].shape[0] - 1)
+            cum_rows = tables[kind]["cum"][row]
+            freq_rows = tables[kind]["freq"][row]
+            sf = (x & MASK).astype(jnp.int32)
+            sym, cum, freq = _lookup(cum_rows, freq_rows, sf)
+            x, pos = _dec_advance(x, pos, payload, cum, freq, active)
+            sym = jnp.where(active, sym, 0)
+            partial.append(sym)
+            tables = dict(tables)
+            tables[kind] = update_batch(tables[kind], row, sym, active)
+        rec, new_state = codec.dec_finish(partial, state)
+        state = jnp.where(lane_active[..., None] if new_state.ndim > 1 else lane_active, new_state, state)
+        return (x, pos, state, tables), rec
+
+    (x, pos, state, tables), recs = jax.lax.scan(
+        step, (x, pos, state0, tables), jnp.arange(t_steps, dtype=jnp.int32)
+    )
+    return recs, tables
+
+
+def decode_section(blobs, n_records, k, tables, codec_name):
+    """Host wrapper: pad blobs, run the scan, reorder to global record order.
+
+    tables: JAX table pytree (updated copy returned).
+    Returns (records [n, rec_width] np.ndarray, tables').
+    """
+    codec = CODECS[codec_name]
+    if n_records == 0:
+        return np.zeros((0, codec.rec_width), np.int32), tables
+    t_steps = _pad_steps(-(-n_records // k))
+    lens = lane_lengths(n_records, k)
+    max_len = max(max(len(b) for b in blobs), 4)
+    payload = np.zeros((k, max_len), np.uint8)
+    for i, b in enumerate(blobs):
+        payload[i, : len(b)] = np.frombuffer(b, np.uint8)
+    recs, tables = decode_section_scan(
+        jnp.asarray(payload), jnp.asarray(lens), tables, codec_name, k, t_steps
+    )
+    recs = np.asarray(recs)  # [T, K, W]
+    lane, t = gather_order(n_records, k)
+    return recs[t, lane], tables
+
+
+# ---------------------------------------------------------------------------
+# Section encode
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("codec_name", "k", "t_steps"))
+def model_scan(recs, lens, tables, codec_name: str, k: int, t_steps: int):
+    """Forward modeling pass: records [T, K, W] -> intervals + activity.
+
+    Returns (cum [T, K, S], freq [T, K, S], act [T, K, S], tables').
+    """
+    codec = CODECS[codec_name]
+    state0 = codec.init_state(k)
+
+    def step(carry, inp):
+        state, tables = carry
+        rec, t = inp
+        lane_active = t < lens
+        cums, freqs, acts = [], [], []
+        for j, kind in enumerate(codec.kinds):
+            row, sym, extra = codec.enc_syms(j, rec, state)
+            active = lane_active if extra is None else (lane_active & extra)
+            row = jnp.clip(row, 0, tables[kind]["cum"].shape[0] - 1)
+            symc = jnp.clip(sym, 0, tables[kind]["cum"].shape[1] - 1)
+            cum = tables[kind]["cum"][row, symc]
+            freq = tables[kind]["freq"][row, symc]
+            cums.append(cum)
+            freqs.append(freq)
+            acts.append(active)
+            tables = dict(tables)
+            tables[kind] = update_batch(tables[kind], row, symc, active)
+        new_state = codec.enc_next_state(rec, state)
+        state = jnp.where(lane_active[..., None] if new_state.ndim > 1 else lane_active, new_state, state)
+        return (state, tables), (jnp.stack(cums, 1), jnp.stack(freqs, 1), jnp.stack(acts, 1))
+
+    (state, tables), (cum, freq, act) = jax.lax.scan(
+        step, (state0, tables), (recs, jnp.arange(t_steps, dtype=jnp.int32))
+    )
+    return cum, freq, act, tables
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def rans_pack(cum, freq, act, cap: int):
+    """Reverse rANS pack: intervals [T, K, S] -> (buf [K, cap] uint8, start [K]).
+
+    Lane blob = buf[k, start[k]:]; its first 4 bytes are the flushed state.
+    """
+    t_steps, k, s = cum.shape
+    x0 = jnp.full((k,), RANS_L, U32)
+    pos0 = jnp.full((k,), cap, jnp.int32)
+    buf0 = jnp.zeros((k, cap), jnp.uint8)
+    lanes = jnp.arange(k)
+
+    def emit(buf, pos, byte, do):
+        # lanes not emitting scatter out of bounds and drop
+        p = jnp.where(do, pos - 1, pos)
+        buf = buf.at[lanes, jnp.where(do, p, cap)].set(byte.astype(jnp.uint8), mode="drop")
+        return buf, p
+
+    def step(carry, inp):
+        x, pos, buf = carry
+        cum_t, freq_t, act_t = inp  # [K, S]
+        for j in range(s - 1, -1, -1):
+            a = act_t[:, j]
+            f = freq_t[:, j].astype(U32)
+            c = cum_t[:, j].astype(U32)
+            x_max = jnp.where(a, f << X_MAX_SHIFT, jnp.uint32(0xFFFFFFFF))
+            for _ in range(2):
+                do = x >= x_max
+                buf, pos = emit(buf, pos, x & 0xFF, do)
+                x = jnp.where(do, x >> 8, x)
+            fx = jnp.maximum(f, 1)
+            nx = ((x // fx) << PROB_BITS) + (x % fx) + c
+            x = jnp.where(a, nx, x)
+        return (x, pos, buf), None
+
+    (x, pos, buf), _ = jax.lax.scan(
+        step,
+        (x0, pos0, buf0),
+        (cum[::-1], freq[::-1], act[::-1]),
+    )
+    # flush 4 state bytes (LE) in front
+    for i in (3, 2, 1, 0):
+        buf, pos = emit(buf, pos, (x >> (8 * i)) & 0xFF, jnp.ones((k,), bool))
+    return buf, pos
+
+
+def encode_section(records: np.ndarray, k: int, tables, codec_name: str):
+    """Host wrapper. records: [n, W] int array. Returns (blobs, tables')."""
+    codec = CODECS[codec_name]
+    n = len(records)
+    if n == 0:
+        return [b""] * k, tables
+    t_steps = _pad_steps(-(-n // k))
+    lens = lane_lengths(n, k)
+    recs = np.zeros((t_steps, k, codec.rec_width), np.int32)
+    lane, t = gather_order(n, k)
+    recs[t, lane] = np.asarray(records, np.int32).reshape(n, codec.rec_width)
+    cum, freq, act, tables = model_scan(
+        jnp.asarray(recs), jnp.asarray(lens), tables, codec_name, k, t_steps
+    )
+    n_sub = len(codec.kinds)
+    cap = 2 * t_steps * n_sub + 8
+    buf, start = rans_pack(cum, freq, act, cap)
+    buf = np.asarray(buf)
+    start = np.asarray(start)
+    blobs = []
+    for i in range(k):
+        blobs.append(bytes(buf[i, start[i] :]) if lens[i] > 0 else b"")
+    return blobs, tables

@@ -1,11 +1,21 @@
-"""Test configuration: force CPU with 8 virtual devices so sharding tests run
-without TPU hardware. Must run before jax is imported anywhere."""
+"""Test configuration: force CPU with 8 virtual devices so tests run
+deterministically without TPU hardware.
+
+The environment may export JAX_PLATFORMS=axon/tpu, and pytest plugins
+(e.g. jaxtyping's) can import jax before this file runs — at which point JAX
+has already snapshotted the env var into its config. Setting the env vars is
+therefore not enough; we also override via jax.config after import."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
