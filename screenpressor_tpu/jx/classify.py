@@ -97,7 +97,8 @@ def segment(frame):
     m = jump
     length = 1
     while length < cap:
-        tail = m[path[:length]]
+        upd = min(length, cap - length)  # clamp final round to the buffer
+        tail = m[path[:upd]]
         path = jax.lax.dynamic_update_slice(path, tail, (length,))
         m = m[m]
         length *= 2
