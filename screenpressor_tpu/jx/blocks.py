@@ -1,0 +1,129 @@
+"""P-frame block analysis — JAX implementation.
+
+Byte-equivalent to `spec/blocks.py`. The reference's per-block sequential
+heuristics (`DecideBlockTypes`/`FindMV`, `screencap.cpp:684-1087`) become:
+change mask + block reductions for the change map and sub-rects, and a
+`lax.scan` over a static prioritized candidate list for motion — each step is
+one whole-frame shifted comparison plus per-block reductions (no gathers).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from screenpressor_tpu.config import BLOCK, CodecConfig
+from screenpressor_tpu.spec.blocks import mv_candidates  # shared encoder policy
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "nby", "nbx"))
+def change_analysis(frame, prev, h: int, w: int, nby: int, nbx: int):
+    """-> (block_changed [nby,nbx], rects [nby,nbx,4] absolute sub-rects,
+    subrect_mask [h,w])."""
+    diff = jnp.any(frame != prev, axis=-1)  # [h, w]
+    pad = jnp.zeros((nby * BLOCK, nbx * BLOCK), bool).at[:h, :w].set(diff)
+    blocks = pad.reshape(nby, BLOCK, nbx, BLOCK)
+    changed = blocks.any(axis=(1, 3))
+
+    rowany = blocks.any(axis=3)  # [nby, BLOCK, nbx]
+    colany = blocks.any(axis=1)  # [nby, nbx, BLOCK]
+    r = jnp.arange(BLOCK)
+    y1r = jnp.min(jnp.where(rowany, r[None, :, None], BLOCK), axis=1)
+    y2r = jnp.max(jnp.where(rowany, r[None, :, None] + 1, 0), axis=1)
+    x1r = jnp.min(jnp.where(colany, r[None, None, :], BLOCK), axis=2)
+    x2r = jnp.max(jnp.where(colany, r[None, None, :] + 1, 0), axis=2)
+
+    bx = jnp.arange(nbx)[None, :]
+    by = jnp.arange(nby)[:, None]
+    rects = jnp.stack(
+        [bx * BLOCK + x1r, by * BLOCK + y1r, bx * BLOCK + x2r, by * BLOCK + y2r],
+        axis=-1,
+    ).astype(jnp.int32)
+
+    # mask of pixels inside their block's sub-rect (changed blocks only)
+    ys = jnp.arange(nby * BLOCK)[:, None]
+    xs = jnp.arange(nbx * BLOCK)[None, :]
+    rep = lambda a: jnp.repeat(jnp.repeat(a, BLOCK, 0), BLOCK, 1)
+    in_sub = (
+        (ys >= rep(rects[..., 1]))
+        & (ys < rep(rects[..., 3]))
+        & (xs >= rep(rects[..., 0]))
+        & (xs < rep(rects[..., 2]))
+        & rep(changed)
+    )
+    return changed, rects, in_sub[:h, :w]
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "nby", "nbx", "rmax"))
+def motion_search(frame, prev, rects, in_sub, changed, cands, h, w, nby, nbx, rmax):
+    """First matching candidate per block (spec.find_mv order).
+
+    cands: [C, 2] int32 (mx, my) in spec priority order.
+    Returns choice [nby, nbx] int32 (C = no match).
+    """
+    c_count = cands.shape[0]
+    prev_pad = jnp.pad(
+        prev.astype(jnp.int16),
+        ((rmax, rmax), (rmax, rmax), (0, 0)),
+        constant_values=-1,  # never equals a real pixel
+    )
+    fr = frame.astype(jnp.int16)
+    mask_pad = jnp.zeros((nby * BLOCK, nbx * BLOCK), bool).at[:h, :w].set(in_sub)
+    x1, y1, x2, y2 = rects[..., 0], rects[..., 1], rects[..., 2], rects[..., 3]
+
+    def step(best, ci):
+        mx, my = cands[ci, 0], cands[ci, 1]
+        win = jax.lax.dynamic_slice(
+            prev_pad, (rmax + my, rmax + mx, 0), (h, w, 3)
+        )
+        neq = jnp.any(win != fr, axis=-1)
+        neq_pad = jnp.ones((nby * BLOCK, nbx * BLOCK), bool).at[:h, :w].set(neq)
+        bad = (neq_pad & mask_pad).reshape(nby, BLOCK, nbx, BLOCK).any(axis=(1, 3))
+        inb = (x1 + mx >= 0) & (x2 + mx <= w) & (y1 + my >= 0) & (y2 + my <= h)
+        match = changed & inb & ~bad
+        best = jnp.where(match & (best == c_count), ci, best)
+        return best, None
+
+    best0 = jnp.full((nby, nbx), c_count, jnp.int32)
+    best, _ = jax.lax.scan(step, best0, jnp.arange(c_count, dtype=jnp.int32))
+    return best
+
+
+def analyze_p(frame, prev, cfg: CodecConfig):
+    """Device analysis; returns numpy (bts, rects dict, mvs dict) in the same
+    form as `spec.blocks.analyze_p` (byte-equivalent policy)."""
+    h, w = cfg.height, cfg.width
+    nby, nbx = cfg.nby, cfg.nbx
+    frame = jnp.asarray(frame)
+    prev = jnp.asarray(prev)
+    changed, rects, in_sub = change_analysis(frame, prev, h, w, nby, nbx)
+    cands = np.asarray(mv_candidates(cfg), np.int32)
+    rmax = int(max(cfg.msr_x, cfg.msr_y, cfg.msr_low_x, cfg.msr_low_y)) + BLOCK
+    choice = motion_search(
+        frame, prev, rects, in_sub, changed, jnp.asarray(cands), h, w, nby, nbx, rmax
+    )
+    changed_np = np.asarray(changed)
+    rects_np = np.asarray(rects)
+    choice_np = np.asarray(choice)
+
+    bts = np.zeros(nby * nbx, np.int32)
+    rect_d: dict[int, tuple] = {}
+    mv_d: dict[int, tuple] = {}
+    c_count = len(cands)
+    for by, bx in zip(*np.nonzero(changed_np)):
+        bi = int(by) * nbx + int(bx)
+        x1, y1, x2, y2 = (int(v) for v in rects_np[by, bx])
+        x_lo, y_lo = int(bx) * BLOCK, int(by) * BLOCK
+        x_hi, y_hi = min(x_lo + BLOCK, w), min(y_lo + BLOCK, h)
+        partial = (x1, y1, x2, y2) != (x_lo, y_lo, x_hi, y_hi)
+        bt = 2 if partial else 1
+        ci = int(choice_np[by, bx])
+        if ci < c_count:
+            bt += 2
+            mv_d[bi] = (int(cands[ci, 0]), int(cands[ci, 1]))
+        bts[bi] = bt
+        rect_d[bi] = (x1, y1, x2, y2)
+    return bts, rect_d, mv_d

@@ -1,0 +1,58 @@
+"""JAX P-frame pipeline: byte-identical streams and lossless round-trips."""
+
+import numpy as np
+import pytest
+
+from screenpressor_tpu.config import CodecConfig
+from screenpressor_tpu.api import Decoder, Encoder
+from screenpressor_tpu.spec.codec import SpecDecoder, SpecEncoder
+from tests.test_spec_iframe import synth_desktop
+from tests.test_spec_pframe import scrolling_sequence, typing_sequence
+
+# small motion ranges keep CPU test time sane; policy must match on both sides
+CFG_KW = dict(msr_x=12, msr_y=12)
+
+
+def _compare_sessions(frames, h, w):
+    cfg = CodecConfig(width=w, height=h, **CFG_KW)
+    spec_enc = SpecEncoder(cfg)
+    jax_enc = Encoder(cfg, backend="jax")._session
+    jax_dec = Decoder(cfg, backend="jax")._session
+    for i, f in enumerate(frames):
+        sd, sft = spec_enc.encode(f)
+        jd, jft = jax_enc.encode(f)
+        assert jft == sft, f"frame {i} type"
+        assert jd == sd, f"frame {i}: jax stream differs from spec"
+        out = jax_dec.decode(jd)
+        np.testing.assert_array_equal(np.asarray(out), f)
+
+
+def test_typing_session_matches_spec():
+    _compare_sessions(typing_sequence(32, 48, 4), 32, 48)
+
+
+def test_scroll_session_matches_spec():
+    _compare_sessions(scrolling_sequence(48, 64, 4), 48, 64)
+
+
+def test_corner_changes_match_spec():
+    f1 = synth_desktop(33, 47, seed=7)
+    frames = [f1]
+    for y, x in [(0, 0), (0, 46), (32, 0), (32, 46), (16, 20)]:
+        f2 = frames[-1].copy()
+        f2[y, x] = (f2[y, x].astype(int) + 1 + x + y).astype(np.uint8)
+        frames.append(f2)
+    _compare_sessions(frames, 33, 47)
+
+
+def test_identical_and_flat_frames():
+    flat = np.full((32, 32, 3), 9, np.uint8)
+    f = synth_desktop(32, 32, seed=1)
+    _compare_sessions([flat, flat, f, f, np.roll(f, 5, axis=0)], 32, 32)
+
+
+def test_noise_full_change():
+    rng = np.random.default_rng(5)
+    f1 = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    f2 = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    _compare_sessions([f1, f2], 24, 40)
