@@ -1,0 +1,105 @@
+"""Benchmark: combined encode+decode throughput on synthetic 1080p screencast.
+
+Prints ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": "Mpix/s", "vs_baseline": N}
+vs_baseline is against the 1 Gpix/s/chip north star (BASELINE.md).
+Diagnostics go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sptc_jax_cache")
+
+import numpy as np
+
+
+def synth_screencast(h, w, n_frames, seed=0):
+    """Desktop-like content: window, text lines, scroll, typing, idle."""
+    rng = np.random.default_rng(seed)
+    base = np.full((h + 16 * n_frames, w, 3), (40, 44, 52), np.uint8)
+    base[40 : h - 40, 60 : w - 60] = (250, 250, 250)
+    for y in range(48, h - 48, 14):
+        lo, hi = w // 4, max(w - 140, w // 4 + 2)
+        ln = int(rng.integers(lo, hi))
+        base[y : y + 8, 70 : min(70 + ln, w - 1) : 2] = (20, 20, 24)
+    frames = [base[:h].copy()]
+    for i in range(1, n_frames):
+        kind = i % 4
+        if kind == 1:  # scroll
+            frames.append(base[8 * i : 8 * i + h].copy())
+        elif kind == 2:  # typing: small local change
+            f = frames[-1].copy()
+            y = 20 + (i * 17) % max(h - 40, 1)
+            x = 20 + (i * 41) % max(w - 40, 1)
+            f[y : min(y + 10, h), x : min(x + 8, w)] = (200, 30, 30)
+            frames.append(f)
+        else:  # idle
+            frames.append(frames[-1].copy())
+    return frames
+
+
+def main():
+    h = int(os.environ.get("BENCH_H", 1080))
+    w = int(os.environ.get("BENCH_W", 1920))
+    n = int(os.environ.get("BENCH_FRAMES", 8))
+
+    import jax
+
+    print(f"bench: backend={jax.default_backend()} {h}x{w} x{n} frames", file=sys.stderr)
+
+    from screenpressor_tpu.api import Decoder, Encoder
+    from screenpressor_tpu.config import CodecConfig
+
+    cfg = CodecConfig(width=w, height=h, msr_x=32, msr_y=32)
+    frames = synth_screencast(h, w, n)
+
+    # warmup / compile on the first two frames
+    enc = Encoder(cfg, backend="jax")
+    dec = Decoder(cfg, backend="jax")
+    for f in frames[:2]:
+        payload, _ = enc.encode(f)
+        dec.decode(payload)
+
+    # timed session (fresh sessions; steady-state compiles cached)
+    enc = Encoder(cfg, backend="jax")
+    dec = Decoder(cfg, backend="jax")
+    t_enc = t_dec = 0.0
+    total_bytes = 0
+    for f in frames:
+        t0 = time.perf_counter()
+        payload, _ = enc.encode(f)
+        t1 = time.perf_counter()
+        out = dec.decode(payload)
+        t2 = time.perf_counter()
+        t_enc += t1 - t0
+        t_dec += t2 - t1
+        total_bytes += len(payload)
+        if not np.array_equal(out, f):
+            print("LOSSLESS CHECK FAILED", file=sys.stderr)
+            sys.exit(1)
+
+    pixels = n * h * w
+    mpix = pixels / (t_enc + t_dec) / 1e6
+    raw = pixels * 3
+    print(
+        f"bench: enc {pixels / t_enc / 1e6:.2f} Mpix/s, dec {pixels / t_dec / 1e6:.2f} "
+        f"Mpix/s, ratio {raw / total_bytes:.1f}x ({total_bytes} B)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "Mpixel/s/chip encode+decode 1080p screencast (lossless)",
+                "value": round(mpix, 3),
+                "unit": "Mpix/s",
+                "vs_baseline": round(mpix / 1000.0, 5),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
