@@ -59,6 +59,10 @@ def _make_session(cfg: CodecConfig, backend: str, encoder: bool):
         from screenpressor_tpu.jx.codec import JaxDecoder, JaxEncoder
 
         return JaxEncoder(cfg) if encoder else JaxDecoder(cfg)
+    if backend == "native":
+        from screenpressor_tpu.native import NativeDecoder, NativeEncoder
+
+        return NativeEncoder(cfg) if encoder else NativeDecoder(cfg)
     raise ValueError(f"unknown backend {backend!r}")
 
 
