@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from screenpressor_tpu.config import BLOCK, NUM_PTYPES, PROB_SCALE, RANS_L, STEP
 
@@ -41,7 +41,8 @@ def _halo_fits(shard, halo_row, w):
     ext = jnp.concatenate([halo_row[None], shard], axis=0)  # [rows+1, w, 3]
     cur = ext[1:]
     above = ext[:-1]
-    aboveleft = jnp.concatenate([above[:, :1], above[:, :-1]], axis=1)
+    # raster-wrap: left(y,0) = aboveleft(y,0) = pix(y-1, W-1) (FORMAT.md)
+    aboveleft = jnp.concatenate([above[:, -1:], above[:, :-1]], axis=1)
     left = jnp.concatenate([above[:, -1:], cur[:, :-1]], axis=1)
     eq = lambda a, b: jnp.all(a == b, axis=-1)
     f = jnp.stack(
@@ -86,6 +87,12 @@ def sharded_analysis_step(frames, prevs, mesh: Mesh, loss: int = 0):
         halo = jnp.where((idx == 0), 0, halo)
 
         fits = jax.vmap(lambda sh, hr: _halo_fits(sh, hr, w))(fr, halo)
+        # global row 0 has no above row: types 2/4/5 can never fit, and the
+        # left/literal predicate only holds from pixel 1 on
+        row0 = jnp.zeros_like(fits[:, :1])
+        row0 = row0.at[:, 0, 1:, 0].set(fits[:, 0, 1:, 0])
+        row0 = row0.at[:, 0, 1:, 1].set(fits[:, 0, 1:, 1])
+        fits = jnp.where(idx == 0, jnp.concatenate([row0, fits[:, 1:]], axis=1), fits)
 
         # change map: per-shard block-row diffs, reduced over sp
         diff = jnp.any(fr != pv, axis=-1)
@@ -108,7 +115,7 @@ def sharded_analysis_step(frames, prevs, mesh: Mesh, loss: int = 0):
         mesh=mesh,
         in_specs=(P("dp", "sp"), P("dp", "sp")),
         out_specs=(P("dp"), P("dp"), P("dp")),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)(frames, prevs)
 
@@ -166,7 +173,7 @@ def dryrun_step(frames, prevs, tables_batch, mesh: Mesh):
         mesh=mesh,
         in_specs=(P("dp"), P("dp")),
         out_specs=P("dp"),
-        check_rep=False,
+        check_vma=False,
     )
     buf, start, n_rec, tables_batch = jax.jit(fn)(frames, tables_batch)
     return (fits, changed, flat), (buf, start, n_rec), tables_batch

@@ -14,6 +14,7 @@ from typing import Any, Optional, Sequence
 from screenpressor_tpu.config import MV_OFFSET, lane_ranges
 from screenpressor_tpu.spec.rans import RansDecoder, RansEncoder
 from screenpressor_tpu.spec.tables import TableSet
+from screenpressor_tpu.utils import trace as _trace
 
 
 class RecordCodec:
@@ -208,6 +209,8 @@ def encode_section(
                 cum, freq = tables[kind].interval(row, sym)
                 intervals[lane].append((cum, freq))
                 updates.append((kind, row, sym))
+                if _trace._ACTIVE:
+                    _trace.emit(t, j, lane, kind, row, sym, cum, freq)
             _apply_updates(tables, updates)
         for lane in range(k):
             if partials[lane] is not None:
@@ -257,6 +260,8 @@ def decode_section(
                 partials[lane].append(sym)
                 pending.append((lane, cum, freq))
                 updates.append((kind, row, sym))
+                if _trace._ACTIVE:
+                    _trace.emit(t, j, lane, kind, row, sym, cum, freq)
             # rANS advance may happen after lookups; order within a sub-step
             # does not matter (independent lanes)
             for lane, cum, freq in pending:
