@@ -212,6 +212,50 @@ def _pad_steps(t_steps: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Device-side lane dealing (same contiguous chunking as config.lane_ranges,
+# with the record count as a traced scalar so whole frames fuse into one jit)
+# ---------------------------------------------------------------------------
+
+
+def _geometry(g, n, k):
+    base = n // k
+    rem = n % k
+    cut = rem * (base + 1)
+    lane = jnp.where(g < cut, g // jnp.maximum(base + 1, 1), rem + (g - cut) // jnp.maximum(base, 1))
+    step = jnp.where(g < cut, g % jnp.maximum(base + 1, 1), (g - cut) % jnp.maximum(base, 1))
+    return lane.astype(jnp.int32), step.astype(jnp.int32)
+
+
+def lane_lens_device(n, k: int):
+    base = n // k
+    rem = n % k
+    return (base + (jnp.arange(k) < rem)).astype(jnp.int32)
+
+
+def deal_device(records_cap, n, k: int, t: int):
+    """records_cap: [N, W] with the first n rows valid -> [t, k, W]."""
+    cap, wdt = records_cap.shape
+    g = jnp.arange(cap)
+    lane, step = _geometry(g, n, k)
+    out = jnp.zeros((t, k, wdt), records_cap.dtype)
+    valid = g < n
+    return out.at[jnp.where(valid, step, t), jnp.where(valid, lane, 0)].set(
+        records_cap, mode="drop"
+    )
+
+
+def undeal_device(scan_out, n, k: int, cap: int):
+    """[t, k, W] scan outputs -> [cap, W] in global record order (rows >= n
+    are zero)."""
+    t = scan_out.shape[0]
+    g = jnp.arange(cap)
+    lane, step = _geometry(g, n, k)
+    valid = (g < n)[:, None]
+    vals = scan_out[jnp.minimum(step, t - 1), lane]
+    return jnp.where(valid, vals, 0)
+
+
+# ---------------------------------------------------------------------------
 # rANS lane primitives
 # ---------------------------------------------------------------------------
 

@@ -1,13 +1,17 @@
 """I-frame encode/decode — JAX pipeline.
 
-Device work: classification/segmentation, section scans, reconstruction.
-Host work: container framing (`bitstream.py`). Byte-identical to
-`spec/iframe.py`.
+The whole frame runs as ONE fused jit each way (classification, lane dealing,
+section scans, rANS pack / reconstruction on device); the host only reads two
+counters to pick static lane/step bucket sizes and assembles the container.
+Byte-identical to `spec/iframe.py`.
 """
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from screenpressor_tpu import bitstream as bs
@@ -17,48 +21,103 @@ from screenpressor_tpu.jx.classify import classify_i
 from screenpressor_tpu.jx.recon import reconstruct_i
 
 
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def classify_counts(frame, h: int, w: int):
+    records, n_records, lits, n_literals = classify_i(frame, h, w)
+    return records, n_records, lits, n_literals
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "k_rec", "t_rec", "k_col", "t_col")
+)
+def encode_i_device(frame, tables, h, w, k_rec, t_rec, k_col, t_col):
+    records, n_rec, lits, n_lit = classify_i(frame, h, w)
+    rec_dealt = jc.deal_device(records, n_rec, k_rec, t_rec)
+    lens_rec = jc.lane_lens_device(n_rec, k_rec)
+    cum, freq, act, tables = jc.model_scan(rec_dealt, lens_rec, tables, "rec", k_rec, t_rec)
+    buf_rec, start_rec = jc.rans_pack(cum, freq, act, 2 * t_rec * 2 + 8)
+
+    col_dealt = jc.deal_device(lits, n_lit, k_col, t_col)
+    lens_col = jc.lane_lens_device(n_lit, k_col)
+    cum, freq, act, tables = jc.model_scan(col_dealt, lens_col, tables, "col", k_col, t_col)
+    buf_col, start_col = jc.rans_pack(cum, freq, act, 2 * t_col * 3 + 8)
+    return buf_rec, start_rec, lens_rec, buf_col, start_col, lens_col, tables
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "k_rec", "t_rec", "k_col", "t_col")
+)
+def decode_i_device(pay_rec, pay_col, n_rec, n_lit, tables, h, w, k_rec, t_rec, k_col, t_col):
+    lens_rec = jc.lane_lens_device(n_rec, k_rec)
+    recs_scan, tables = jc.decode_section_scan(pay_rec, lens_rec, tables, "rec", k_rec, t_rec)
+    lens_col = jc.lane_lens_device(n_lit, k_col)
+    lits_scan, tables = jc.decode_section_scan(pay_col, lens_col, tables, "col", k_col, t_col)
+    n = h * w
+    records = jc.undeal_device(recs_scan, n_rec, k_rec, n)
+    lits = jc.undeal_device(lits_scan, n_lit, k_col, n)
+    total = records[:, 1].sum()
+    frame = reconstruct_i(records, lits, h, w)
+    return frame, total, tables
+
+
+def _blobs_from_buf(buf, start, lens, k):
+    blobs = []
+    for i in range(k):
+        blobs.append(bytes(buf[i, start[i] :].tobytes()) if lens[i] > 0 else b"")
+    return blobs
+
+
+def _pad_payload(blobs, k):
+    max_len = max(max((len(b) for b in blobs), default=0), 4)
+    pay = np.zeros((k, jc._pad_steps(max_len)), np.uint8)
+    for i, b in enumerate(blobs):
+        pay[i, : len(b)] = np.frombuffer(b, np.uint8)
+    return pay
+
+
 def encode_i(frame, tables, cfg: CodecConfig):
-    """frame: [H, W, 3] uint8 (numpy or jax). Returns (bytes, tables')."""
+    """frame: [H, W, 3] uint8. Returns (bytes, tables'). Two device calls,
+    two host pulls (counts, packed lanes)."""
     h, w = cfg.height, cfg.width
-    records, n_records, lits, n_literals = classify_i(jnp.asarray(frame), h, w)
-    n_rec = int(n_records)
-    n_lit = int(n_literals)
-    rec_np = np.asarray(records[:n_rec])
-    lit_np = np.asarray(lits[:n_lit])
-    k_rec = cfg.lanes(n_rec)
-    k_col = cfg.lanes(n_lit)
-    rec_blobs, tables = jc.encode_section(rec_np, k_rec, tables, "rec")
-    col_blobs, tables = jc.encode_section(lit_np, k_col, tables, "col")
+    frame = jnp.asarray(frame)
+    _, n_records, _, n_literals = classify_counts(frame, h, w)
+    n_rec, n_lit = jax.device_get((n_records, n_literals))
+    n_rec, n_lit = int(n_rec), int(n_lit)
+    k_rec, k_col = cfg.lanes(n_rec), cfg.lanes(n_lit)
+    t_rec = jc._pad_steps(-(-n_rec // k_rec)) if n_rec else 1
+    t_col = jc._pad_steps(-(-n_lit // k_col)) if n_lit else 1
+    out = encode_i_device(frame, tables, h, w, k_rec, t_rec, k_col, t_col)
+    buf_rec, start_rec, lens_rec, buf_col, start_col, lens_col = jax.device_get(out[:6])
+    tables = out[6]
     data = b"".join(
         [
             bytes([bs.header_byte(ALG_I)]),
             bs.pack_u32(n_rec, n_lit),
-            bs.pack_section(rec_blobs),
-            bs.pack_section(col_blobs),
+            bs.pack_section(_blobs_from_buf(buf_rec, start_rec, lens_rec, k_rec)),
+            bs.pack_section(_blobs_from_buf(buf_col, start_col, lens_col, k_col)),
         ]
     )
     return data, tables
 
 
 def decode_i(data: bytes, pos: int, tables, cfg: CodecConfig):
-    """Returns (frame [H, W, 3] uint8 jax array, tables')."""
+    """Returns (frame [H, W, 3] uint8 jax array, tables'). One device call."""
     (n_rec, n_lit), pos = bs.read_u32(data, pos, 2)
-    k_rec = cfg.lanes(n_rec)
-    k_col = cfg.lanes(n_lit)
+    k_rec, k_col = cfg.lanes(n_rec), cfg.lanes(n_lit)
     rec_blobs, pos = bs.unpack_section(data, pos, k_rec)
     col_blobs, pos = bs.unpack_section(data, pos, k_col)
-    records, tables = jc.decode_section(rec_blobs, n_rec, k_rec, tables, "rec")
-    lits, tables = jc.decode_section(col_blobs, n_lit, k_col, tables, "col")
-    total = int(records[:, 1].sum()) if n_rec else 0
-    if total != cfg.width * cfg.height:
+    t_rec = jc._pad_steps(-(-n_rec // k_rec)) if n_rec else 1
+    t_col = jc._pad_steps(-(-n_lit // k_col)) if n_lit else 1
+    frame, total, tables = decode_i_device(
+        jnp.asarray(_pad_payload(rec_blobs, k_rec)),
+        jnp.asarray(_pad_payload(col_blobs, k_col)),
+        jnp.int32(n_rec),
+        jnp.int32(n_lit),
+        tables,
+        cfg.height, cfg.width, k_rec, t_rec, k_col, t_col,
+    )
+    if int(total) != cfg.width * cfg.height:
         raise bs.CorruptStreamError(
-            f"records cover {total} pixels, frame has {cfg.width * cfg.height}"
+            f"records cover {int(total)} pixels, frame has {cfg.width * cfg.height}"
         )
-    # pad record/literal arrays to the frame capacity expected by reconstruct
-    n = cfg.height * cfg.width
-    rec_pad = np.zeros((n, 2), np.int32)
-    rec_pad[:n_rec] = records
-    lit_pad = np.zeros((n, 3), np.int32)  # fixed capacity: stable jit shapes
-    lit_pad[:n_lit] = lits
-    frame = reconstruct_i(jnp.asarray(rec_pad), jnp.asarray(lit_pad), cfg.height, cfg.width)
     return frame, tables

@@ -278,6 +278,50 @@ def reconstruct_blocks(prev, rects, ptypes, rlens, lits, h: int, w: int, bcap: i
     return out.reshape(h, w, 3).astype(jnp.uint8)
 
 
+_SECTION_NAMES = ("bt", "sxy", "mv", "rec", "col")
+_SECTION_WIDTHS = {"bt": 2, "sxy": 4, "mv": 2, "rec": 2, "col": 3}
+
+
+@functools.partial(jax.jit, static_argnames=("kts",))
+def encode_sections_device(recs_cap, ns, tables, kts):
+    """Fused encode of all five P sections.
+
+    recs_cap: dict name -> [cap, W] capacity record arrays; ns: dict of traced
+    counts; kts: tuple of (name, k, t) statics. Returns (bufs, starts, lens
+    dicts, tables)."""
+    bufs, starts, lens_out = {}, {}, {}
+    for name, k, t in kts:
+        n = ns[name]
+        dealt = jc.deal_device(recs_cap[name], n, k, t)
+        lens = jc.lane_lens_device(n, k)
+        nsub = len(jc.CODECS[name].kinds)
+        cum, freq, act, tables = jc.model_scan(dealt, lens, tables, name, k, t)
+        buf, start = jc.rans_pack(cum, freq, act, 2 * t * nsub + 8)
+        bufs[name], starts[name], lens_out[name] = buf, start, lens
+    return bufs, starts, lens_out, tables
+
+
+@functools.partial(jax.jit, static_argnames=("kts", "caps"))
+def decode_sections_device(payloads, ns, tables, kts, caps):
+    """Fused decode of all five P sections -> global record arrays."""
+    out = {}
+    for (name, k, t), cap in zip(kts, caps):
+        n = ns[name]
+        lens = jc.lane_lens_device(n, k)
+        scan_out, tables = jc.decode_section_scan(payloads[name], lens, tables, name, k, t)
+        out[name] = jc.undeal_device(scan_out, n, k, cap)
+    return out, tables
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "mcap", "bcap"))
+def rebuild_frame_device(prev, mo_rects, mo_mvs, d_rects, d_pt, d_rl, d_lt,
+                         h: int, w: int, mcap: int, bcap: int):
+    """Fused motion-apply + data-block reconstruction."""
+    out = apply_motion(prev, prev, mo_rects, mo_mvs, h, w, mcap)
+    out = reconstruct_blocks(out, d_rects, d_pt, d_rl, d_lt, h, w, bcap)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("h", "w", "mcap"))
 def apply_motion(frame, prev, rects, mvs, h: int, w: int, mcap: int):
     """Copy motion blocks from prev (shifted) into frame.
@@ -360,16 +404,34 @@ def encode_p(frame, prev, tables, cfg: CodecConfig):
         pix_recs = np.concatenate(prs, axis=0) if prs else pix_recs
         lit_recs = np.concatenate(lrs, axis=0) if lrs else lit_recs
 
+    rec_arrays = {
+        "bt": np.asarray([list(r) for r in bt_recs], np.int32).reshape(-1, 2),
+        "sxy": np.asarray([list(r) for r in sxy_recs], np.int32).reshape(-1, 4),
+        "mv": np.asarray([list(r) for r in mv_recs], np.int32).reshape(-1, 2),
+        "rec": np.asarray(pix_recs, np.int32).reshape(-1, 2),
+        "col": np.asarray(lit_recs, np.int32).reshape(-1, 3),
+    }
+    kts = []
+    recs_cap, ns = {}, {}
+    for name in _SECTION_NAMES:
+        arr = rec_arrays[name]
+        n = len(arr)
+        k = cfg.lanes(n)
+        t = jc._pad_steps(-(-n // k)) if n else 1
+        kts.append((name, k, t))
+        cap = next_pow2(max(n, 1))
+        pad = np.zeros((cap, _SECTION_WIDTHS[name]), np.int32)
+        pad[:n] = arr
+        recs_cap[name] = jnp.asarray(pad)
+        ns[name] = jnp.int32(n)
+    bufs, starts, lens_l, tables = encode_sections_device(recs_cap, ns, tables, tuple(kts))
+    bufs, starts, lens_l = jax.device_get((bufs, starts, lens_l))
     sections = []
-    for recs, name in (
-        (np.asarray([list(r) for r in bt_recs], np.int32).reshape(-1, 2), "bt"),
-        (np.asarray([list(r) for r in sxy_recs], np.int32).reshape(-1, 4), "sxy"),
-        (np.asarray([list(r) for r in mv_recs], np.int32).reshape(-1, 2), "mv"),
-        (pix_recs, "rec"),
-        (lit_recs, "col"),
-    ):
-        k = cfg.lanes(len(recs))
-        blobs, tables = jc.encode_section(recs, k, tables, name)
+    for name, k, t in kts:
+        blobs = [
+            bytes(bufs[name][i, starts[name][i] :].tobytes()) if lens_l[name][i] > 0 else b""
+            for i in range(k)
+        ]
         sections.append(bs.pack_section(blobs))
 
     data = b"".join(
@@ -396,15 +458,29 @@ def decode_p(data: bytes, pos: int, prev, tables, cfg: CodecConfig):
         return jnp.asarray(prev), tables
     (xx1, xx2, n_bt, n_sxy, n_mv, n_pix, n_lit), pos = bs.read_u32(data, pos, 7)
 
-    recs_by = []
-    for n_recs, name in (
-        (n_bt, "bt"), (n_sxy, "sxy"), (n_mv, "mv"), (n_pix, "rec"), (n_lit, "col")
-    ):
-        k = cfg.lanes(n_recs)
+    counts = {"bt": n_bt, "sxy": n_sxy, "mv": n_mv, "rec": n_pix, "col": n_lit}
+    kts, caps = [], []
+    payloads, ns = {}, {}
+    for name in _SECTION_NAMES:
+        n = counts[name]
+        k = cfg.lanes(n)
         blobs, pos = bs.unpack_section(data, pos, k)
-        out, tables = jc.decode_section(blobs, n_recs, k, tables, name)
-        recs_by.append(out)
-    bt_recs, sxy_recs, mv_recs, pix_recs, lit_recs = recs_by
+        t = jc._pad_steps(-(-n // k)) if n else 1
+        kts.append((name, k, t))
+        caps.append(next_pow2(max(n, 1)))
+        max_len = max(max((len(b) for b in blobs), default=0), 4)
+        pay = np.zeros((k, next_pow2(max_len)), np.uint8)
+        for i, b in enumerate(blobs):
+            pay[i, : len(b)] = np.frombuffer(b, np.uint8)
+        payloads[name] = jnp.asarray(pay)
+        ns[name] = jnp.int32(n)
+    recs, tables = decode_sections_device(payloads, ns, tables, tuple(kts), tuple(caps))
+    recs = jax.device_get(recs)
+    bt_recs = recs["bt"][:n_bt]
+    sxy_recs = recs["sxy"][:n_sxy]
+    mv_recs = recs["mv"][:n_mv]
+    pix_recs = recs["rec"][:n_pix]
+    lit_recs = recs["col"][:n_lit]
 
     nb = cfg.nbx * cfg.nby
     bts = np.zeros(nb, np.int32)
@@ -463,30 +539,27 @@ def decode_p(data: bytes, pos: int, prev, tables, cfg: CodecConfig):
             data_slices.append((start, pix_cursor, lit_cursor, lit_cursor + nlit))
             lit_cursor += nlit
 
-    out = jnp.asarray(prev)
+    mcap = next_pow2(max(len(mo_rects), 1))
+    mr = np.zeros((mcap, 4), np.int32)
+    mm = np.zeros((mcap, 2), np.int32)
     if mo_rects:
-        mcap = next_pow2(len(mo_rects))
-        r = np.zeros((mcap, 4), np.int32)
-        m = np.zeros((mcap, 2), np.int32)
-        r[: len(mo_rects)] = mo_rects
-        m[: len(mo_mvs)] = mo_mvs
-        out = apply_motion(out, jnp.asarray(prev), jnp.asarray(r), jnp.asarray(m), h, w, mcap)
-    if data_rects:
-        bcap = next_pow2(len(data_rects))
-        r = np.zeros((bcap, 4), np.int32)
-        pt = np.zeros((bcap, AREA), np.int32)
-        rl = np.zeros((bcap, AREA), np.int32)
-        lt = np.zeros((bcap, AREA, 3), np.int32)
-        for i, (rect, (rs, re, ls, le)) in enumerate(zip(data_rects, data_slices)):
-            r[i] = rect
-            nr = re - rs
-            pt[i, :nr] = pix_recs[rs:re, 0]
-            rl[i, :nr] = pix_recs[rs:re, 1]
-            block_lits = lit_recs[ls:le] if le > ls else np.zeros((0, 3), np.int32)
-            lit_map = np.nonzero(pix_recs[rs:re, 0] == PT_LITERAL)[0]
-            lt[i, lit_map] = block_lits
-        out = reconstruct_blocks(
-            out, jnp.asarray(r), jnp.asarray(pt), jnp.asarray(rl), jnp.asarray(lt),
-            h, w, bcap,
-        )
+        mr[: len(mo_rects)] = mo_rects
+        mm[: len(mo_mvs)] = mo_mvs
+    bcap = next_pow2(max(len(data_rects), 1))
+    dr = np.zeros((bcap, 4), np.int32)
+    pt = np.zeros((bcap, AREA), np.int32)
+    rl = np.zeros((bcap, AREA), np.int32)
+    lt = np.zeros((bcap, AREA, 3), np.int32)
+    for i, (rect, (rs, re, ls, le)) in enumerate(zip(data_rects, data_slices)):
+        dr[i] = rect
+        nr = re - rs
+        pt[i, :nr] = pix_recs[rs:re, 0]
+        rl[i, :nr] = pix_recs[rs:re, 1]
+        block_lits = lit_recs[ls:le] if le > ls else np.zeros((0, 3), np.int32)
+        lit_map = np.nonzero(pix_recs[rs:re, 0] == PT_LITERAL)[0]
+        lt[i, lit_map] = block_lits
+    out = rebuild_frame_device(
+        jnp.asarray(prev), jnp.asarray(mr), jnp.asarray(mm), jnp.asarray(dr),
+        jnp.asarray(pt), jnp.asarray(rl), jnp.asarray(lt), h, w, mcap, bcap,
+    )
     return out, tables
