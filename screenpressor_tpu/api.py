@@ -36,6 +36,24 @@ class FormatParams:
     bmask: int = 0x001F
 
 
+def max_compressed_size(width: int, height: int) -> int:
+    """Worst-case output buffer bound per frame (reference `CompressGetSize`
+    returns X*Y*6, `screenpressor.cpp:386-388`; ours adds section headers)."""
+    return width * height * 6 + 4096
+
+
+def infer_frame_type(data: bytes) -> int:
+    """0 = I-frame (incl. flat), 1 = P-frame — derived from the payload, not
+    trusted container flags (reference `InferFrameType`,
+    `screenpressor.cpp:579-613`)."""
+    from screenpressor_tpu import bitstream as bs
+    from screenpressor_tpu.config import ALG_P
+
+    if not data:
+        raise bs.CorruptStreamError("empty frame")
+    return 1 if bs.parse_header_byte(data[0]) == ALG_P else 0
+
+
 def quality_to_loss(quality: int) -> int:
     """VfW quality 0..10000 -> loss bits 4..0
     (`screenpressor.cpp:411-422`)."""
