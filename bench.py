@@ -56,10 +56,12 @@ def main():
     cfg = CodecConfig(width=w, height=h, msr_x=32, msr_y=32)
     frames = synth_screencast(h, w, n)
 
-    # warmup / compile on the first two frames
+    # warmup / compile pass over the full sequence (the section scans
+    # specialize per lane/step bucket; the persistent compilation cache in
+    # JAX_COMPILATION_CACHE_DIR carries these across runs)
     enc = Encoder(cfg, backend="jax")
     dec = Decoder(cfg, backend="jax")
-    for f in frames[:2]:
+    for f in frames:
         payload, _ = enc.encode(f)
         dec.decode(payload)
 

@@ -92,6 +92,46 @@ def motion_search(frame, prev, rects, in_sub, changed, cands, h, w, nby, nbx, rm
     return best
 
 
+@functools.partial(jax.jit, static_argnames=("h", "w", "bcap", "rmax"))
+def motion_search_windowed(frame, prev, rects, valid, masks, cands, h, w, bcap, rmax):
+    """Per-block windowed variant of motion_search for sparse change maps:
+    gathers 16x16 windows per (block, candidate) instead of whole-frame
+    shifted compares. Identical first-match policy/results.
+
+    rects: [bcap,4]; valid: [bcap]; masks: [bcap,16,16] in-sub-rect masks.
+    """
+    c_count = cands.shape[0]
+    fpad = jnp.pad(
+        frame.astype(jnp.int16), ((0, BLOCK), (0, BLOCK), (0, 0)), constant_values=-2
+    )
+    ppad = jnp.pad(
+        prev.astype(jnp.int16),
+        ((rmax, rmax + BLOCK), (rmax, rmax + BLOCK), (0, 0)),
+        constant_values=-1,
+    )
+    x1, y1, x2, y2 = rects[:, 0], rects[:, 1], rects[:, 2], rects[:, 3]
+    cur = jax.vmap(
+        lambda xx, yy: jax.lax.dynamic_slice(fpad, (yy, xx, 0), (BLOCK, BLOCK, 3))
+    )(x1, y1)
+
+    def step(best, ci):
+        mx, my = cands[ci, 0], cands[ci, 1]
+        win = jax.vmap(
+            lambda xx, yy: jax.lax.dynamic_slice(
+                ppad, (rmax + yy + my, rmax + xx + mx, 0), (BLOCK, BLOCK, 3)
+            )
+        )(x1, y1)
+        neq = jnp.any(win != cur, axis=-1)
+        bad = jnp.any(neq & masks, axis=(1, 2))
+        inb = (x1 + mx >= 0) & (x2 + mx <= w) & (y1 + my >= 0) & (y2 + my <= h)
+        match = valid & inb & ~bad
+        return jnp.where(match & (best == c_count), ci, best), None
+
+    best0 = jnp.full((bcap,), c_count, jnp.int32)
+    best, _ = jax.lax.scan(step, best0, jnp.arange(c_count, dtype=jnp.int32))
+    return best
+
+
 def analyze_p(frame, prev, cfg: CodecConfig):
     """Device analysis; returns numpy (bts, rects dict, mvs dict) in the same
     form as `spec.blocks.analyze_p` (byte-equivalent policy)."""
@@ -102,12 +142,37 @@ def analyze_p(frame, prev, cfg: CodecConfig):
     changed, rects, in_sub = change_analysis(frame, prev, h, w, nby, nbx)
     cands = np.asarray(mv_candidates(cfg), np.int32)
     rmax = int(max(cfg.msr_x, cfg.msr_y, cfg.msr_low_x, cfg.msr_low_y)) + BLOCK
-    choice = motion_search(
-        frame, prev, rects, in_sub, changed, jnp.asarray(cands), h, w, nby, nbx, rmax
-    )
     changed_np = np.asarray(changed)
     rects_np = np.asarray(rects)
-    choice_np = np.asarray(choice)
+    n_changed = int(changed_np.sum())
+    if 0 < n_changed <= 128:
+        # sparse change map: windowed per-block search
+        from screenpressor_tpu.config import next_pow2
+
+        bys, bxs = np.nonzero(changed_np)
+        bcap = next_pow2(n_changed)
+        r = np.zeros((bcap, 4), np.int32)
+        r[:n_changed] = rects_np[bys, bxs]
+        valid = np.zeros(bcap, bool)
+        valid[:n_changed] = True
+        bw = (r[:, 2] - r[:, 0])[:, None, None]
+        bh = (r[:, 3] - r[:, 1])[:, None, None]
+        masks = (np.arange(BLOCK)[None, :, None] < bh) & (
+            np.arange(BLOCK)[None, None, :] < bw
+        )
+        best = np.asarray(
+            motion_search_windowed(
+                frame, prev, jnp.asarray(r), jnp.asarray(valid), jnp.asarray(masks),
+                jnp.asarray(cands), h, w, bcap, rmax,
+            )
+        )
+        choice_np = np.full((nby, nbx), len(cands), np.int32)
+        choice_np[bys, bxs] = best[:n_changed]
+    else:
+        choice = motion_search(
+            frame, prev, rects, in_sub, changed, jnp.asarray(cands), h, w, nby, nbx, rmax
+        )
+        choice_np = np.asarray(choice)
 
     bts = np.zeros(nby * nbx, np.int32)
     rect_d: dict[int, tuple] = {}

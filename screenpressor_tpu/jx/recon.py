@@ -53,17 +53,24 @@ def _row_affine(a, b, carry_pix):
     return pa[..., None] * carry_pix[None, :] + pb
 
 
+_ROW_UNROLL = 8
+
+
 @functools.partial(jax.jit, static_argnames=("h", "w"))
 def reconstruct_i(records, lits, h: int, w: int):
-    """I-frame reconstruction -> [h, w, 3] uint8."""
+    """I-frame reconstruction -> [h, w, 3] uint8.
+
+    Rows are inherently sequential (above-row dependency); the scan processes
+    _ROW_UNROLL rows per step to amortize loop overhead."""
     n = h * w
     pt_pix, lit_pix = expand_records(records, lits, n)
-    pt_rows = pt_pix.reshape(h, w)
-    lit_rows = lit_pix.reshape(h, w, 3)
+    hp = -(-h // _ROW_UNROLL) * _ROW_UNROLL
+    pt_rows = jnp.zeros((hp, w), jnp.int32).at[:h].set(pt_pix.reshape(h, w))
+    lit_rows = jnp.zeros((hp, w, 3), jnp.int32).at[:h].set(lit_pix.reshape(h, w, 3))
+    pt_g = pt_rows.reshape(hp // _ROW_UNROLL, _ROW_UNROLL, w)
+    lit_g = lit_rows.reshape(hp // _ROW_UNROLL, _ROW_UNROLL, w, 3)
 
-    def row_step(carry, inp):
-        prev_row, carry_pix = carry
-        pt, lit = inp
+    def one_row(prev_row, carry_pix, pt, lit):
         above = prev_row
         aboveleft = jnp.concatenate([carry_pix[None, :], above[:-1]], axis=0)
         reset = (pt == PT_LITERAL) | (pt == PT_ABOVE) | (pt == PT_ABOVELEFT)
@@ -76,8 +83,18 @@ def reconstruct_i(records, lits, h: int, w: int):
         d = jnp.where((pt == PT_GRADIENT)[:, None], above - aboveleft, 0)
         b = jnp.where(reset[:, None], known, d)
         row = _row_affine(a, b, carry_pix)
-        return (row, row[-1]), row
+        return row
+
+    def group_step(carry, inp):
+        prev_row, carry_pix = carry
+        pts, litg = inp
+        rows = []
+        for r in range(_ROW_UNROLL):
+            row = one_row(prev_row, carry_pix, pts[r], litg[r])
+            rows.append(row)
+            prev_row, carry_pix = row, row[-1]
+        return (prev_row, carry_pix), jnp.stack(rows)
 
     init = (jnp.zeros((w, 3), jnp.int32), jnp.zeros((3,), jnp.int32))
-    _, rows = jax.lax.scan(row_step, init, (pt_rows, lit_rows))
-    return rows.astype(jnp.uint8)
+    _, rows = jax.lax.scan(group_step, init, (pt_g, lit_g))
+    return rows.reshape(hp, w, 3)[:h].astype(jnp.uint8)
