@@ -113,8 +113,13 @@ class CodecConfig:
     # lane policy overrides (must match between encoder and decoder)
     k_max: int = K_MAX
     target_per_lane: int = TARGET_PER_LANE
+    # serving profile: pin the lane count for every section so batched
+    # multi-stream scans share one static shape (parallel/serving.py)
+    k_fixed: int | None = None
 
     def lanes(self, n_records: int) -> int:
+        if self.k_fixed is not None:
+            return self.k_fixed
         return lane_count(n_records, self.k_max, self.target_per_lane)
 
     @property

@@ -1,0 +1,466 @@
+"""Batched multi-stream encoding (the conferencing configuration).
+
+Encodes S same-sized streams per device call: analysis, classification, lane
+dealing, BSAC model scans and rANS packing are vmapped over the stream axis;
+per-stream model tables and previous frames stay device-resident (HBM), so
+serving N streams costs one batched dispatch instead of N (BASELINE.md
+"64 concurrent 30fps streams/chip"). The reference's analog is running N
+independent codec instances on N thread pools.
+
+Streams use a fixed lane count (`CodecConfig.k_fixed`) so one static scan
+shape serves the whole batch; bitstreams remain standard SPTC1 (the lane
+policy is config-derived) and decode with any backend configured with the
+same k_fixed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from screenpressor_tpu import bitstream as bs
+from screenpressor_tpu.config import ALG_FLAT, ALG_I, CodecConfig, next_pow2
+from screenpressor_tpu.jx import coder as jc
+from screenpressor_tpu.jx.classify import classify_i
+from screenpressor_tpu.jx.tables import renew_tables
+from screenpressor_tpu.spec.codec import FTYPE_I, FTYPE_P, apply_loss
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _batched_counts(frames, h, w):
+    def one(frame):
+        records, n_rec, lits, n_lit = classify_i(frame, h, w)
+        flat = jnp.all(frame == frame[0, 0])
+        return n_rec, n_lit, flat
+
+    return jax.vmap(one)(frames)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "k", "t_rec", "t_col"))
+def _batched_encode_i(frames, skip, tables_b, h, w, k, t_rec, t_col):
+    """skip: [S] bool — streams (e.g. flat frames) that must neither emit
+    sections nor touch their tables (their lane lengths become 0)."""
+
+    def one(frame, sk, tables):
+        records, n_rec, lits, n_lit = classify_i(frame, h, w)
+        n_rec = jnp.where(sk, 0, n_rec)
+        n_lit = jnp.where(sk, 0, n_lit)
+        rec_dealt = jc.deal_device(records, n_rec, k, t_rec)
+        lens_rec = jc.lane_lens_device(n_rec, k)
+        cum, freq, act, tables = jc.model_scan(rec_dealt, lens_rec, tables, "rec", k, t_rec)
+        buf_rec, start_rec = jc.rans_pack(cum, freq, act, 2 * t_rec * 2 + 8)
+        col_dealt = jc.deal_device(lits, n_lit, k, t_col)
+        lens_col = jc.lane_lens_device(n_lit, k)
+        cum, freq, act, tables = jc.model_scan(col_dealt, lens_col, tables, "col", k, t_col)
+        buf_col, start_col = jc.rans_pack(cum, freq, act, 2 * t_col * 3 + 8)
+        return (buf_rec, start_rec, lens_rec, buf_col, start_col, lens_col), tables
+
+    return jax.vmap(one)(frames, skip, tables_b)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "nby", "nbx"))
+def _batched_analysis(frames, prevs, h, w, nby, nbx):
+    from screenpressor_tpu.jx.blocks import change_analysis
+
+    def one(fr, pv):
+        changed, rects, _ = change_analysis(fr, pv, h, w, nby, nbx)
+        flat = jnp.all(fr == fr[0, 0])
+        return changed, rects, flat
+
+    return jax.vmap(one)(frames, prevs)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "bcap", "rmax"))
+def _batched_motion(frames, prevs, rects, sids, valid, masks, cands, h, w, bcap, rmax):
+    """Windowed first-match motion search over blocks from many streams.
+    rects/sids/valid/masks: [bcap] block list with stream ids."""
+    from screenpressor_tpu.config import BLOCK
+
+    c_count = cands.shape[0]
+    fpad = jnp.pad(
+        frames.astype(jnp.int16), ((0, 0), (0, BLOCK), (0, BLOCK), (0, 0)),
+        constant_values=-2,
+    )
+    ppad = jnp.pad(
+        prevs.astype(jnp.int16),
+        ((0, 0), (rmax, rmax + BLOCK), (rmax, rmax + BLOCK), (0, 0)),
+        constant_values=-1,
+    )
+    x1, y1, x2, y2 = rects[:, 0], rects[:, 1], rects[:, 2], rects[:, 3]
+    cur = jax.vmap(
+        lambda sid, xx, yy: jax.lax.dynamic_slice(
+            fpad, (sid, yy, xx, 0), (1, BLOCK, BLOCK, 3)
+        )[0]
+    )(sids, x1, y1)
+
+    def step(best, ci):
+        mx, my = cands[ci, 0], cands[ci, 1]
+        win = jax.vmap(
+            lambda sid, xx, yy: jax.lax.dynamic_slice(
+                ppad, (sid, rmax + yy + my, rmax + xx + mx, 0), (1, BLOCK, BLOCK, 3)
+            )[0]
+        )(sids, x1, y1)
+        neq = jnp.any(win != cur, axis=-1)
+        bad = jnp.any(neq & masks, axis=(1, 2))
+        inb = (x1 + mx >= 0) & (x2 + mx <= w) & (y1 + my >= 0) & (y2 + my <= h)
+        match = valid & inb & ~bad
+        return jnp.where(match & (best == c_count), ci, best), None
+
+    best0 = jnp.full((bcap,), c_count, jnp.int32)
+    best, _ = jax.lax.scan(step, best0, jnp.arange(c_count, dtype=jnp.int32))
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "bcap"))
+def _batched_classify_blocks(frames, prevs, rects, sids, h, w, bcap):
+    """P-block classification for a cross-stream block list."""
+    from screenpressor_tpu.config import BLOCK
+    from screenpressor_tpu.jx.pframe import _classify_one_block, _win17
+
+    fp = jnp.pad(frames.astype(jnp.int32), ((0, 0), (1, BLOCK + 1), (1, BLOCK + 1), (0, 0)))
+    pp = jnp.pad(prevs.astype(jnp.int32), ((0, 0), (1, BLOCK + 1), (1, BLOCK + 1), (0, 0)))
+
+    def per_block(rect, sid):
+        x1, y1, x2, y2 = rect[0], rect[1], rect[2], rect[3]
+        cw = jax.lax.dynamic_slice(fp, (sid, y1, x1, 0), (1, BLOCK + 1, BLOCK + 1, 3))[0]
+        pw = jax.lax.dynamic_slice(pp, (sid, y1, x1, 0), (1, BLOCK + 1, BLOCK + 1, 3))[0]
+        return _classify_one_block(cw, pw, x1, y1, x2 - x1, y2 - y1)
+
+    return jax.vmap(per_block)(rects, sids)
+
+
+@functools.partial(jax.jit, static_argnames=("kts",))
+def _batched_encode_sections(recs_cap, ns, tables_b, kts):
+    def one(recs_s, ns_s, tables):
+        bufs, starts, lens_out = {}, {}, {}
+        for name, k, t in kts:
+            n = ns_s[name]
+            dealt = jc.deal_device(recs_s[name], n, k, t)
+            lens = jc.lane_lens_device(n, k)
+            nsub = len(jc.CODECS[name].kinds)
+            cum, freq, act, tables = jc.model_scan(dealt, lens, tables, name, k, t)
+            buf, start = jc.rans_pack(cum, freq, act, 2 * t * nsub + 8)
+            bufs[name], starts[name], lens_out[name] = buf, start, lens
+        return (bufs, starts, lens_out), tables
+
+    return jax.vmap(one)(recs_cap, ns, tables_b)
+
+
+class BatchedEncoder:
+    """Encode a batch of streams in lockstep (keyframes synchronized by the
+    shared config; flat/no-change shortcuts applied per stream).
+
+    All heavy state ([S] previous frames, [S] table sets) is device-resident.
+    """
+
+    def __init__(self, n_streams: int, cfg: CodecConfig):
+        if cfg.k_fixed is None:
+            cfg = dataclasses.replace(cfg, k_fixed=min(cfg.k_max, 256))
+        self.cfg = cfg
+        self.s = n_streams
+        t = renew_tables()
+        self.tables_b = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (n_streams,) + a.shape).copy(), t
+        )
+        self.prev: np.ndarray | None = None
+        self.fn = 0
+        self.last_flat = np.zeros(n_streams, bool)
+        self.flat_color = np.zeros((n_streams, 3), np.uint8)
+
+    def _renew_streams(self, mask: np.ndarray):
+        if not mask.any():
+            return
+        fresh = renew_tables()
+        sel = jnp.asarray(mask)
+
+        def mix(batched, new):
+            return jnp.where(
+                sel.reshape((-1,) + (1,) * new.ndim), new[None], batched
+            )
+
+        self.tables_b = jax.tree.map(mix, self.tables_b, fresh)
+
+    def encode(self, frames: np.ndarray, force_key: bool = False):
+        """frames: [S, H, W, 3] uint8 -> list of (payload bytes, ftype)."""
+        cfg = self.cfg
+        s, h, w = self.s, cfg.height, cfg.width
+        assert frames.shape == (s, h, w, 3)
+        frames = apply_loss(np.asarray(frames, np.uint8), cfg.loss)
+        keyframe = (
+            force_key
+            or self.prev is None
+            or self.fn == 0
+            or (cfg.kf_interval > 0 and self.fn % cfg.kf_interval == 0)
+        )
+        self.fn += 1
+        if not keyframe:
+            return self._encode_p_batch(frames)
+
+        dev_frames = jnp.asarray(frames)
+        n_rec, n_lit, flat = jax.device_get(_batched_counts(dev_frames, h, w))
+        flat = np.asarray(flat)
+
+        # flat shortcut per stream (reference `IsFlat` semantics)
+        renew_mask = np.zeros(s, bool)
+        out: list = [None] * s
+        for i in range(s):
+            if flat[i]:
+                color = tuple(int(v) for v in frames[i].reshape(-1, 3)[0])
+                if not (self.last_flat[i] and (self.flat_color[i] == color).all()):
+                    renew_mask[i] = True
+                    self.flat_color[i] = color
+                self.last_flat[i] = True
+                out[i] = (bytes([bs.header_byte(ALG_FLAT), *color]), FTYPE_I)
+            else:
+                self.last_flat[i] = False
+                renew_mask[i] = True  # keyframe renew
+
+        self._renew_streams(jnp.asarray(renew_mask))
+
+        coded = ~flat
+        if coded.any():
+            k = cfg.k_fixed
+            t_rec = jc._pad_steps(int(-(-max(n_rec[coded].max(), 1) // k)))
+            t_col = jc._pad_steps(int(-(-max(n_lit[coded].max(), 1) // k)))
+            res, self.tables_b = _batched_encode_i(
+                dev_frames, jnp.asarray(flat), self.tables_b, h, w, k, t_rec, t_col
+            )
+            buf_rec, start_rec, lens_rec, buf_col, start_col, lens_col = jax.device_get(res)
+            for i in range(s):
+                if flat[i]:
+                    continue
+                rb = [
+                    bytes(buf_rec[i, j, start_rec[i, j]:].tobytes()) if lens_rec[i, j] > 0 else b""
+                    for j in range(k)
+                ]
+                cb = [
+                    bytes(buf_col[i, j, start_col[i, j]:].tobytes()) if lens_col[i, j] > 0 else b""
+                    for j in range(k)
+                ]
+                data = b"".join(
+                    [
+                        bytes([bs.header_byte(ALG_I)]),
+                        bs.pack_u32(int(n_rec[i]), int(n_lit[i])),
+                        bs.pack_section(rb),
+                        bs.pack_section(cb),
+                    ]
+                )
+                out[i] = (data, FTYPE_I)
+        self.prev = frames.copy()
+        return out
+
+    # ------------------------------------------------------------------ P --
+    def _encode_p_batch(self, frames: np.ndarray):
+        from screenpressor_tpu.config import (
+            ALG_P,
+            BLOCK,
+            BT_FULL_DATA,
+            BT_FULL_MOTION,
+            BT_PARTIAL_DATA,
+            BT_PARTIAL_MOTION,
+            PT_LITERAL,
+        )
+        from screenpressor_tpu.spec.blocks import mv_candidates, rle_blocks
+
+        cfg = self.cfg
+        s, h, w = self.s, cfg.height, cfg.width
+        nby, nbx = cfg.nby, cfg.nbx
+        dev_frames = jnp.asarray(frames)
+        dev_prevs = jnp.asarray(self.prev)
+        changed_b, rects_b, flat_b = jax.device_get(
+            _batched_analysis(dev_frames, dev_prevs, h, w, nby, nbx)
+        )
+        cands = np.asarray(mv_candidates(cfg), np.int32)
+        rmax = int(max(cfg.msr_x, cfg.msr_y, cfg.msr_low_x, cfg.msr_low_y)) + BLOCK
+
+        out: list = [None] * s
+        renew_mask = np.zeros(s, bool)
+        hdr = bytes([bs.header_byte(ALG_P)])
+
+        # flat streams emit flat frames (session semantics); unchanged
+        # streams emit the 2-byte no-change frame
+        active = np.zeros(s, bool)
+        for i in range(s):
+            if flat_b[i]:
+                color = tuple(int(v) for v in frames[i].reshape(-1, 3)[0])
+                if not (self.last_flat[i] and (self.flat_color[i] == color).all()):
+                    renew_mask[i] = True
+                    self.flat_color[i] = color
+                self.last_flat[i] = True
+                out[i] = (bytes([bs.header_byte(ALG_FLAT), *color]), FTYPE_I)
+                continue
+            self.last_flat[i] = False
+            if not changed_b[i].any():
+                out[i] = (hdr + bytes([0]), FTYPE_P)
+                continue
+            active[i] = True
+        self._renew_streams(jnp.asarray(renew_mask))
+
+        # cross-stream changed-block list -> batched motion search
+        blk_sid, blk_rect, blk_pos = [], [], []
+        for i in range(s):
+            if not active[i]:
+                continue
+            bys, bxs = np.nonzero(changed_b[i])
+            for by, bx in zip(bys, bxs):
+                blk_sid.append(i)
+                blk_rect.append(rects_b[i, by, bx])
+                blk_pos.append((i, int(by) * nbx + int(bx)))
+        if not blk_sid:
+            self.prev = frames.copy()
+            return out
+        nblk = len(blk_sid)
+        bcap = next_pow2(nblk)
+        r = np.zeros((bcap, 4), np.int32)
+        r[:nblk] = np.asarray(blk_rect)
+        sids = np.zeros(bcap, np.int32)
+        sids[:nblk] = blk_sid
+        valid = np.zeros(bcap, bool)
+        valid[:nblk] = True
+        bw = (r[:, 2] - r[:, 0])[:, None, None]
+        bh = (r[:, 3] - r[:, 1])[:, None, None]
+        masks = (np.arange(BLOCK)[None, :, None] < bh) & (np.arange(BLOCK)[None, None, :] < bw)
+        best = np.asarray(
+            _batched_motion(
+                dev_frames, dev_prevs, jnp.asarray(r), jnp.asarray(sids),
+                jnp.asarray(valid), jnp.asarray(masks), jnp.asarray(cands),
+                h, w, bcap, rmax,
+            )
+        )
+
+        # per-stream block typing
+        bts_s = {i: np.zeros(nby * nbx, np.int32) for i in range(s) if active[i]}
+        rect_s = {i: {} for i in range(s) if active[i]}
+        mv_s = {i: {} for i in range(s) if active[i]}
+        c_count = len(cands)
+        data_blocks = []  # (stream, bi, rect) in stream-then-raster order
+        for j in range(nblk):
+            i, bi = blk_pos[j]
+            x1, y1, x2, y2 = (int(v) for v in blk_rect[j])
+            bx, by = bi % nbx, bi // nbx
+            x_lo, y_lo = bx * BLOCK, by * BLOCK
+            x_hi, y_hi = min(x_lo + BLOCK, w), min(y_lo + BLOCK, h)
+            partial = (x1, y1, x2, y2) != (x_lo, y_lo, x_hi, y_hi)
+            bt = BT_PARTIAL_DATA if partial else BT_FULL_DATA
+            if best[j] < c_count:
+                bt += 2
+                mv_s[i][bi] = (int(cands[best[j], 0]), int(cands[best[j], 1]))
+            else:
+                data_blocks.append((i, bi, (x1, y1, x2, y2)))
+            bts_s[i][bi] = bt
+            rect_s[i][bi] = (x1, y1, x2, y2)
+
+        # batched classification of all data blocks
+        pix_by_stream = {i: [] for i in range(s) if active[i]}
+        lit_by_stream = {i: [] for i in range(s) if active[i]}
+        if data_blocks:
+            dcap = next_pow2(len(data_blocks))
+            dr = np.zeros((dcap, 4), np.int32)
+            dsid = np.zeros(dcap, np.int32)
+            for j, (i, bi, rect) in enumerate(data_blocks):
+                dr[j] = rect
+                dsid[j] = i
+            ptypes, rlens, n_recs, lits, is_lit = jax.device_get(
+                _batched_classify_blocks(
+                    dev_frames, dev_prevs, jnp.asarray(dr), jnp.asarray(dsid), h, w, dcap
+                )
+            )
+            for j, (i, bi, rect) in enumerate(data_blocks):
+                nr = int(n_recs[j])
+                pix_by_stream[i].append(np.stack([ptypes[j, :nr], rlens[j, :nr]], axis=1))
+                lit_by_stream[i].append(lits[j][is_lit[j]])
+
+        # per-stream section record arrays
+        names = ("bt", "sxy", "mv", "rec", "col")
+        widths = {"bt": 2, "sxy": 4, "mv": 2, "rec": 2, "col": 3}
+        per_stream = {}
+        maxn = {n: 1 for n in names}
+        for i in range(s):
+            if not active[i]:
+                continue
+            bts = bts_s[i]
+            changed_idx = np.nonzero(bts)[0]
+            xx1, xx2 = int(changed_idx[0]), int(changed_idx[-1])
+            bt_recs = rle_blocks(bts, xx1, xx2)
+            sxy_recs, mv_recs = [], []
+            for bi in changed_idx:
+                bi = int(bi)
+                bt = int(bts[bi])
+                x1, y1, x2, y2 = rect_s[i][bi]
+                bx, by = bi % nbx, bi // nbx
+                if bt in (BT_PARTIAL_DATA, BT_PARTIAL_MOTION):
+                    sxy_recs.append(
+                        (x1 - bx * BLOCK, y1 - by * BLOCK, x2 - 1 - bx * BLOCK, y2 - 1 - by * BLOCK)
+                    )
+                if bt in (BT_FULL_MOTION, BT_PARTIAL_MOTION):
+                    mv_recs.append(mv_s[i][bi])
+            pix = (
+                np.concatenate(pix_by_stream[i], axis=0)
+                if pix_by_stream[i]
+                else np.zeros((0, 2), np.int32)
+            )
+            lit = (
+                np.concatenate(lit_by_stream[i], axis=0)
+                if lit_by_stream[i]
+                else np.zeros((0, 3), np.int32)
+            )
+            arrs = {
+                "bt": np.asarray([list(x) for x in bt_recs], np.int32).reshape(-1, 2),
+                "sxy": np.asarray([list(x) for x in sxy_recs], np.int32).reshape(-1, 4),
+                "mv": np.asarray([list(x) for x in mv_recs], np.int32).reshape(-1, 2),
+                "rec": pix,
+                "col": lit,
+            }
+            per_stream[i] = (xx1, xx2, arrs)
+            for n in names:
+                maxn[n] = max(maxn[n], len(arrs[n]))
+
+        # batched fused sections (inactive streams carry zero counts -> no-op)
+        k = cfg.k_fixed
+        kts = tuple(
+            (n, k, jc._pad_steps(-(-maxn[n] // k))) for n in names
+        )
+        recs_cap = {
+            n: np.zeros((s, next_pow2(maxn[n]), widths[n]), np.int32) for n in names
+        }
+        ns = {n: np.zeros(s, np.int32) for n in names}
+        for i, (xx1, xx2, arrs) in per_stream.items():
+            for n in names:
+                ns[n][i] = len(arrs[n])
+                recs_cap[n][i, : len(arrs[n])] = arrs[n]
+        (bufs, starts, lens_l), self.tables_b = _batched_encode_sections(
+            {n: jnp.asarray(v) for n, v in recs_cap.items()},
+            {n: jnp.asarray(v) for n, v in ns.items()},
+            self.tables_b,
+            kts,
+        )
+        bufs, starts, lens_l = jax.device_get((bufs, starts, lens_l))
+
+        for i, (xx1, xx2, arrs) in per_stream.items():
+            sections = []
+            for n in names:
+                blobs = [
+                    bytes(bufs[n][i, j, starts[n][i, j]:].tobytes())
+                    if lens_l[n][i, j] > 0
+                    else b""
+                    for j in range(k)
+                ]
+                sections.append(bs.pack_section(blobs))
+            data = b"".join(
+                [
+                    hdr,
+                    bytes([1]),
+                    bs.pack_u32(
+                        xx1, xx2, len(arrs["bt"]), len(arrs["sxy"]),
+                        len(arrs["mv"]), len(arrs["rec"]), len(arrs["col"]),
+                    ),
+                ]
+                + sections
+            )
+            out[i] = (data, FTYPE_P)
+        self.prev = frames.copy()
+        return out

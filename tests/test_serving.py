@@ -1,0 +1,70 @@
+"""Batched multi-stream encoding: byte-equality with per-stream sessions."""
+
+import numpy as np
+import pytest
+
+from screenpressor_tpu.config import CodecConfig
+from screenpressor_tpu.parallel.serving import BatchedEncoder
+from screenpressor_tpu.spec.codec import SpecDecoder, SpecEncoder
+from tests.test_spec_iframe import synth_desktop
+
+
+def test_batched_iframes_match_per_stream():
+    s, h, w = 4, 32, 48
+    cfg = CodecConfig(width=w, height=h, k_fixed=8)
+    frames = np.stack([synth_desktop(h, w, seed=i) for i in range(s)])
+    frames[2] = 77  # one flat stream in the batch
+
+    batched = BatchedEncoder(s, cfg)
+    outs = batched.encode(frames)
+
+    for i in range(s):
+        enc = SpecEncoder(cfg)
+        dec = SpecDecoder(cfg)
+        want, ftype = enc.encode(frames[i])
+        got, got_ft = outs[i]
+        assert got_ft == ftype
+        assert got == want, f"stream {i} batched bytes differ"
+        np.testing.assert_array_equal(dec.decode(got), frames[i])
+
+
+def test_batched_pframes_match_per_stream():
+    s, h, w = 4, 32, 48
+    cfg = CodecConfig(width=w, height=h, k_fixed=8, msr_x=8, msr_y=8)
+    f0 = np.stack([synth_desktop(h, w, seed=i) for i in range(s)])
+    f1 = f0.copy()
+    f1[0] = np.roll(f0[0], 4, axis=0)        # scroll -> motion
+    f1[1, 10:14, 10:20] = (200, 9, 9)        # local edit -> data blocks
+    # stream 2: unchanged -> 2-byte frame; stream 3: goes flat
+    f1[3] = 123
+
+    batched = BatchedEncoder(s, cfg)
+    outs0 = batched.encode(f0)
+    outs1 = batched.encode(f1)
+
+    for i in range(s):
+        enc = SpecEncoder(cfg)
+        dec = SpecDecoder(cfg)
+        a, fta = enc.encode(f0[i])
+        b, ftb = enc.encode(f1[i])
+        assert outs0[i] == (a, fta), f"stream {i} keyframe differs"
+        assert outs1[i] == (b, ftb), f"stream {i} P-frame differs"
+        np.testing.assert_array_equal(dec.decode(a), f0[i])
+        np.testing.assert_array_equal(dec.decode(b), f1[i])
+
+
+def test_batched_second_keyframe_keeps_table_lockstep():
+    # two rounds of keyframes: flat streams must not perturb their tables
+    s, h, w = 3, 24, 32
+    cfg = CodecConfig(width=w, height=h, kf_interval=1, k_fixed=8)
+    f0 = np.stack([synth_desktop(h, w, seed=i) for i in range(s)])
+    f1 = np.stack([np.roll(synth_desktop(h, w, seed=i), 3, axis=1) for i in range(s)])
+    batched = BatchedEncoder(s, cfg)
+    outs0 = batched.encode(f0)
+    outs1 = batched.encode(f1)
+    for i in range(s):
+        enc = SpecEncoder(cfg)
+        a, _ = enc.encode(f0[i])
+        b, _ = enc.encode(f1[i])
+        assert outs0[i][0] == a
+        assert outs1[i][0] == b
