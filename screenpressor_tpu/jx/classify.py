@@ -91,17 +91,28 @@ def segment(frame):
     jump = jnp.minimum(jnp.arange(n, dtype=jnp.int32) + runlen, n)
     jump = jnp.concatenate([jump, jnp.array([n], jnp.int32)])  # fixpoint at n
 
-    # pointer-doubling path expansion from 0
+    # pointer-doubling path expansion from 0. Squaring the full jump table is
+    # the expensive part (n-wide gathers), so cap it at f^(2^SQ) and expand
+    # the remaining path in fixed 2^SQ-record chunks reusing that table.
     cap = n
+    sq_cap = 13
     path = jnp.full((cap,), n, jnp.int32).at[0].set(0)
     m = jump
     length = 1
-    while length < cap:
+    while length < cap and length < (1 << sq_cap):
         upd = min(length, cap - length)  # clamp final round to the buffer
         tail = m[path[:upd]]
         path = jax.lax.dynamic_update_slice(path, tail, (length,))
-        m = m[m]
+        if length * 2 < cap:
+            m = m[m]
         length *= 2
+    chunk = 1 << sq_cap
+    while length < cap:
+        upd = min(chunk, cap - length)
+        # path[length + j] = f^chunk(path[length - chunk + j])
+        tail = m[path[length - chunk : length - chunk + upd]]
+        path = jax.lax.dynamic_update_slice(path, tail, (length,))
+        length += upd
     is_rec = path < n
     n_records = jnp.sum(is_rec).astype(jnp.int32)
     ptypes = jnp.where(is_rec, st[jnp.minimum(path, n - 1)], 0)

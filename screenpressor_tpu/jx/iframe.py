@@ -28,10 +28,11 @@ def classify_counts(frame, h: int, w: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "w", "k_rec", "t_rec", "k_col", "t_col")
+    jax.jit, static_argnames=("k_rec", "t_rec", "k_col", "t_col")
 )
-def encode_i_device(frame, tables, h, w, k_rec, t_rec, k_col, t_col):
-    records, n_rec, lits, n_lit = classify_i(frame, h, w)
+def encode_i_from_records(records, n_rec, lits, n_lit, tables, k_rec, t_rec, k_col, t_col):
+    """Section encoding given classification outputs (classification runs
+    once in classify_counts; its arrays stay on device)."""
     rec_dealt = jc.deal_device(records, n_rec, k_rec, t_rec)
     lens_rec = jc.lane_lens_device(n_rec, k_rec)
     cum, freq, act, tables = jc.model_scan(rec_dealt, lens_rec, tables, "rec", k_rec, t_rec)
@@ -80,13 +81,15 @@ def encode_i(frame, tables, cfg: CodecConfig):
     two host pulls (counts, packed lanes)."""
     h, w = cfg.height, cfg.width
     frame = jnp.asarray(frame)
-    _, n_records, _, n_literals = classify_counts(frame, h, w)
+    records, n_records, lits, n_literals = classify_counts(frame, h, w)
     n_rec, n_lit = jax.device_get((n_records, n_literals))
     n_rec, n_lit = int(n_rec), int(n_lit)
     k_rec, k_col = cfg.lanes(n_rec), cfg.lanes(n_lit)
     t_rec = jc._pad_steps(-(-n_rec // k_rec)) if n_rec else 1
     t_col = jc._pad_steps(-(-n_lit // k_col)) if n_lit else 1
-    out = encode_i_device(frame, tables, h, w, k_rec, t_rec, k_col, t_col)
+    out = encode_i_from_records(
+        records, n_records, lits, n_literals, tables, k_rec, t_rec, k_col, t_col
+    )
     buf_rec, start_rec, lens_rec, buf_col, start_col, lens_col = jax.device_get(out[:6])
     tables = out[6]
     data = b"".join(

@@ -35,18 +35,17 @@ def _batched_counts(frames, h, w):
     def one(frame):
         records, n_rec, lits, n_lit = classify_i(frame, h, w)
         flat = jnp.all(frame == frame[0, 0])
-        return n_rec, n_lit, flat
+        return records, n_rec, lits, n_lit, flat
 
     return jax.vmap(one)(frames)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "k", "t_rec", "t_col"))
-def _batched_encode_i(frames, skip, tables_b, h, w, k, t_rec, t_col):
+@functools.partial(jax.jit, static_argnames=("k", "t_rec", "t_col"))
+def _batched_encode_i(records_b, n_rec_b, lits_b, n_lit_b, skip, tables_b, k, t_rec, t_col):
     """skip: [S] bool — streams (e.g. flat frames) that must neither emit
     sections nor touch their tables (their lane lengths become 0)."""
 
-    def one(frame, sk, tables):
-        records, n_rec, lits, n_lit = classify_i(frame, h, w)
+    def one(records, n_rec, lits, n_lit, sk, tables):
         n_rec = jnp.where(sk, 0, n_rec)
         n_lit = jnp.where(sk, 0, n_lit)
         rec_dealt = jc.deal_device(records, n_rec, k, t_rec)
@@ -59,7 +58,7 @@ def _batched_encode_i(frames, skip, tables_b, h, w, k, t_rec, t_col):
         buf_col, start_col = jc.rans_pack(cum, freq, act, 2 * t_col * 3 + 8)
         return (buf_rec, start_rec, lens_rec, buf_col, start_col, lens_col), tables
 
-    return jax.vmap(one)(frames, skip, tables_b)
+    return jax.vmap(one)(records_b, n_rec_b, lits_b, n_lit_b, skip, tables_b)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "nby", "nbx"))
@@ -201,7 +200,8 @@ class BatchedEncoder:
             return self._encode_p_batch(frames)
 
         dev_frames = jnp.asarray(frames)
-        n_rec, n_lit, flat = jax.device_get(_batched_counts(dev_frames, h, w))
+        records_b, n_rec_d, lits_b, n_lit_d, flat_d = _batched_counts(dev_frames, h, w)
+        n_rec, n_lit, flat = jax.device_get((n_rec_d, n_lit_d, flat_d))
         flat = np.asarray(flat)
 
         # flat shortcut per stream (reference `IsFlat` semantics)
@@ -227,7 +227,8 @@ class BatchedEncoder:
             t_rec = jc._pad_steps(int(-(-max(n_rec[coded].max(), 1) // k)))
             t_col = jc._pad_steps(int(-(-max(n_lit[coded].max(), 1) // k)))
             res, self.tables_b = _batched_encode_i(
-                dev_frames, jnp.asarray(flat), self.tables_b, h, w, k, t_rec, t_col
+                records_b, n_rec_d, lits_b, n_lit_d, jnp.asarray(flat),
+                self.tables_b, k, t_rec, t_col,
             )
             buf_rec, start_rec, lens_rec, buf_col, start_col, lens_col = jax.device_get(res)
             for i in range(s):
