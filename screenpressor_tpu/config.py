@@ -32,6 +32,12 @@ ALG_P = 3
 # Block geometry (reference: 16x16 blocks, `screencap.cpp:87-88`)
 BLOCK = 16
 
+# Encoder segmentation policy (non-normative for decoders): I-frame runs
+# break at SEG_TILE-pixel boundaries so classification is a tile-per-lane
+# state machine (Pallas kernel) instead of a serial walk. All encoder
+# implementations share this policy so streams stay byte-identical.
+SEG_TILE = 1024
+
 # Pixel types (reference `screencap.cpp:502-556`)
 PT_LITERAL = 0
 PT_LEFT = 1

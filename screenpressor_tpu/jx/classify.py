@@ -14,6 +14,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 from screenpressor_tpu.config import (
     MAX_RUN,
@@ -73,50 +74,92 @@ def streak_tables(fits):
     return jnp.stack(outs)  # [nt, n]
 
 
+_WALK_LANES = 256  # tiles per kernel grid step (VPU lane batch)
+
+
+def _run_walk_kernel(fits_ref, st_ref, out_ref):
+    """Greedy run-walk state machine: serial over the SEG_TILE positions of a
+    tile, vectorized across _WALK_LANES tiles (VPU lanes). Emits the
+    record-start mask; run lengths and types derive from it afterwards.
+    This is the Pallas replacement for the serial `ClassifyPixelsI` walk
+    (`screencap.cpp:876-919`) and for pointer-doubling segmentation."""
+    from screenpressor_tpu.config import SEG_TILE
+
+    lanes = fits_ref.shape[1]
+
+    def body(t, carry):
+        cur_pt, run = carry
+        f = fits_ref[pl.ds(t, 1), :]
+        stt = st_ref[pl.ds(t, 1), :]
+        fits_cur = (f >> cur_pt) & 1
+        ext = (fits_cur == 1) & (run < MAX_RUN) & (t > 0)
+        is_start = ~ext
+        out_ref[pl.ds(t, 1), :] = is_start.astype(jnp.int32)
+        cur_pt = jnp.where(is_start, stt, cur_pt)
+        run = jnp.where(is_start, 1, run + 1)
+        return cur_pt, run
+
+    zero = jnp.zeros((1, lanes), jnp.int32)
+    jax.lax.fori_loop(0, SEG_TILE, body, (zero, zero))
+
+
+def _run_walk(fits_bits, st, n: int):
+    """fits_bits/st: [n] int32 -> is_start [n] bool via the Pallas kernel."""
+    
+    from screenpressor_tpu.config import SEG_TILE
+
+    n_tiles = -(-n // SEG_TILE)
+    tp = -(-n_tiles // _WALK_LANES) * _WALK_LANES
+    pad = tp * SEG_TILE - n
+    fb = jnp.concatenate([fits_bits, jnp.zeros((pad,), jnp.int32)])
+    sb = jnp.concatenate([st, jnp.zeros((pad,), jnp.int32)])
+    # [tiles, L] -> [L, tiles]: the tile axis is the vector lane axis
+    fb = fb.reshape(tp, SEG_TILE).T
+    sb = sb.reshape(tp, SEG_TILE).T
+    interpret = jax.default_backend() == "cpu"
+    out = pl.pallas_call(
+        _run_walk_kernel,
+        out_shape=jax.ShapeDtypeStruct((SEG_TILE, tp), jnp.int32),
+        grid=(tp // _WALK_LANES,),
+        in_specs=[
+            pl.BlockSpec((SEG_TILE, _WALK_LANES), lambda g: (0, g)),
+            pl.BlockSpec((SEG_TILE, _WALK_LANES), lambda g: (0, g)),
+        ],
+        out_specs=pl.BlockSpec((SEG_TILE, _WALK_LANES), lambda g: (0, g)),
+        interpret=interpret,
+    )(fb, sb)
+    return out.T.reshape(tp * SEG_TILE)[:n] != 0
+
+
 def segment(frame):
     """frame -> (starts [n] int32 with sentinel n, ptypes [n], runs [n],
     n_records scalar). Slot i of the output is record i (padded with
-    sentinels past n_records)."""
+    sentinels past n_records). Runs break at SEG_TILE boundaries (shared
+    encoder policy; decoders accept any valid segmentation)."""
     h, w, _ = frame.shape
     n = h * w
     fits = fits_planes_i(frame)
     st = start_types_i(fits)
-    runs = streak_tables(fits)
+    bits = jnp.zeros((n,), jnp.int32)
+    for t in range(NUM_PTYPES):
+        bits = bits | (fits[:, t].astype(jnp.int32) << t)
+    is_start = _run_walk(bits, st, n)
 
-    # run length if a record starts at i: 1 + min(streak(i+1), MAX_RUN-1),
-    # clipped to n - i
-    ext = jnp.concatenate([runs[:, 1:], jnp.zeros((runs.shape[0], 1), jnp.int32)], axis=1)
-    ext_t = ext[st, jnp.arange(n)]
-    runlen = jnp.minimum(1 + jnp.minimum(ext_t, MAX_RUN - 1), n - jnp.arange(n))
-    jump = jnp.minimum(jnp.arange(n, dtype=jnp.int32) + runlen, n)
-    jump = jnp.concatenate([jump, jnp.array([n], jnp.int32)])  # fixpoint at n
-
-    # pointer-doubling path expansion from 0. Squaring the full jump table is
-    # the expensive part (n-wide gathers), so cap it at f^(2^SQ) and expand
-    # the remaining path in fixed 2^SQ-record chunks reusing that table.
-    cap = n
-    sq_cap = 13
-    path = jnp.full((cap,), n, jnp.int32).at[0].set(0)
-    m = jump
-    length = 1
-    while length < cap and length < (1 << sq_cap):
-        upd = min(length, cap - length)  # clamp final round to the buffer
-        tail = m[path[:upd]]
-        path = jax.lax.dynamic_update_slice(path, tail, (length,))
-        if length * 2 < cap:
-            m = m[m]
-        length *= 2
-    chunk = 1 << sq_cap
-    while length < cap:
-        upd = min(chunk, cap - length)
-        # path[length + j] = f^chunk(path[length - chunk + j])
-        tail = m[path[length - chunk : length - chunk + upd]]
-        path = jax.lax.dynamic_update_slice(path, tail, (length,))
-        length += upd
-    is_rec = path < n
-    n_records = jnp.sum(is_rec).astype(jnp.int32)
-    ptypes = jnp.where(is_rec, st[jnp.minimum(path, n - 1)], 0)
-    rlens = jnp.where(is_rec, runlen[jnp.minimum(path, n - 1)], 0)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # next record start strictly after i (or n)
+    starts_at = jnp.where(is_start, idx, n)
+    nxt = jax.lax.cummin(
+        jnp.concatenate([starts_at[1:], jnp.array([n], jnp.int32)]),
+        axis=0, reverse=True,
+    )
+    runlen = jnp.where(is_start, nxt - idx, 0)
+    n_records = jnp.sum(is_start).astype(jnp.int32)
+    # compact starts into record slots
+    pos = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    tgt = jnp.where(is_start, pos, n)
+    path = jnp.full((n,), n, jnp.int32).at[tgt].set(idx, mode="drop")
+    ptypes = jnp.full((n,), 0, jnp.int32).at[tgt].set(st, mode="drop")
+    rlens = jnp.zeros((n,), jnp.int32).at[tgt].set(runlen, mode="drop")
     return path, ptypes, rlens, n_records
 
 

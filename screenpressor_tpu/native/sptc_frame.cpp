@@ -93,11 +93,13 @@ static void classify_i(const uint8_t* f, int h, int w, std::vector<Rec>& recs,
     if (fits(PT_GRAD, i)) return PT_GRAD;
     return PT_LIT;
   };
+  constexpr int SEG_TILE = 1024;  // shared encoder policy (config.py)
   int i = 0;
   while (i < n) {
     int t = start_type(i);
     int ln = 1;
-    while (i + ln < n && ln < MAX_RUN && fits(t, i + ln)) ln++;
+    const int lim = std::min({n - i, (int)MAX_RUN, SEG_TILE - (i % SEG_TILE)});
+    while (ln < lim && fits(t, i + ln)) ln++;
     Rec r{};
     r.v[0] = t; r.v[1] = ln;
     recs.push_back(r);

@@ -90,14 +90,19 @@ def run_tables(fits: np.ndarray) -> np.ndarray:
 
 
 def segment(start_types: np.ndarray, runs: np.ndarray, n: int, max_run: int = MAX_RUN):
-    """Greedy maximal-run segmentation. Returns list[(start, ptype, n)]."""
+    """Greedy maximal-run segmentation with runs breaking at SEG_TILE
+    boundaries (encoder policy, shared by all implementations so streams are
+    byte-identical; decoders accept any valid segmentation).
+    Returns list[(start, ptype, n)]."""
+    from screenpressor_tpu.config import SEG_TILE
+
     recs = []
     i = 0
     while i < n:
         t = int(start_types[i])
         ext = int(runs[t][i + 1]) if i + 1 < n else 0
         ln = 1 + min(ext, max_run - 1)
-        ln = min(ln, n - i)
+        ln = min(ln, n - i, SEG_TILE - (i % SEG_TILE))
         recs.append((i, t, ln))
         i += ln
     return recs
