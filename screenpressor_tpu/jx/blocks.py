@@ -43,17 +43,18 @@ def change_analysis(frame, prev, h: int, w: int, nby: int, nbx: int):
         axis=-1,
     ).astype(jnp.int32)
 
-    # mask of pixels inside their block's sub-rect (changed blocks only)
-    ys = jnp.arange(nby * BLOCK)[:, None]
-    xs = jnp.arange(nbx * BLOCK)[None, :]
-    rep = lambda a: jnp.repeat(jnp.repeat(a, BLOCK, 0), BLOCK, 1)
+    # mask of pixels inside their block's sub-rect (changed blocks only);
+    # broadcast per-block bounds to pixel grids (cheaper than jnp.repeat)
+    ys = jnp.arange(nby * BLOCK).reshape(nby, BLOCK, 1, 1)
+    xs = jnp.arange(nbx * BLOCK).reshape(1, 1, nbx, BLOCK)
+    bb = lambda a: a[:, None, :, None]
     in_sub = (
-        (ys >= rep(rects[..., 1]))
-        & (ys < rep(rects[..., 3]))
-        & (xs >= rep(rects[..., 0]))
-        & (xs < rep(rects[..., 2]))
-        & rep(changed)
-    )
+        (ys >= bb(rects[..., 1]))
+        & (ys < bb(rects[..., 3]))
+        & (xs >= bb(rects[..., 0]))
+        & (xs < bb(rects[..., 2]))
+        & bb(changed)
+    ).reshape(nby * BLOCK, nbx * BLOCK)
     return changed, rects, in_sub[:h, :w]
 
 
@@ -74,7 +75,8 @@ def motion_search(frame, prev, rects, in_sub, changed, cands, h, w, nby, nbx, rm
     mask_pad = jnp.zeros((nby * BLOCK, nbx * BLOCK), bool).at[:h, :w].set(in_sub)
     x1, y1, x2, y2 = rects[..., 0], rects[..., 1], rects[..., 2], rects[..., 3]
 
-    def step(best, ci):
+    def body(carry):
+        best, ci = carry
         mx, my = cands[ci, 0], cands[ci, 1]
         win = jax.lax.dynamic_slice(
             prev_pad, (rmax + my, rmax + mx, 0), (h, w, 3)
@@ -85,10 +87,16 @@ def motion_search(frame, prev, rects, in_sub, changed, cands, h, w, nby, nbx, rm
         inb = (x1 + mx >= 0) & (x2 + mx <= w) & (y1 + my >= 0) & (y2 + my <= h)
         match = changed & inb & ~bad
         best = jnp.where(match & (best == c_count), ci, best)
-        return best, None
+        return best, ci + 1
+
+    def cond(carry):
+        best, ci = carry
+        # stop early once every changed block has found a match (skipped
+        # candidates cannot change already-resolved blocks)
+        return (ci < c_count) & jnp.any(changed & (best == c_count))
 
     best0 = jnp.full((nby, nbx), c_count, jnp.int32)
-    best, _ = jax.lax.scan(step, best0, jnp.arange(c_count, dtype=jnp.int32))
+    best, _ = jax.lax.while_loop(cond, body, (best0, jnp.int32(0)))
     return best
 
 
@@ -114,7 +122,8 @@ def motion_search_windowed(frame, prev, rects, valid, masks, cands, h, w, bcap, 
         lambda xx, yy: jax.lax.dynamic_slice(fpad, (yy, xx, 0), (BLOCK, BLOCK, 3))
     )(x1, y1)
 
-    def step(best, ci):
+    def body(carry):
+        best, ci = carry
         mx, my = cands[ci, 0], cands[ci, 1]
         win = jax.vmap(
             lambda xx, yy: jax.lax.dynamic_slice(
@@ -125,10 +134,14 @@ def motion_search_windowed(frame, prev, rects, valid, masks, cands, h, w, bcap, 
         bad = jnp.any(neq & masks, axis=(1, 2))
         inb = (x1 + mx >= 0) & (x2 + mx <= w) & (y1 + my >= 0) & (y2 + my <= h)
         match = valid & inb & ~bad
-        return jnp.where(match & (best == c_count), ci, best), None
+        return jnp.where(match & (best == c_count), ci, best), ci + 1
+
+    def cond(carry):
+        best, ci = carry
+        return (ci < c_count) & jnp.any(valid & (best == c_count))
 
     best0 = jnp.full((bcap,), c_count, jnp.int32)
-    best, _ = jax.lax.scan(step, best0, jnp.arange(c_count, dtype=jnp.int32))
+    best, _ = jax.lax.while_loop(cond, body, (best0, jnp.int32(0)))
     return best
 
 

@@ -63,14 +63,55 @@ def _batched_encode_i(records_b, n_rec_b, lits_b, n_lit_b, skip, tables_b, k, t_
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "nby", "nbx"))
 def _batched_analysis(frames, prevs, h, w, nby, nbx):
-    from screenpressor_tpu.jx.blocks import change_analysis
+    """Change map + sub-rects + flat flags for a stream batch (the per-block
+    sub-rect masks needed by whole-frame motion are built lazily elsewhere)."""
+    from screenpressor_tpu.config import BLOCK
 
     def one(fr, pv):
-        changed, rects, _ = change_analysis(fr, pv, h, w, nby, nbx)
+        diff = jnp.any(fr != pv, axis=-1)
+        pad = jnp.zeros((nby * BLOCK, nbx * BLOCK), bool).at[:h, :w].set(diff)
+        blocks = pad.reshape(nby, BLOCK, nbx, BLOCK)
+        changed = blocks.any(axis=(1, 3))
+        rowany = blocks.any(axis=3)
+        colany = blocks.any(axis=1)
+        r = jnp.arange(BLOCK)
+        y1r = jnp.min(jnp.where(rowany, r[None, :, None], BLOCK), axis=1)
+        y2r = jnp.max(jnp.where(rowany, r[None, :, None] + 1, 0), axis=1)
+        x1r = jnp.min(jnp.where(colany, r[None, None, :], BLOCK), axis=2)
+        x2r = jnp.max(jnp.where(colany, r[None, None, :] + 1, 0), axis=2)
+        bx = jnp.arange(nbx)[None, :]
+        by = jnp.arange(nby)[:, None]
+        rects = jnp.stack(
+            [bx * BLOCK + x1r, by * BLOCK + y1r, bx * BLOCK + x2r, by * BLOCK + y2r],
+            axis=-1,
+        ).astype(jnp.int32)
         flat = jnp.all(fr == fr[0, 0])
         return changed, rects, flat
 
     return jax.vmap(one)(frames, prevs)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "nby", "nbx", "rmax"))
+def _batched_motion_full(frames, prevs, rects_b, changed_b, cands, h, w, nby, nbx, rmax):
+    """Whole-frame shifted-compare motion search vmapped over streams (for
+    dense change maps where per-block window gathers would dominate)."""
+    from screenpressor_tpu.config import BLOCK
+    from screenpressor_tpu.jx.blocks import motion_search
+
+    def one(fr, pv, rects, changed):
+        ys = jnp.arange(nby * BLOCK).reshape(nby, BLOCK, 1, 1)
+        xs = jnp.arange(nbx * BLOCK).reshape(1, 1, nbx, BLOCK)
+        bb = lambda a: a[:, None, :, None]
+        in_sub = (
+            (ys >= bb(rects[..., 1]))
+            & (ys < bb(rects[..., 3]))
+            & (xs >= bb(rects[..., 0]))
+            & (xs < bb(rects[..., 2]))
+            & bb(changed)
+        ).reshape(nby * BLOCK, nbx * BLOCK)[:h, :w]
+        return motion_search(fr, pv, rects, in_sub, changed, cands, h, w, nby, nbx, rmax)
+
+    return jax.vmap(one)(frames, prevs, rects_b, changed_b)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "bcap", "rmax"))
@@ -315,23 +356,38 @@ class BatchedEncoder:
             self.prev = frames.copy()
             return out
         nblk = len(blk_sid)
-        bcap = next_pow2(nblk)
-        r = np.zeros((bcap, 4), np.int32)
-        r[:nblk] = np.asarray(blk_rect)
-        sids = np.zeros(bcap, np.int32)
-        sids[:nblk] = blk_sid
-        valid = np.zeros(bcap, bool)
-        valid[:nblk] = True
-        bw = (r[:, 2] - r[:, 0])[:, None, None]
-        bh = (r[:, 3] - r[:, 1])[:, None, None]
-        masks = (np.arange(BLOCK)[None, :, None] < bh) & (np.arange(BLOCK)[None, None, :] < bw)
-        best = np.asarray(
-            _batched_motion(
-                dev_frames, dev_prevs, jnp.asarray(r), jnp.asarray(sids),
-                jnp.asarray(valid), jnp.asarray(masks), jnp.asarray(cands),
-                h, w, bcap, rmax,
+        if nblk <= 1024:
+            # sparse: per-block windowed search
+            bcap = next_pow2(nblk)
+            r = np.zeros((bcap, 4), np.int32)
+            r[:nblk] = np.asarray(blk_rect)
+            sids = np.zeros(bcap, np.int32)
+            sids[:nblk] = blk_sid
+            valid = np.zeros(bcap, bool)
+            valid[:nblk] = True
+            bw = (r[:, 2] - r[:, 0])[:, None, None]
+            bh = (r[:, 3] - r[:, 1])[:, None, None]
+            masks = (np.arange(BLOCK)[None, :, None] < bh) & (
+                np.arange(BLOCK)[None, None, :] < bw
             )
-        )
+            best = np.asarray(
+                _batched_motion(
+                    dev_frames, dev_prevs, jnp.asarray(r), jnp.asarray(sids),
+                    jnp.asarray(valid), jnp.asarray(masks), jnp.asarray(cands),
+                    h, w, bcap, rmax,
+                )
+            )
+        else:
+            # dense: whole-frame shifted compares per stream
+            choice_full = np.asarray(
+                _batched_motion_full(
+                    dev_frames, dev_prevs, jnp.asarray(rects_b),
+                    jnp.asarray(changed_b), jnp.asarray(cands), h, w, nby, nbx, rmax,
+                )
+            )
+            best = np.asarray(
+                [choice_full[i, bi // nbx, bi % nbx] for i, bi in blk_pos], np.int32
+            )
 
         # per-stream block typing
         bts_s = {i: np.zeros(nby * nbx, np.int32) for i in range(s) if active[i]}
