@@ -13,6 +13,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from screenpressor_tpu.config import (
     PT_ABOVE,
@@ -53,48 +55,87 @@ def _row_affine(a, b, carry_pix):
     return pa[..., None] * carry_pix[None, :] + pb
 
 
-_ROW_UNROLL = 8
+_ROW_GROUP = 64  # rows per Pallas grid step
+
+
+def _recon_kernel(pt_ref, lit_ref, out_ref, carry_ref):
+    """Row-sequential affine reconstruction; each row's recurrence resolves
+    with log2(W) roll+combine passes on VMEM values.
+
+    Blocks (channels in sublanes, pixels in lanes): pt [G, Wp],
+    lit/out [G, 3, Wp]; carry scratch [3, Wp] = previous row.
+    """
+    g = pl.program_id(0)
+    rows = pt_ref.shape[0]
+    wp = pt_ref.shape[1]
+
+    @pl.when(g == 0)
+    def _():
+        carry_ref[:, :] = jnp.zeros_like(carry_ref)
+
+    def one_row(r, _):
+        pt = pt_ref[pl.ds(r, 1), :]  # [1, Wp]
+        lit = lit_ref[r]  # [3, Wp]
+        prev_row = carry_ref[:, :]  # [3, Wp]
+        carry_pix = prev_row[:, wp - 1 : wp]  # [3, 1]
+        above = prev_row
+        aboveleft = jnp.roll(prev_row, 1, axis=1)  # slot 0 = last pixel
+        reset = (pt == PT_LITERAL) | (pt == PT_ABOVE) | (pt == PT_ABOVELEFT)
+        known = jnp.where(
+            pt == PT_ABOVE,
+            above,
+            jnp.where(pt == PT_ABOVELEFT, aboveleft, lit),
+        )
+        a = jnp.where(reset, 0, 1).astype(jnp.int32)  # [1, Wp]
+        d = jnp.where(pt == PT_GRADIENT, above - aboveleft, 0)
+        b = jnp.where(reset, known, d)  # [3, Wp]
+        # prefix composition of v = a*v_prev + b (Hillis-Steele)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
+        shift = 1
+        while shift < wp:
+            first = idx < shift
+            a_s = jnp.where(first, 1, jnp.roll(a, shift, axis=1))
+            b_s = jnp.where(first, 0, jnp.roll(b, shift, axis=1))
+            b = a * b_s + b
+            a = a * a_s
+            shift *= 2
+        row = a * carry_pix + b
+        out_ref[r] = row
+        carry_ref[:, :] = row
+        return 0
+
+    jax.lax.fori_loop(0, rows, one_row, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w"))
 def reconstruct_i(records, lits, h: int, w: int):
     """I-frame reconstruction -> [h, w, 3] uint8.
 
-    Rows are inherently sequential (above-row dependency); the scan processes
-    _ROW_UNROLL rows per step to amortize loop overhead."""
+    Rows are inherently sequential (above-row dependency); a Pallas kernel
+    walks rows with the whole row in VMEM, resolving each row's affine
+    recurrence with log2(W) vector passes."""
     n = h * w
     pt_pix, lit_pix = expand_records(records, lits, n)
-    hp = -(-h // _ROW_UNROLL) * _ROW_UNROLL
-    pt_rows = jnp.zeros((hp, w), jnp.int32).at[:h].set(pt_pix.reshape(h, w))
-    lit_rows = jnp.zeros((hp, w, 3), jnp.int32).at[:h].set(lit_pix.reshape(h, w, 3))
-    pt_g = pt_rows.reshape(hp // _ROW_UNROLL, _ROW_UNROLL, w)
-    lit_g = lit_rows.reshape(hp // _ROW_UNROLL, _ROW_UNROLL, w, 3)
-
-    def one_row(prev_row, carry_pix, pt, lit):
-        above = prev_row
-        aboveleft = jnp.concatenate([carry_pix[None, :], above[:-1]], axis=0)
-        reset = (pt == PT_LITERAL) | (pt == PT_ABOVE) | (pt == PT_ABOVELEFT)
-        known = jnp.where(
-            (pt == PT_ABOVE)[:, None],
-            above,
-            jnp.where((pt == PT_ABOVELEFT)[:, None], aboveleft, lit),
-        )
-        a = jnp.where(reset, 0, 1).astype(jnp.int32)
-        d = jnp.where((pt == PT_GRADIENT)[:, None], above - aboveleft, 0)
-        b = jnp.where(reset[:, None], known, d)
-        row = _row_affine(a, b, carry_pix)
-        return row
-
-    def group_step(carry, inp):
-        prev_row, carry_pix = carry
-        pts, litg = inp
-        rows = []
-        for r in range(_ROW_UNROLL):
-            row = one_row(prev_row, carry_pix, pts[r], litg[r])
-            rows.append(row)
-            prev_row, carry_pix = row, row[-1]
-        return (prev_row, carry_pix), jnp.stack(rows)
-
-    init = (jnp.zeros((w, 3), jnp.int32), jnp.zeros((3,), jnp.int32))
-    _, rows = jax.lax.scan(group_step, init, (pt_g, lit_g))
-    return rows.reshape(hp, w, 3)[:h].astype(jnp.uint8)
+    hp = -(-h // _ROW_GROUP) * _ROW_GROUP
+    wp = max(128, 1 << (w - 1).bit_length())
+    # pad columns as left-runs so the wrap-around carry pixel (out[y-1][w-1])
+    # propagates through the padding to column 0 of the next row
+    pt_rows = jnp.ones((hp, wp), jnp.int32)  # PT_LEFT
+    pt_rows = pt_rows.at[:h, :w].set(pt_pix.reshape(h, w))
+    lit_rows = jnp.zeros((hp, 3, wp), jnp.int32).at[:h, :, :w].set(
+        jnp.transpose(lit_pix.reshape(h, w, 3), (0, 2, 1))
+    )
+    interpret = jax.default_backend() == "cpu"
+    out = pl.pallas_call(
+        _recon_kernel,
+        out_shape=jax.ShapeDtypeStruct((hp, 3, wp), jnp.int32),
+        grid=(hp // _ROW_GROUP,),
+        in_specs=[
+            pl.BlockSpec((_ROW_GROUP, wp), lambda g: (g, 0)),
+            pl.BlockSpec((_ROW_GROUP, 3, wp), lambda g: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((_ROW_GROUP, 3, wp), lambda g: (g, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((3, wp), jnp.int32)],
+        interpret=interpret,
+    )(pt_rows, lit_rows)
+    return jnp.transpose(out[:h, :, :w], (0, 2, 1)).astype(jnp.uint8)
