@@ -17,7 +17,10 @@ import dataclasses
 PROB_BITS = 14
 PROB_SCALE = 1 << PROB_BITS
 RANS_L = 1 << 23  # lower bound of the rANS normalization interval
-STEP = 64  # adaptation increment (STEP/PROB_SCALE = 1/256, reference STEP_FX ratio)
+STEP = 512  # default adaptation increment (fast adaptation; tuned on corpus)
+STEP_COLOR = 256  # color tables adapt slower (protects incompressible content)
+INIT_CNT_SHIFT = 3  # renew counts start at freq >> 3 (low inertia)
+RESCALE_PASSES = 5  # halvings covering worst batched overshoot (K_MAX*STEP)
 
 # Lane policy (format-normative)
 K_MAX = 256
@@ -28,6 +31,7 @@ SPTC_VERSION_NIBBLE = 0xA
 ALG_FLAT = 1
 ALG_I = 2
 ALG_P = 3
+ALG_RAW = 4  # uncompressed escape: bounds worst-case output at raw + 5 bytes
 
 # Block geometry (reference: 16x16 blocks, `screencap.cpp:87-88`)
 BLOCK = 16
@@ -70,6 +74,10 @@ TABLE_KINDS = {
     "mvflag": (1, 2),
     "mv": (2, 512),
 }
+
+
+def kind_step(name: str) -> int:
+    return STEP_COLOR if name == "color" else STEP
 
 I_SECTION_TABLES = ("ptype", "nrun", "color")
 P_SECTION_TABLES = ("ptype", "nrun", "color", "bt", "btn", "sxy", "mvflag", "mv")

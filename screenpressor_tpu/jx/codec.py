@@ -11,7 +11,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from screenpressor_tpu import bitstream as bs
-from screenpressor_tpu.config import ALG_FLAT, ALG_I, ALG_P, CodecConfig
+from screenpressor_tpu.config import ALG_FLAT, ALG_I, ALG_P, ALG_RAW, CodecConfig
 from screenpressor_tpu.jx.iframe import decode_i, encode_i
 from screenpressor_tpu.jx.pframe import decode_p, encode_p
 from screenpressor_tpu.jx.tables import renew_tables
@@ -49,14 +49,20 @@ class JaxEncoder:
             or (cfg.kf_interval > 0 and self.fn % cfg.kf_interval == 0)
         )
         self.fn += 1
+        raw_size = 1 + cfg.width * cfg.height * 3
         if keyframe:
             self.tables = renew_tables()
             data, self.tables = encode_i(frame, self.tables, cfg)
-            self.prev = frame.copy()
-            return data, FTYPE_I
-        data, self.tables = encode_p(frame, self.prev, self.tables, cfg)
+            ftype = FTYPE_I
+        else:
+            data, self.tables = encode_p(frame, self.prev, self.tables, cfg)
+            ftype = FTYPE_P
+        if len(data) >= raw_size:
+            self.tables = renew_tables()
+            data = bytes([bs.header_byte(ALG_RAW)]) + frame.tobytes()
+            ftype = FTYPE_I
         self.prev = frame.copy()
-        return data, FTYPE_P
+        return data, ftype
 
 
 class JaxDecoder:
@@ -91,6 +97,14 @@ class JaxDecoder:
             frame, self.tables = decode_i(data, 1, self.tables, cfg)
             self.prev = frame
             return np.asarray(frame)
+        if alg == ALG_RAW:
+            n = cfg.height * cfg.width * 3
+            if len(data) < 1 + n:
+                raise bs.CorruptStreamError("truncated raw frame")
+            arr = np.frombuffer(data, np.uint8, n, 1).reshape(cfg.height, cfg.width, 3)
+            self.tables = renew_tables()
+            self.prev = jnp.asarray(arr)
+            return arr.copy()
         if alg == ALG_P:
             if self.prev is None:
                 raise bs.CorruptStreamError("P-frame before any I-frame")

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from screenpressor_tpu.config import MV_OFFSET, PROB_BITS, PROB_SCALE, RANS_L
+from screenpressor_tpu.config import MV_OFFSET, PROB_BITS, PROB_SCALE, RANS_L, kind_step
 from screenpressor_tpu.jx.tables import update_batch
 
 MASK = PROB_SCALE - 1
@@ -321,7 +321,7 @@ def decode_section_scan(payload, lens, tables, codec_name: str, k: int, t_steps:
             sym = jnp.where(active, sym, 0)
             partial.append(sym)
             tables = dict(tables)
-            tables[kind] = update_batch(tables[kind], row, sym, active)
+            tables[kind] = update_batch(tables[kind], row, sym, active, kind_step(kind))
         rec, new_state = codec.dec_finish(partial, state)
         state = jnp.where(lane_active[..., None] if new_state.ndim > 1 else lane_active, new_state, state)
         return (x, pos, state, tables), rec
@@ -385,7 +385,7 @@ def model_scan(recs, lens, tables, codec_name: str, k: int, t_steps: int):
             freqs.append(freq)
             acts.append(active)
             tables = dict(tables)
-            tables[kind] = update_batch(tables[kind], row, symc, active)
+            tables[kind] = update_batch(tables[kind], row, symc, active, kind_step(kind))
         new_state = codec.enc_next_state(rec, state)
         state = jnp.where(lane_active[..., None] if new_state.ndim > 1 else lane_active, new_state, state)
         return (state, tables), (jnp.stack(cums, 1), jnp.stack(freqs, 1), jnp.stack(acts, 1))

@@ -9,15 +9,22 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from screenpressor_tpu.config import PROB_SCALE, STEP, TABLE_KINDS
+from screenpressor_tpu.config import (
+    INIT_CNT_SHIFT,
+    PROB_SCALE,
+    RESCALE_PASSES,
+    STEP,
+    TABLE_KINDS,
+)
 
 
 def renew_table(rows: int, alphabet: int) -> dict:
     f = PROB_SCALE // alphabet
+    c0 = max(f >> INIT_CNT_SHIFT, 1)
     freq = jnp.full((rows, alphabet), f, jnp.int32)
     cum = jnp.tile(jnp.arange(alphabet, dtype=jnp.int32) * f, (rows, 1))
-    cnt = jnp.full((rows, alphabet), f - (f >> 1), jnp.int32)
-    cntsum = jnp.full((rows,), (f - (f >> 1)) * alphabet, jnp.int32)
+    cnt = jnp.full((rows, alphabet), c0, jnp.int32)
+    cntsum = jnp.full((rows,), c0 * alphabet, jnp.int32)
     return {"freq": freq, "cum": cum, "cnt": cnt, "cntsum": cntsum}
 
 
@@ -25,7 +32,8 @@ def renew_tables(kinds=TABLE_KINDS) -> dict:
     return {name: renew_table(r, a) for name, (r, a) in kinds.items()}
 
 
-def update_batch(tab: dict, rows: jnp.ndarray, syms: jnp.ndarray, active: jnp.ndarray) -> dict:
+def update_batch(tab: dict, rows: jnp.ndarray, syms: jnp.ndarray, active: jnp.ndarray,
+                 step: int = STEP) -> dict:
     """One sub-step's batched update for one table kind.
 
     rows/syms: [K] int32 (garbage allowed where inactive); active: [K] bool.
@@ -33,7 +41,7 @@ def update_batch(tab: dict, rows: jnp.ndarray, syms: jnp.ndarray, active: jnp.nd
     """
     rows = jnp.where(active, rows, 0)
     syms = jnp.where(active, syms, 0)
-    add = jnp.where(active, STEP, 0).astype(jnp.int32)
+    add = jnp.where(active, step, 0).astype(jnp.int32)
     cnt = tab["cnt"].at[rows, syms].add(add)
     cntsum = tab["cntsum"].at[rows].add(add)
 
@@ -43,9 +51,9 @@ def update_batch(tab: dict, rows: jnp.ndarray, syms: jnp.ndarray, active: jnp.nd
     # write-back order becomes observable. A row no active lane touched can
     # never be above threshold (post-rescale cntsum <= PROB_SCALE/2 + A),
     # so parked lanes never trigger a spurious rescale.
-    need = cntsum[rows] > PROB_SCALE - STEP
+    need = cntsum[rows] > PROB_SCALE - step
     c = cnt[rows]  # [K, A]
-    for _ in range(2):
+    for _ in range(RESCALE_PASSES):
         over = c.sum(axis=1) > PROB_SCALE
         c = jnp.where(over[:, None], jnp.maximum(c >> 1, 1), c)
     new_freq = c

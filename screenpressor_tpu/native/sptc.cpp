@@ -24,7 +24,10 @@ namespace sptc {
 constexpr int PROB_BITS = 14;
 constexpr int PROB_SCALE = 1 << PROB_BITS;
 constexpr uint32_t RANS_L = 1u << 23;
-constexpr int STEP = 64;
+constexpr int STEP = 512;
+constexpr int STEP_COLOR = 256;
+constexpr int INIT_CNT_SHIFT = 3;
+constexpr int RESCALE_PASSES = 5;
 constexpr int K_MAX = 256;
 constexpr int TARGET_PER_LANE = 256;
 constexpr int BLOCK = 16;
@@ -32,7 +35,7 @@ constexpr int MAX_RUN = 255;
 constexpr int MV_OFFSET = 256;
 constexpr int X_MAX_SHIFT = 23 - PROB_BITS + 8;
 constexpr uint8_t VER_NIBBLE = 0xA;
-enum { ALG_FLAT = 1, ALG_I = 2, ALG_P = 3 };
+enum { ALG_FLAT = 1, ALG_I = 2, ALG_P = 3, ALG_RAW = 4 };
 enum { PT_LIT = 0, PT_LEFT = 1, PT_ABOVE = 2, PT_PREV = 3, PT_GRAD = 4, PT_AL = 5 };
 
 struct StreamError : std::runtime_error {
@@ -53,18 +56,19 @@ static int lane_count(int n) {
 
 // ----- adaptive tables (spec/tables.py) ------------------------------------
 struct Table {
-  int rows, A;
+  int rows, A, step;
   std::vector<int32_t> freq, cum, cnt;
   std::vector<int32_t> cntsum;
 
-  Table(int rows_, int a) : rows(rows_), A(a) { renew(); }
+  Table(int rows_, int a, int step_ = STEP) : rows(rows_), A(a), step(step_) { renew(); }
 
   void renew() {
     int f = PROB_SCALE / A;
+    int c0 = std::max(f >> INIT_CNT_SHIFT, 1);
     freq.assign((size_t)rows * A, f);
     cum.resize((size_t)rows * A);
-    cnt.assign((size_t)rows * A, f - (f >> 1));
-    cntsum.assign(rows, (f - (f >> 1)) * A);
+    cnt.assign((size_t)rows * A, c0);
+    cntsum.assign(rows, c0 * A);
     for (int r = 0; r < rows; r++)
       for (int c = 0; c < A; c++) cum[(size_t)r * A + c] = c * f;
   }
@@ -91,7 +95,7 @@ struct Table {
   void rescale_row(int r) {
     int32_t* c = &cnt[(size_t)r * A];
     std::vector<int32_t> tmp(c, c + A);
-    for (int pass = 0; pass < 2; pass++) {
+    for (int pass = 0; pass < RESCALE_PASSES; pass++) {
       long s = 0;
       for (int i = 0; i < A; i++) s += tmp[i];
       if (s > PROB_SCALE)
@@ -110,20 +114,20 @@ struct Table {
 
   void update_batch(const std::vector<std::pair<int, int>>& rs) {
     for (auto& p : rs) {
-      cnt[(size_t)p.first * A + p.second] += STEP;
-      cntsum[p.first] += STEP;
+      cnt[(size_t)p.first * A + p.second] += step;
+      cntsum[p.first] += step;
     }
     std::vector<int> touched;
     for (auto& p : rs) touched.push_back(p.first);
     std::sort(touched.begin(), touched.end());
     touched.erase(std::unique(touched.begin(), touched.end()), touched.end());
     for (int r : touched)
-      if (cntsum[r] > PROB_SCALE - STEP) rescale_row(r);
+      if (cntsum[r] > PROB_SCALE - step) rescale_row(r);
   }
 };
 
 struct TableSet {
-  Table ptype{6, 6}, nrun{6, 256}, color{3 * 4096, 256}, bt{1, 5}, btn{1, 256},
+  Table ptype{6, 6}, nrun{6, 256}, color{3 * 4096, 256, STEP_COLOR}, bt{1, 5}, btn{1, 256},
       sxy{4, 16}, mvflag{1, 2}, mv{2, 512};
   void renew() {
     ptype.renew(); nrun.renew(); color.renew(); bt.renew();

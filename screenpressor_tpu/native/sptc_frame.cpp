@@ -316,15 +316,25 @@ struct Encoder {
     bool key = force_key || prev.empty() || fn == 0 ||
                (cfg.kf_interval > 0 && fn % cfg.kf_interval == 0);
     fn++;
+    int ftype;
     if (key) {
       T.renew();
       encode_i_frame(f, out);
-      prev = f;
-      return 0;
+      ftype = 0;
+    } else {
+      encode_p_frame(f, out);
+      ftype = 1;
     }
-    encode_p_frame(f, out);
+    const size_t raw_size = 1 + (size_t)3 * n;
+    if (out.size() >= raw_size) {
+      T.renew();
+      out.clear();
+      out.push_back((VER_NIBBLE << 4) | ALG_RAW);
+      out.insert(out.end(), f.begin(), f.end());
+      ftype = 0;
+    }
     prev = f;
-    return 1;
+    return ftype;
   }
 
   void encode_i_frame(const std::vector<uint8_t>& f, std::vector<uint8_t>& out) {
@@ -469,6 +479,13 @@ struct Decoder {
       for (auto& r : recs) total += r.v[1];
       if (total != n) throw StreamError("records do not tile frame");
       reconstruct_i(recs, lits, h, w, out);
+      prev.assign(out, out + (size_t)3 * n);
+      return;
+    }
+    if (alg == ALG_RAW) {
+      if (len < 1 + (size_t)3 * n) throw StreamError("truncated raw frame");
+      memcpy(out, d + 1, (size_t)3 * n);
+      T.renew();
       prev.assign(out, out + (size_t)3 * n);
       return;
     }

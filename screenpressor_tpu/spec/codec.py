@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 
 from screenpressor_tpu import bitstream as bs
-from screenpressor_tpu.config import ALG_FLAT, ALG_I, ALG_P, CodecConfig
+from screenpressor_tpu.config import ALG_FLAT, ALG_I, ALG_P, ALG_RAW, CodecConfig
 from screenpressor_tpu.spec.iframe import decode_i, encode_i
 from screenpressor_tpu.spec.pframe import decode_p, encode_p
 from screenpressor_tpu.spec.tables import TableSet
@@ -68,14 +68,22 @@ class SpecEncoder:
             or (cfg.kf_interval > 0 and self.fn % cfg.kf_interval == 0)
         )
         self.fn += 1
+        raw_size = 1 + cfg.width * cfg.height * 3
         if keyframe:
             self.tables.renew()
             data = encode_i(frame, self.tables, cfg)
-            self.prev = frame.copy()
-            return data, FTYPE_I
-        data = encode_p(frame, self.prev, self.tables, cfg)
+            ftype = FTYPE_I
+        else:
+            data = encode_p(frame, self.prev, self.tables, cfg)
+            ftype = FTYPE_P
+        if len(data) >= raw_size:
+            # incompressible: raw escape (model reset on both sides keeps
+            # encoder/decoder state consistent without undoing the attempt)
+            self.tables.renew()
+            data = bytes([bs.header_byte(ALG_RAW)]) + frame.tobytes()
+            ftype = FTYPE_I
         self.prev = frame.copy()
-        return data, FTYPE_P
+        return data, ftype
 
 
 class SpecDecoder:
@@ -107,6 +115,16 @@ class SpecDecoder:
         if alg == ALG_I:
             self.tables.renew()
             frame = decode_i(data, 1, self.tables, cfg)
+            self.prev = frame.copy()
+            return frame
+        if alg == ALG_RAW:
+            n = cfg.height * cfg.width * 3
+            if len(data) < 1 + n:
+                raise bs.CorruptStreamError("truncated raw frame")
+            frame = np.frombuffer(data, np.uint8, n, 1).reshape(
+                cfg.height, cfg.width, 3
+            ).copy()
+            self.tables.renew()
             self.prev = frame.copy()
             return frame
         if alg == ALG_P:

@@ -10,15 +10,22 @@ from __future__ import annotations
 
 import numpy as np
 
-from screenpressor_tpu.config import PROB_SCALE, STEP, TABLE_KINDS
+from screenpressor_tpu.config import (
+    INIT_CNT_SHIFT,
+    PROB_SCALE,
+    RESCALE_PASSES,
+    STEP,
+    TABLE_KINDS,
+)
 
 
 class Table:
     """One table kind: `rows` contexts over alphabet `A`."""
 
-    def __init__(self, rows: int, alphabet: int) -> None:
+    def __init__(self, rows: int, alphabet: int, step: int = STEP) -> None:
         self.rows = rows
         self.A = alphabet
+        self.step = step
         self.freq = np.zeros((rows, alphabet), np.int32)
         self.cum = np.zeros((rows, alphabet), np.int32)
         self.cnt = np.zeros((rows, alphabet), np.int32)
@@ -29,7 +36,7 @@ class Table:
         f = PROB_SCALE // self.A
         self.freq[:] = f
         self.cum[:] = np.arange(self.A, dtype=np.int32) * f
-        self.cnt[:] = f - (f >> 1)
+        self.cnt[:] = max(f >> INIT_CNT_SHIFT, 1)
         self.cntsum[:] = self.cnt[0].sum()
 
     # -- coding ------------------------------------------------------------
@@ -51,18 +58,17 @@ class Table:
             return
         rs = np.asarray([r for r, _ in rows_syms], np.int64)
         ss = np.asarray([s for _, s in rows_syms], np.int64)
-        np.add.at(self.cnt, (rs, ss), STEP)
-        np.add.at(self.cntsum, rs, STEP)
+        np.add.at(self.cnt, (rs, ss), self.step)
+        np.add.at(self.cntsum, rs, self.step)
         for r in np.unique(rs):
-            if self.cntsum[r] > PROB_SCALE - STEP:
+            if self.cntsum[r] > PROB_SCALE - self.step:
                 self._rescale(int(r))
 
     def _rescale(self, r: int) -> None:
         c = self.cnt[r].copy()
-        if c.sum() > PROB_SCALE:
-            c = np.maximum(c >> 1, 1)
-        if c.sum() > PROB_SCALE:
-            c = np.maximum(c >> 1, 1)
+        for _ in range(RESCALE_PASSES):
+            if c.sum() > PROB_SCALE:
+                c = np.maximum(c >> 1, 1)
         self.freq[r] = c
         self.cum[r] = np.concatenate(([0], np.cumsum(c)[:-1]))
         self.cnt[r] = np.maximum(c - (c >> 1), 1)
@@ -73,7 +79,11 @@ class TableSet:
     """All table kinds for one stream direction (encoder or decoder)."""
 
     def __init__(self, kinds=TABLE_KINDS) -> None:
-        self.tables = {name: Table(rows, a) for name, (rows, a) in kinds.items()}
+        from screenpressor_tpu.config import kind_step
+
+        self.tables = {
+            name: Table(rows, a, kind_step(name)) for name, (rows, a) in kinds.items()
+        }
 
     def __getitem__(self, name: str) -> Table:
         return self.tables[name]

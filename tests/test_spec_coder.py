@@ -47,8 +47,9 @@ def test_rec_adaptivity_compresses():
     blobs = _roundtrip(recs, RecCodec(), k=4)
     total = sum(len(b) for b in blobs)
     # uniform cost would be ~ (log2(6)+8)/8 * 4000 ~ 5200B; adaptive -> small
-    # (~740B: dominated by the adaptation transient of the first ~500 records)
-    assert total < 1000
+    # (fast-adaptation steps trade a little steady-state precision for a much
+    # cheaper transient; see config.STEP)
+    assert total < 1400
 
 
 def test_col_roundtrip():
