@@ -222,6 +222,8 @@ def encode_p(frame: np.ndarray, prev: np.ndarray, tables: TableSet, cfg: CodecCo
             pix_recs.extend(recs)
             lit_recs.extend(lits)
 
+    n_data = sum(1 for bi in changed if int(bts[bi]) in (BT_FULL_DATA, BT_PARTIAL_DATA))
+
     sections = []
     for recs, codec in (
         (bt_recs, BTCodec()),
@@ -237,7 +239,7 @@ def encode_p(frame: np.ndarray, prev: np.ndarray, tables: TableSet, cfg: CodecCo
         [
             hdr,
             bytes([1]),
-            bs.pack_u32(xx1, xx2, len(bt_recs), len(sxy_recs), len(mv_recs), len(pix_recs), len(lit_recs)),
+            bs.pack_u32(xx1, xx2, len(bt_recs), len(sxy_recs), len(mv_recs), len(pix_recs), len(lit_recs), n_data),
         ]
         + sections
     )

@@ -9,6 +9,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_driver_invocation():
     env = dict(os.environ)
     # Simulate the bench rig: one device only, jax imported before the call.

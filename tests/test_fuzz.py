@@ -69,6 +69,7 @@ def test_fuzz_sequences_spec_native(seed):
             np.testing.assert_array_equal(nd.decode(data), f)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [0, 1])
 def test_fuzz_jax_matches(seed):
     from screenpressor_tpu.jx.codec import JaxDecoder, JaxEncoder

@@ -1,6 +1,7 @@
 """JAX I-frame pipeline: byte-identical streams and lossless round-trips."""
 
 import numpy as np
+import pytest
 
 from screenpressor_tpu.config import CodecConfig
 from screenpressor_tpu.jx import iframe as ji
@@ -35,6 +36,7 @@ def test_iframe_bytes_match_spec():
     assert jax_bytes == spec_bytes
 
 
+@pytest.mark.slow
 def test_iframe_roundtrip_jax():
     for seed in (0, 5):
         f = synth_desktop(48, 64, seed=seed)
@@ -44,6 +46,7 @@ def test_iframe_roundtrip_jax():
         np.testing.assert_array_equal(np.asarray(out), f)
 
 
+@pytest.mark.slow
 def test_iframe_roundtrip_noise():
     rng = np.random.default_rng(7)
     f = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)

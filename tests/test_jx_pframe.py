@@ -27,14 +27,17 @@ def _compare_sessions(frames, h, w):
         np.testing.assert_array_equal(np.asarray(out), f)
 
 
+@pytest.mark.slow
 def test_typing_session_matches_spec():
     _compare_sessions(typing_sequence(32, 48, 4), 32, 48)
 
 
+@pytest.mark.slow
 def test_scroll_session_matches_spec():
     _compare_sessions(scrolling_sequence(48, 64, 4), 48, 64)
 
 
+@pytest.mark.slow
 def test_corner_changes_match_spec():
     f1 = synth_desktop(33, 47, seed=7)
     frames = [f1]
@@ -45,12 +48,14 @@ def test_corner_changes_match_spec():
     _compare_sessions(frames, 33, 47)
 
 
+@pytest.mark.slow
 def test_identical_and_flat_frames():
     flat = np.full((32, 32, 3), 9, np.uint8)
     f = synth_desktop(32, 32, seed=1)
     _compare_sessions([flat, flat, f, f, np.roll(f, 5, axis=0)], 32, 32)
 
 
+@pytest.mark.slow
 def test_noise_full_change():
     rng = np.random.default_rng(5)
     f1 = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
