@@ -93,6 +93,8 @@ class _FormatAdapter:
         if pf is PixelFormat.RGB24:
             if frame.ndim != 3 or frame.shape[2] != 3:
                 raise ValueError("RGB24 frame must be [H, W, 3]")
+            if not isinstance(frame, np.ndarray):
+                return frame  # device-resident frame: pass through untouched
             return np.ascontiguousarray(frame, np.uint8)
         if pf is PixelFormat.RGB32:
             if frame.ndim != 3 or frame.shape[2] != 4:
@@ -143,6 +145,24 @@ class Encoder:
         self.bytes_out += len(data)
         return data, ftype
 
+    def encode_batch(self, frames, force_key: bool = False):
+        """Encode a list of frames; backends with a pipelined batch path
+        (jax) pay a constant number of host<->device syncs per batch.
+        Returns a list of (payload, ftype)."""
+        internals = [self._adapter.to_internal(f) for f in frames]
+        batch = getattr(self._session, "encode_batch", None)
+        if batch is not None:
+            results = batch(internals, force_key=force_key)
+        else:
+            results = [
+                self._session.encode(f, force_key=force_key and i == 0)
+                for i, f in enumerate(internals)
+            ]
+        for data, _ in results:
+            self.frames_encoded += 1
+            self.bytes_out += len(data)
+        return results
+
     @property
     def stats(self) -> dict:
         raw = self.frames_encoded * self.cfg.width * self.cfg.height * 3
@@ -183,3 +203,28 @@ class Decoder:
             raise
         self.crashed = False
         return self._adapter.from_internal(frame)
+
+    def decode_batch(self, datas, device_out: bool = False):
+        """Decode a list of payloads; the jax backend defers validity checks
+        to one sync per batch. device_out=True returns device-resident
+        frames (RGB24 only) without pulling them to the host."""
+        from screenpressor_tpu import bitstream as bs
+        from screenpressor_tpu.config import ALG_P
+
+        if device_out and self.fmt.pixel_format is not PixelFormat.RGB24:
+            raise ValueError("device_out requires RGB24")
+        if self.crashed and datas and (not datas[0] or (datas[0][0] & 0x0F) == ALG_P):
+            raise bs.CorruptStreamError("decoder poisoned; keyframe required")
+        batch = getattr(self._session, "decode_batch", None)
+        try:
+            if batch is not None:
+                frames = batch(datas, device_out=device_out)
+            else:
+                frames = [self._session.decode(d) for d in datas]
+        except Exception:
+            self.crashed = True
+            raise
+        self.crashed = False
+        if device_out:
+            return frames
+        return [self._adapter.from_internal(f) for f in frames]

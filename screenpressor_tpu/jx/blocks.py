@@ -145,6 +145,127 @@ def motion_search_windowed(frame, prev, rects, valid, masks, cands, h, w, bcap, 
     return best
 
 
+@functools.partial(jax.jit, static_argnames=("h", "w", "nby", "nbx", "rmax", "nbp"))
+def analyze_compact(frame, prev, cands, h: int, w: int, nby: int, nbx: int,
+                    rmax: int, nbp: int):
+    """Full P-frame analysis + record compaction, one device call.
+
+    Replaces the host loop of `analyze_p` (VERDICT round-1 weak #2): change
+    map, sub-rects, windowed exact-match motion over every changed block, and
+    compaction of all block-level record arrays, entirely on device.
+
+    Returns (arrs, counts, is_flat_color):
+      arrs: dict with capacity `nbp` (= next_pow2(nbx*nby)) record arrays
+        bt [nbp,2], sxy [nbp,4], mv [nbp,2], data_rects [nbp,4]
+      counts: int32 [7] = (any_change, xx1, xx2, n_bt, n_sxy, n_mv, n_data)
+      is_flat_color: int32 [4] = (is_flat, r, g, b) of pixel (0,0)
+    """
+    from screenpressor_tpu.config import (
+        BT_FULL_DATA,
+        BT_FULL_MOTION,
+        BT_PARTIAL_DATA,
+        BT_PARTIAL_MOTION,
+        MAX_RUN,
+    )
+
+    nb = nby * nbx
+    changed, rects, _ = change_analysis(frame, prev, h, w, nby, nbx)
+    rects_f = rects.reshape(nb, 4)
+    valid = changed.reshape(nb)
+
+    bw = (rects_f[:, 2] - rects_f[:, 0])[:, None, None]
+    bh = (rects_f[:, 3] - rects_f[:, 1])[:, None, None]
+    masks = (jnp.arange(BLOCK)[None, :, None] < bh) & (
+        jnp.arange(BLOCK)[None, None, :] < bw
+    )
+    choice = motion_search_windowed(
+        frame, prev, rects_f, valid, masks, cands, h, w, nb, rmax
+    )
+    c_count = cands.shape[0]
+    found = valid & (choice < c_count)
+    mvs = cands[jnp.clip(choice, 0, c_count - 1)]
+
+    bx = jnp.arange(nb) % nbx
+    by = jnp.arange(nb) // nbx
+    x_lo, y_lo = bx * BLOCK, by * BLOCK
+    x_hi = jnp.minimum(x_lo + BLOCK, w)
+    y_hi = jnp.minimum(y_lo + BLOCK, h)
+    partial = valid & ~(
+        (rects_f[:, 0] == x_lo) & (rects_f[:, 1] == y_lo)
+        & (rects_f[:, 2] == x_hi) & (rects_f[:, 3] == y_hi)
+    )
+    bts = jnp.where(
+        valid,
+        jnp.where(partial, BT_PARTIAL_DATA, BT_FULL_DATA) + 2 * found,
+        0,
+    ).astype(jnp.int32)
+
+    lin = jnp.arange(nb)
+    any_ch = valid.any()
+    xx1 = jnp.min(jnp.where(valid, lin, nb)).astype(jnp.int32)
+    xx2 = jnp.max(jnp.where(valid, lin, -1)).astype(jnp.int32)
+
+    # --- BT run-length records (greedy, 255 cap) over xx1..xx2, relative ---
+    linp = jnp.arange(nbp)
+    v = bts[jnp.clip(linp + xx1, 0, nb - 1)]
+    lenr = xx2 - xx1 + 1
+    inr = linp < lenr
+    vm = jnp.where(inr, v, -1)
+    prev_v = jnp.concatenate([jnp.full((1,), -2, vm.dtype), vm[:-1]])
+    bnd = (vm != prev_v) & inr
+    run_start = jax.lax.cummax(jnp.where(bnd, linp, -1), axis=0)
+    new_rec = (bnd | (((linp - run_start) % MAX_RUN) == 0)) & inr
+    n_bt = jnp.sum(new_rec).astype(jnp.int32)
+    rid = jnp.cumsum(new_rec) - 1
+    starts = jnp.full((nbp,), lenr, jnp.int32).at[
+        jnp.where(new_rec, rid, nbp)
+    ].set(linp, mode="drop")
+    ends = jnp.concatenate([starts[1:], jnp.full((1,), lenr, jnp.int32)])
+    ends = jnp.minimum(ends, lenr)
+    bt_vals = v[jnp.clip(starts, 0, nbp - 1)]
+    bt_recs = jnp.stack([bt_vals, ends - starts], axis=1)
+
+    # --- per-kind compaction in block raster order ---
+    is_partial = (bts == BT_PARTIAL_DATA) | (bts == BT_PARTIAL_MOTION)
+    is_motion = (bts == BT_FULL_MOTION) | (bts == BT_PARTIAL_MOTION)
+    is_data = (bts == BT_FULL_DATA) | (bts == BT_PARTIAL_DATA)
+    rel = jnp.stack(
+        [
+            rects_f[:, 0] - x_lo,
+            rects_f[:, 1] - y_lo,
+            rects_f[:, 2] - 1 - x_lo,
+            rects_f[:, 3] - 1 - y_lo,
+        ],
+        axis=1,
+    )
+
+    def compact(mask, vals, width):
+        idx = jnp.cumsum(mask) - 1
+        out = jnp.zeros((nbp, width), jnp.int32)
+        return out.at[jnp.where(mask, idx, nbp)].set(vals, mode="drop")
+
+    sxy_recs = compact(is_partial, rel, 4)
+    mv_recs = compact(is_motion, mvs, 2)
+    data_rects = compact(is_data, rects_f, 4)
+
+    counts = jnp.stack(
+        [
+            any_ch.astype(jnp.int32),
+            xx1,
+            xx2,
+            n_bt,
+            jnp.sum(is_partial).astype(jnp.int32),
+            jnp.sum(is_motion).astype(jnp.int32),
+            jnp.sum(is_data).astype(jnp.int32),
+        ]
+    )
+    c0 = frame.reshape(-1, 3)[0]
+    is_flat = jnp.all(frame == c0[None, None, :]).astype(jnp.int32)
+    flat_color = jnp.concatenate([is_flat[None], c0.astype(jnp.int32)])
+    arrs = {"bt": bt_recs, "sxy": sxy_recs, "mv": mv_recs, "data_rects": data_rects}
+    return arrs, counts, flat_color
+
+
 def analyze_p(frame, prev, cfg: CodecConfig):
     """Device analysis; returns numpy (bts, rects dict, mvs dict) in the same
     form as `spec.blocks.analyze_p` (byte-equivalent policy)."""

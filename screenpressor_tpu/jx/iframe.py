@@ -27,6 +27,68 @@ def classify_counts(frame, h: int, w: int):
     return records, n_records, lits, n_literals
 
 
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def i_phase(frame, h: int, w: int):
+    """Phase A for keyframes: classification + flat check in one dispatch.
+
+    Returns (records, lits, counts[6] = n_rec, n_lit, is_flat, r, g, b)."""
+    records, n_records, lits, n_literals = classify_i(frame, h, w)
+    c0 = frame.reshape(-1, 3)[0].astype(jnp.int32)
+    is_flat = jnp.all(frame == frame.reshape(-1, 3)[0][None, None, :]).astype(jnp.int32)
+    counts = jnp.concatenate(
+        [jnp.stack([n_records, n_literals, is_flat]), c0]
+    ).astype(jnp.int32)
+    return records, lits, counts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_rec", "t_rec", "k_col", "t_col", "raw_threshold"),
+)
+def encode_i_raw(records, n_rec, lits, n_lit, tables,
+                 k_rec: int, t_rec: int, k_col: int, t_col: int,
+                 raw_threshold: int):
+    """encode_i_from_records + exact container-size computation + raw-escape
+    table select, all on device (lets a pipelined caller chain tables without
+    pulling the payload first; the host applies the identical raw rule when
+    assembling the container)."""
+    from screenpressor_tpu.jx.tables import renew_tables
+
+    out = encode_i_from_records(
+        records, n_rec, lits, n_lit, tables, k_rec, t_rec, k_col, t_col
+    )
+    buf_rec, start_rec, lens_rec, buf_col, start_col, lens_col, tables2 = out
+    total = jnp.int32(1 + 8)  # header byte + 2 u32 counts
+    for k, t, nsub, starts, lens in (
+        (k_rec, t_rec, 2, start_rec, lens_rec),
+        (k_col, t_col, 3, start_col, lens_col),
+    ):
+        cap = 2 * t * nsub + 8
+        total = total + 1 + 4 * k + jnp.where(lens > 0, cap - starts, 0).sum()
+    is_raw = total >= raw_threshold
+    renewed = renew_tables()
+    sel = jax.tree.map(lambda a, b: jnp.where(is_raw, a, b), renewed, tables2)
+    stats = jnp.stack([total, is_raw.astype(jnp.int32)])
+    return buf_rec, start_rec, lens_rec, buf_col, start_col, lens_col, stats, sel
+
+
+def parse_i_header(data: bytes, pos: int, cfg: CodecConfig):
+    """Host-side I-frame container parse + sanity bounds."""
+    (n_rec, n_lit), pos = bs.read_u32(data, pos, 2)
+    if n_rec > cfg.width * cfg.height or n_lit > max(n_rec, 1):
+        raise bs.CorruptStreamError("I-frame record counts out of bounds")
+    k_rec, k_col = cfg.lanes(n_rec), cfg.lanes(n_lit)
+    rec_blobs, pos = bs.unpack_section(data, pos, k_rec)
+    col_blobs, pos = bs.unpack_section(data, pos, k_col)
+    t_rec = jc._pad_steps(-(-n_rec // k_rec)) if n_rec else 1
+    t_col = jc._pad_steps(-(-n_lit // k_col)) if n_lit else 1
+    return (
+        jnp.asarray(_pad_payload(rec_blobs, k_rec)),
+        jnp.asarray(_pad_payload(col_blobs, k_col)),
+        n_rec, n_lit, k_rec, t_rec, k_col, t_col,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("k_rec", "t_rec", "k_col", "t_col")
 )

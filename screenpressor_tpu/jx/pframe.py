@@ -351,116 +351,341 @@ def apply_motion(frame, prev, rects, mvs, h: int, w: int, mcap: int):
 
 
 # ---------------------------------------------------------------------------
+# Device record assembly (encoder) and block resolution (decoder)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "bcap"))
+def classify_assemble(frame, prev, rects_cap, n_data, h: int, w: int, bcap: int):
+    """Classify all data blocks and assemble the global PIX/COL record arrays
+    on device (replaces the round-1 host per-block assembly loop).
+
+    rects_cap: [bcap, 4] absolute sub-rects, first n_data valid.
+    Returns (pix_cap [bcap*256, 2], lit_cap [bcap*256, 3], counts [2]).
+    """
+    ptypes, rlens, n_recs, lits, is_lit = classify_blocks(
+        frame, prev, rects_cap, h, w, bcap
+    )
+    valid_b = jnp.arange(bcap) < n_data
+    n_recs = jnp.where(valid_b, n_recs, 0)
+    rec_off = jnp.cumsum(n_recs) - n_recs
+    slot = jnp.arange(AREA)[None, :]
+    valid_slot = slot < n_recs[:, None]
+    pcap = bcap * AREA
+    tgt = jnp.where(valid_slot, rec_off[:, None] + slot, pcap)
+    pix_cap = (
+        jnp.zeros((pcap, 2), jnp.int32)
+        .at[tgt]
+        .set(jnp.stack([ptypes, rlens], axis=-1), mode="drop")
+    )
+    is_lit = is_lit & valid_slot
+    nlit_b = is_lit.sum(axis=1)
+    lit_off = jnp.cumsum(nlit_b) - nlit_b
+    lit_rank = jnp.cumsum(is_lit, axis=1) - 1
+    tgt_l = jnp.where(is_lit, lit_off[:, None] + lit_rank, pcap)
+    lit_cap = jnp.zeros((pcap, 3), jnp.int32).at[tgt_l].set(lits, mode="drop")
+    counts = jnp.stack([n_recs.sum(), nlit_b.sum()]).astype(jnp.int32)
+    return pix_cap, lit_cap, counts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "w", "nbx", "nby", "kts", "caps", "mcap", "bcap"),
+)
+def decode_p_device(payloads, ns, xx1, xx2, n_data, prev, tables,
+                    h: int, w: int, nbx: int, nby: int, kts, caps, mcap: int, bcap: int):
+    """Fully fused P-frame decode: five section scans, BT-run expansion,
+    per-block rect/record resolution (cumsum + searchsorted + scatter — the
+    tensor replacement for the reference's serial block walk,
+    `DecompressP`, screencap.cpp:1275-1432), motion apply and data-block
+    reconstruction. Stream-consistency violations set bits in `err` instead
+    of raising (the host raises CorruptStreamError on err != 0)."""
+    recs, tables = decode_sections_device(payloads, ns, tables, kts, caps)
+    bt, sxy, mv = recs["bt"], recs["sxy"], recs["mv"]
+    pix, lit = recs["rec"], recs["col"]
+    nb = nbx * nby
+    err = jnp.int32(0)
+
+    # --- expand BT runs over xx1..xx2 (relative scatter + cumsum) ---
+    capbt = bt.shape[0]
+    lenr = xx2 - xx1 + 1
+    nvals = bt[:, 1]
+    bstarts = jnp.cumsum(nvals) - nvals
+    marks = jnp.zeros((nb,), jnp.int32).at[
+        jnp.where(nvals > 0, bstarts, nb)
+    ].add(1, mode="drop")
+    ridx = jnp.cumsum(marks) - 1
+    relpos = jnp.arange(nb)
+    inr = (relpos < lenr) & (ridx >= 0)
+    bts_rel = jnp.where(inr, bt[jnp.clip(ridx, 0, capbt - 1), 0], 0)
+    err |= jnp.where(jnp.sum(nvals) != lenr, 1, 0)
+    rel_of_abs = jnp.arange(nb) - xx1
+    bts = jnp.where(
+        (rel_of_abs >= 0) & (rel_of_abs < lenr),
+        bts_rel[jnp.clip(rel_of_abs, 0, nb - 1)],
+        0,
+    )
+
+    # --- per-block resolution ---
+    is_partial = (bts == BT_PARTIAL_DATA) | (bts == BT_PARTIAL_MOTION)
+    is_motion = (bts == BT_FULL_MOTION) | (bts == BT_PARTIAL_MOTION)
+    is_data = (bts == BT_FULL_DATA) | (bts == BT_PARTIAL_DATA)
+    err |= jnp.where(jnp.sum(is_partial) != ns["sxy"], 2, 0)
+    err |= jnp.where(jnp.sum(is_motion) != ns["mv"], 4, 0)
+    err |= jnp.where(jnp.sum(is_data) != n_data, 8, 0)
+
+    lin = jnp.arange(nb)
+    bxv, byv = lin % nbx, lin // nbx
+    x_lo, y_lo = bxv * BLOCK, byv * BLOCK
+    x_hi = jnp.minimum(x_lo + BLOCK, w)
+    y_hi = jnp.minimum(y_lo + BLOCK, h)
+    pidx = jnp.cumsum(is_partial) - 1
+    s = sxy[jnp.clip(pidx, 0, sxy.shape[0] - 1)]
+    x1 = jnp.where(is_partial, x_lo + s[:, 0], x_lo)
+    y1 = jnp.where(is_partial, y_lo + s[:, 1], y_lo)
+    x2 = jnp.where(is_partial, x_lo + s[:, 2] + 1, x_hi)
+    y2 = jnp.where(is_partial, y_lo + s[:, 3] + 1, y_hi)
+    rect_ok = (x1 < x2) & (x2 <= x_hi) & (y1 < y2) & (y2 <= y_hi)
+    err |= jnp.where(jnp.any(is_partial & ~rect_ok), 16, 0)
+
+    midx = jnp.cumsum(is_motion) - 1
+    m = mv[jnp.clip(midx, 0, mv.shape[0] - 1)]
+    mv_ok = (
+        (x1 + m[:, 0] >= 0) & (y1 + m[:, 1] >= 0)
+        & (x2 + m[:, 0] <= w) & (y2 + m[:, 1] <= h)
+    )
+    err |= jnp.where(jnp.any(is_motion & ~mv_ok), 32, 0)
+
+    rects_all = jnp.stack([x1, y1, x2, y2], axis=1)
+    mo_rects = jnp.zeros((mcap, 4), jnp.int32).at[
+        jnp.where(is_motion, midx, mcap)
+    ].set(rects_all, mode="drop")
+    mo_mvs = jnp.zeros((mcap, 2), jnp.int32).at[
+        jnp.where(is_motion, midx, mcap)
+    ].set(m, mode="drop")
+
+    didx = jnp.cumsum(is_data) - 1
+    d_tgt = jnp.where(is_data, didx, bcap)
+    d_rects = jnp.zeros((bcap, 4), jnp.int32).at[d_tgt].set(rects_all, mode="drop")
+    areas_nb = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
+    areas = jnp.zeros((bcap,), jnp.int32).at[d_tgt].set(areas_nb, mode="drop")
+    a_start = jnp.cumsum(areas) - areas
+    a_end = a_start + areas
+    total_area = areas.sum()
+
+    # --- record -> block assignment (searchsorted over area prefix sums) ---
+    cappix = pix.shape[0]
+    valid_rec = jnp.arange(cappix) < ns["rec"]
+    rl = jnp.where(valid_rec, pix[:, 1], 0)
+    rstart = jnp.cumsum(rl) - rl
+    err |= jnp.where(rl.sum() != total_area, 64, 0)
+    j = jnp.searchsorted(a_start, rstart, side="right") - 1
+    jc_b = jnp.clip(j, 0, bcap - 1)
+    err |= jnp.where(jnp.any(valid_rec & (rstart + rl > a_end[jc_b])), 128, 0)
+    rstart_s = jnp.where(valid_rec, rstart, total_area + 1 + jnp.arange(cappix))
+    first_rec = jnp.searchsorted(rstart_s, a_start, side="left")
+    slot = jnp.arange(cappix) - first_rec[jc_b]
+    slot_ok = (slot >= 0) & (slot < AREA)
+    err |= jnp.where(jnp.any(valid_rec & ~slot_ok), 256, 0)
+    tgt_j = jnp.where(valid_rec & slot_ok, jc_b, bcap)
+    tgt_s = jnp.where(valid_rec & slot_ok, slot, 0)
+    pt = jnp.zeros((bcap, AREA), jnp.int32).at[tgt_j, tgt_s].set(
+        pix[:, 0], mode="drop"
+    )
+    rlg = jnp.zeros((bcap, AREA), jnp.int32).at[tgt_j, tgt_s].set(rl, mode="drop")
+    is_lit_rec = valid_rec & (pix[:, 0] == PT_LITERAL)
+    err |= jnp.where(jnp.sum(is_lit_rec) > ns["col"], 512, 0)
+    lit_idx = jnp.cumsum(is_lit_rec) - 1
+    litv = lit[jnp.clip(lit_idx, 0, lit.shape[0] - 1)]
+    lt = jnp.zeros((bcap, AREA, 3), jnp.int32).at[tgt_j, tgt_s].set(
+        jnp.where(is_lit_rec[:, None], litv, 0), mode="drop"
+    )
+
+    out = rebuild_frame_device(
+        prev, mo_rects, mo_mvs, d_rects, pt, rlg, lt, h, w, mcap, bcap
+    )
+    return out, err, tables
+
+
+_P_ERRORS = (
+    (1, "block-type runs do not cover xx range"),
+    (2, "sub-rect record count mismatch"),
+    (4, "motion record count mismatch"),
+    (8, "data block count mismatch"),
+    (16, "sub-rect outside block"),
+    (32, "motion vector out of bounds"),
+    (64, "pixel records do not tile data blocks"),
+    (128, "pixel record crosses block boundary"),
+    (256, "pixel record slot out of range"),
+    (512, "pixel records exhausted literals"),
+)
+
+
+def raise_p_error(err: int):
+    for bit, msg in _P_ERRORS:
+        if err & bit:
+            raise bs.CorruptStreamError(msg)
+    if err:
+        raise bs.CorruptStreamError(f"corrupt P-frame (err={err:#x})")
+
+
+# ---------------------------------------------------------------------------
 # Frame encode / decode
 # ---------------------------------------------------------------------------
 
 
-def encode_p(frame, prev, tables, cfg: CodecConfig):
+def _cands_rmax(cfg: CodecConfig):
+    cands = jnp.asarray(np.asarray(jb.mv_candidates(cfg), np.int32))
+    rmax = int(max(cfg.msr_x, cfg.msr_y, cfg.msr_low_x, cfg.msr_low_y)) + BLOCK
+    return cands, rmax
+
+
+def encode_p_dispatch(frame, prev, cfg: CodecConfig):
+    """Phase A: device analysis + compaction. Returns (arrs, counts_dev)."""
     h, w = cfg.height, cfg.width
-    frame = np.asarray(frame)
-    prev = np.asarray(prev)
-    bts, rect_d, mv_d = jb.analyze_p(frame, prev, cfg)
-    hdr = bytes([bs.header_byte(ALG_P)])
-    if not bts.any():
-        return hdr + bytes([0]), tables
+    cands, rmax = _cands_rmax(cfg)
+    nbp = next_pow2(cfg.nbx * cfg.nby)
+    arrs, counts, flat = jb.analyze_compact(
+        frame, prev, cands, h, w, cfg.nby, cfg.nbx, rmax, nbp
+    )
+    return arrs, counts, flat
 
-    changed = np.nonzero(bts)[0]
-    xx1, xx2 = int(changed[0]), int(changed[-1])
-    bt_recs = rle_blocks(bts, xx1, xx2)
 
-    sxy_recs, mv_recs = [], []
-    data_bis = []
-    for bi in changed:
-        bi = int(bi)
-        bt = int(bts[bi])
-        x1, y1, x2, y2 = rect_d[bi]
-        bx, by = bi % cfg.nbx, bi // cfg.nbx
-        if bt in (BT_PARTIAL_DATA, BT_PARTIAL_MOTION):
-            sxy_recs.append(
-                (x1 - bx * BLOCK, y1 - by * BLOCK, x2 - 1 - bx * BLOCK, y2 - 1 - by * BLOCK)
-            )
-        if bt in (BT_FULL_MOTION, BT_PARTIAL_MOTION):
-            mv_recs.append(mv_d[bi])
-        if bt in (BT_FULL_DATA, BT_PARTIAL_DATA):
-            data_bis.append(bi)
+@functools.partial(jax.jit, static_argnames=("kts", "extra_bytes", "raw_threshold"))
+def encode_sections_raw(recs_cap, ns, tables, kts, extra_bytes: int,
+                        raw_threshold: int):
+    """encode_sections_device + exact container size + raw-escape table
+    select on device (the host applies the identical size rule when it
+    assembles the container, so the table chain never waits on a pull)."""
+    from screenpressor_tpu.jx.tables import renew_tables
 
-    pix_recs = np.zeros((0, 2), np.int32)
-    lit_recs = np.zeros((0, 3), np.int32)
-    if data_bis:
-        bcap = next_pow2(len(data_bis))
-        rects = np.zeros((bcap, 4), np.int32)
-        for i, bi in enumerate(data_bis):
-            rects[i] = rect_d[bi]
-        ptypes, rlens, n_recs, lits, is_lit = classify_blocks(
-            jnp.asarray(frame), jnp.asarray(prev), jnp.asarray(rects), h, w, bcap
-        )
-        ptypes, rlens = np.asarray(ptypes), np.asarray(rlens)
-        n_recs, lits, is_lit = np.asarray(n_recs), np.asarray(lits), np.asarray(is_lit)
-        prs, lrs = [], []
-        for i in range(len(data_bis)):
-            nr = int(n_recs[i])
-            prs.append(np.stack([ptypes[i, :nr], rlens[i, :nr]], axis=1))
-            lrs.append(lits[i][is_lit[i]])
-        pix_recs = np.concatenate(prs, axis=0) if prs else pix_recs
-        lit_recs = np.concatenate(lrs, axis=0) if lrs else lit_recs
+    bufs, starts, lens_out, tables2 = encode_sections_device(recs_cap, ns, tables, kts)
+    total = jnp.int32(extra_bytes)
+    for name, k, t in kts:
+        nsub = len(jc.CODECS[name].kinds)
+        cap = 2 * t * nsub + 8
+        total = total + 1 + 4 * k + jnp.where(
+            lens_out[name] > 0, cap - starts[name], 0
+        ).sum()
+    is_raw = total >= raw_threshold
+    renewed = renew_tables()
+    sel = jax.tree.map(lambda a, b: jnp.where(is_raw, a, b), renewed, tables2)
+    stats = jnp.stack([total, is_raw.astype(jnp.int32)])
+    return bufs, starts, lens_out, stats, sel
 
-    rec_arrays = {
-        "bt": np.asarray([list(r) for r in bt_recs], np.int32).reshape(-1, 2),
-        "sxy": np.asarray([list(r) for r in sxy_recs], np.int32).reshape(-1, 4),
-        "mv": np.asarray([list(r) for r in mv_recs], np.int32).reshape(-1, 2),
-        "rec": np.asarray(pix_recs, np.int32).reshape(-1, 2),
-        "col": np.asarray(lit_recs, np.int32).reshape(-1, 3),
+
+def encode_p_classify(frame, prev, arrs, counts_host, cfg: CodecConfig):
+    """Phase B: classify + assemble PIX/COL records for data blocks.
+    Returns None when the frame has no data blocks, else
+    (pix_cap, lit_cap, pl_counts_dev)."""
+    h, w = cfg.height, cfg.width
+    n_data = int(counts_host[6])
+    if not n_data:
+        return None
+    bcap = next_pow2(n_data)
+    return classify_assemble(
+        frame, prev, arrs["data_rects"][:bcap], jnp.int32(n_data), h, w, bcap
+    )
+
+
+def encode_p_sections(arrs, counts_host, phase_b, pl_counts_host, tables,
+                      cfg: CodecConfig):
+    """Phase C: section encode with device-side raw select.
+    Returns (handle, tables') where handle carries everything
+    `assemble_p_container` needs."""
+    any_ch, xx1, xx2, n_bt, n_sxy, n_mv, n_data = (int(v) for v in counts_host[:7])
+    if phase_b is not None:
+        pix_cap, lit_cap, _ = phase_b
+        n_pix, n_lit = (int(v) for v in pl_counts_host)
+    else:
+        pix_cap = jnp.zeros((1, 2), jnp.int32)
+        lit_cap = jnp.zeros((1, 3), jnp.int32)
+        n_pix = n_lit = 0
+
+    nums = {"bt": n_bt, "sxy": n_sxy, "mv": n_mv, "rec": n_pix, "col": n_lit}
+    sources = {
+        "bt": arrs["bt"], "sxy": arrs["sxy"], "mv": arrs["mv"],
+        "rec": pix_cap, "col": lit_cap,
     }
-    kts = []
-    recs_cap, ns = {}, {}
+    kts, recs_cap, ns = [], {}, {}
     for name in _SECTION_NAMES:
-        arr = rec_arrays[name]
-        n = len(arr)
+        n = nums[name]
         k = cfg.lanes(n)
         t = jc._pad_steps(-(-n // k)) if n else 1
         kts.append((name, k, t))
         cap = next_pow2(max(n, 1))
-        pad = np.zeros((cap, _SECTION_WIDTHS[name]), np.int32)
-        pad[:n] = arr
-        recs_cap[name] = jnp.asarray(pad)
+        recs_cap[name] = sources[name][:cap]
         ns[name] = jnp.int32(n)
-    bufs, starts, lens_l, tables = encode_sections_device(recs_cap, ns, tables, tuple(kts))
-    bufs, starts, lens_l = jax.device_get((bufs, starts, lens_l))
+    raw_threshold = 1 + cfg.width * cfg.height * 3
+    bufs, starts, lens_l, stats, tables = encode_sections_raw(
+        recs_cap, ns, tables, tuple(kts), 1 + 1 + 8 * 4, raw_threshold
+    )
+    handle = (kts, nums, (xx1, xx2, n_data), bufs, starts, lens_l, stats)
+    return handle, tables
+
+
+def assemble_p_container(handle, bufs_host, starts_host, lens_host):
+    """Assembles the P-frame bytes from pulled buffers (host)."""
+    kts, nums, (xx1, xx2, n_data), _bufs, _starts, _lens, _stats = handle
     sections = []
     for name, k, t in kts:
         blobs = [
-            bytes(bufs[name][i, starts[name][i] :].tobytes()) if lens_l[name][i] > 0 else b""
+            bytes(bufs_host[name][i, starts_host[name][i] :].tobytes())
+            if lens_host[name][i] > 0 else b""
             for i in range(k)
         ]
         sections.append(bs.pack_section(blobs))
-
-    data = b"".join(
+    return b"".join(
         [
-            hdr,
+            bytes([bs.header_byte(ALG_P)]),
             bytes([1]),
             bs.pack_u32(
-                xx1, xx2, len(bt_recs), len(sxy_recs), len(mv_recs),
-                len(pix_recs), len(lit_recs),
+                xx1, xx2, nums["bt"], nums["sxy"], nums["mv"],
+                nums["rec"], nums["col"], n_data,
             ),
         ]
         + sections
     )
+
+
+def encode_p(frame, prev, tables, cfg: CodecConfig):
+    """Single-frame P encode (3 pulls; the batch API in jx.codec amortizes
+    these syncs across frames). Raw escape is handled by the caller
+    (jx.codec), which compares len(data) against the raw threshold — the
+    device-side table select in encode_sections_raw applies the same rule."""
+    frame = jnp.asarray(frame)
+    prev = jnp.asarray(prev)
+    arrs, counts, _flat = encode_p_dispatch(frame, prev, cfg)
+    counts_host = np.asarray(counts)
+    if not int(counts_host[0]):
+        return bytes([bs.header_byte(ALG_P)]) + bytes([0]), tables
+    phase_b = encode_p_classify(frame, prev, arrs, counts_host, cfg)
+    pl_host = np.asarray(phase_b[2]) if phase_b is not None else None
+    handle, tables = encode_p_sections(arrs, counts_host, phase_b, pl_host, tables, cfg)
+    bufs, starts, lens_l = jax.device_get((handle[3], handle[4], handle[5]))
+    data = assemble_p_container(handle, bufs, starts, lens_l)
     return data, tables
 
 
-def decode_p(data: bytes, pos: int, prev, tables, cfg: CodecConfig):
-    h, w = cfg.height, cfg.width
+def parse_p_header(data: bytes, pos: int, cfg: CodecConfig):
+    """Host-side container parse + validation. Returns None for a no-change
+    frame, else (payloads, ns, kts, caps, header) ready for decode_p_device."""
     if pos >= len(data):
         raise bs.CorruptStreamError("truncated P-frame")
     flags = data[pos]
     pos += 1
     if not flags & 1:
-        return jnp.asarray(prev), tables
-    (xx1, xx2, n_bt, n_sxy, n_mv, n_pix, n_lit), pos = bs.read_u32(data, pos, 7)
-
+        return None
+    (xx1, xx2, n_bt, n_sxy, n_mv, n_pix, n_lit, n_data), pos = bs.read_u32(data, pos, 8)
+    nb = cfg.nbx * cfg.nby
+    if not (xx1 <= xx2 < nb):
+        raise bs.CorruptStreamError("xx block range out of bounds")
+    if max(n_bt, n_sxy, n_mv, n_data) > nb or n_pix > nb * AREA or n_lit > n_pix:
+        raise bs.CorruptStreamError("section counts out of bounds")
+    if n_bt == 0:
+        raise bs.CorruptStreamError("empty block-type section")
     counts = {"bt": n_bt, "sxy": n_sxy, "mv": n_mv, "rec": n_pix, "col": n_lit}
-    kts, caps = [], []
-    payloads, ns = {}, {}
+    kts, caps, payloads, ns = [], [], {}, {}
     for name in _SECTION_NAMES:
         n = counts[name]
         k = cfg.lanes(n)
@@ -474,92 +699,22 @@ def decode_p(data: bytes, pos: int, prev, tables, cfg: CodecConfig):
             pay[i, : len(b)] = np.frombuffer(b, np.uint8)
         payloads[name] = jnp.asarray(pay)
         ns[name] = jnp.int32(n)
-    recs, tables = decode_sections_device(payloads, ns, tables, tuple(kts), tuple(caps))
-    recs = jax.device_get(recs)
-    bt_recs = recs["bt"][:n_bt]
-    sxy_recs = recs["sxy"][:n_sxy]
-    mv_recs = recs["mv"][:n_mv]
-    pix_recs = recs["rec"][:n_pix]
-    lit_recs = recs["col"][:n_lit]
+    return payloads, ns, tuple(kts), tuple(caps), (xx1, xx2, n_mv, n_data)
 
-    nb = cfg.nbx * cfg.nby
-    bts = np.zeros(nb, np.int32)
-    x = xx1
-    for bt, n in bt_recs:
-        if x + n > xx2 + 1:
-            raise bs.CorruptStreamError("block-type runs overflow xx range")
-        bts[x : x + n] = bt
-        x += n
-    if x != xx2 + 1:
-        raise bs.CorruptStreamError("block-type runs do not cover xx range")
 
-    # resolve rects and per-block record slices
-    si = mi = 0
-    data_rects, data_slices = [], []
-    mo_rects, mo_mvs = [], []
-    pix_cursor = 0
-    lit_cursor = 0
-    areas = pix_recs[:, 1] if n_pix else np.zeros((0,), np.int32)
-    pix_lit_flags = (pix_recs[:, 0] == PT_LITERAL) if n_pix else np.zeros((0,), bool)
-    for bi in np.nonzero(bts)[0]:
-        bi = int(bi)
-        bt = int(bts[bi])
-        bx, by = bi % cfg.nbx, bi // cfg.nbx
-        x_lo, y_lo = bx * BLOCK, by * BLOCK
-        x_hi, y_hi = min(x_lo + BLOCK, w), min(y_lo + BLOCK, h)
-        if bt in (BT_PARTIAL_DATA, BT_PARTIAL_MOTION):
-            sx1, sy1, sx2, sy2 = (int(v) for v in sxy_recs[si])
-            si += 1
-            rect = (x_lo + sx1, y_lo + sy1, x_lo + sx2 + 1, y_lo + sy2 + 1)
-        else:
-            rect = (x_lo, y_lo, x_hi, y_hi)
-        x1, y1, x2, y2 = rect
-        if not (x_lo <= x1 < x2 <= x_hi and y_lo <= y1 < y2 <= y_hi):
-            raise bs.CorruptStreamError("sub-rect outside block")
-        if bt in (BT_FULL_MOTION, BT_PARTIAL_MOTION):
-            mx, my = (int(v) for v in mv_recs[mi])
-            mi += 1
-            if x1 + mx < 0 or y1 + my < 0 or x2 + mx > w or y2 + my > h:
-                raise bs.CorruptStreamError("motion vector out of bounds")
-            mo_rects.append(rect)
-            mo_mvs.append((mx, my))
-        else:
-            area = (x2 - x1) * (y2 - y1)
-            covered = 0
-            start = pix_cursor
-            while covered < area:
-                if pix_cursor >= n_pix:
-                    raise bs.CorruptStreamError("pixel records exhausted")
-                covered += int(areas[pix_cursor])
-                pix_cursor += 1
-            if covered != area:
-                raise bs.CorruptStreamError("pixel records do not tile block")
-            nlit = int(pix_lit_flags[start:pix_cursor].sum())
-            data_rects.append(rect)
-            data_slices.append((start, pix_cursor, lit_cursor, lit_cursor + nlit))
-            lit_cursor += nlit
-
-    mcap = next_pow2(max(len(mo_rects), 1))
-    mr = np.zeros((mcap, 4), np.int32)
-    mm = np.zeros((mcap, 2), np.int32)
-    if mo_rects:
-        mr[: len(mo_rects)] = mo_rects
-        mm[: len(mo_mvs)] = mo_mvs
-    bcap = next_pow2(max(len(data_rects), 1))
-    dr = np.zeros((bcap, 4), np.int32)
-    pt = np.zeros((bcap, AREA), np.int32)
-    rl = np.zeros((bcap, AREA), np.int32)
-    lt = np.zeros((bcap, AREA, 3), np.int32)
-    for i, (rect, (rs, re, ls, le)) in enumerate(zip(data_rects, data_slices)):
-        dr[i] = rect
-        nr = re - rs
-        pt[i, :nr] = pix_recs[rs:re, 0]
-        rl[i, :nr] = pix_recs[rs:re, 1]
-        block_lits = lit_recs[ls:le] if le > ls else np.zeros((0, 3), np.int32)
-        lit_map = np.nonzero(pix_recs[rs:re, 0] == PT_LITERAL)[0]
-        lt[i, lit_map] = block_lits
-    out = rebuild_frame_device(
-        jnp.asarray(prev), jnp.asarray(mr), jnp.asarray(mm), jnp.asarray(dr),
-        jnp.asarray(pt), jnp.asarray(rl), jnp.asarray(lt), h, w, mcap, bcap,
+def decode_p(data: bytes, pos: int, prev, tables, cfg: CodecConfig):
+    parsed = parse_p_header(data, pos, cfg)
+    if parsed is None:
+        return jnp.asarray(prev), tables
+    payloads, ns, kts, caps, (xx1, xx2, n_mv, n_data) = parsed
+    mcap = next_pow2(max(n_mv, 1))
+    bcap = next_pow2(max(n_data, 1))
+    out, err, tables = decode_p_device(
+        payloads, ns, jnp.int32(xx1), jnp.int32(xx2), jnp.int32(n_data),
+        jnp.asarray(prev), tables,
+        cfg.height, cfg.width, cfg.nbx, cfg.nby, kts, caps, mcap, bcap,
     )
+    err = int(err)
+    if err:
+        raise_p_error(err)
     return out, tables

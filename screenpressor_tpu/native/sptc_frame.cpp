@@ -429,10 +429,13 @@ struct Encoder {
         classify_block_p(f.data(), prev.data(), w, h, rc, pixr, litr);
     }
 
+    uint32_t ndata = 0;
+    for (int bi = xx1; bi <= xx2; bi++)
+      if (bts[bi] == 1 || bts[bi] == 2) ndata++;
     put_u32(out, xx1); put_u32(out, xx2);
     put_u32(out, (uint32_t)btr.size()); put_u32(out, (uint32_t)sxyr.size());
     put_u32(out, (uint32_t)mvr.size()); put_u32(out, (uint32_t)pixr.size());
-    put_u32(out, (uint32_t)litr.size());
+    put_u32(out, (uint32_t)litr.size()); put_u32(out, ndata);
     pack_section(out, encode_section(btr, lane_count((int)btr.size()), SectionCodec(C_BT, T)));
     pack_section(out, encode_section(sxyr, lane_count((int)sxyr.size()), SectionCodec(C_SXY, T)));
     pack_section(out, encode_section(mvr, lane_count((int)mvr.size()), SectionCodec(C_MV, T)));
@@ -500,7 +503,7 @@ struct Decoder {
     uint32_t xx1 = get_u32(d, len, pos), xx2 = get_u32(d, len, pos);
     uint32_t nbt = get_u32(d, len, pos), nsxy = get_u32(d, len, pos);
     uint32_t nmv = get_u32(d, len, pos), npix = get_u32(d, len, pos);
-    uint32_t nlit = get_u32(d, len, pos);
+    uint32_t nlit = get_u32(d, len, pos), ndata = get_u32(d, len, pos);
     auto bb = unpack_section(d, len, pos, lane_count(nbt));
     auto sb = unpack_section(d, len, pos, lane_count(nsxy));
     auto mb = unpack_section(d, len, pos, lane_count(nmv));
@@ -520,6 +523,11 @@ struct Decoder {
       for (int i = 0; i < r.v[1]; i++) bts[x++] = r.v[0];
     }
     if (x != xx2 + 1) throw StreamError("bt runs do not cover range");
+
+    uint32_t ndata_seen = 0;
+    for (int bi = 0; bi < nbx * nby; bi++)
+      if (bts[bi] == 1 || bts[bi] == 2) ndata_seen++;
+    if (ndata_seen != ndata) throw StreamError("data block count mismatch");
 
     memcpy(out, prev.data(), (size_t)3 * n);
     size_t si = 0, mi = 0, pi = 0, li = 0;

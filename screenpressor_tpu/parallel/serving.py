@@ -472,7 +472,8 @@ class BatchedEncoder:
                 "rec": pix,
                 "col": lit,
             }
-            per_stream[i] = (xx1, xx2, arrs)
+            n_data = int(np.sum((bts == BT_FULL_DATA) | (bts == BT_PARTIAL_DATA)))
+            per_stream[i] = (xx1, xx2, n_data, arrs)
             for n in names:
                 maxn[n] = max(maxn[n], len(arrs[n]))
 
@@ -485,7 +486,7 @@ class BatchedEncoder:
             n: np.zeros((s, next_pow2(maxn[n]), widths[n]), np.int32) for n in names
         }
         ns = {n: np.zeros(s, np.int32) for n in names}
-        for i, (xx1, xx2, arrs) in per_stream.items():
+        for i, (xx1, xx2, n_data, arrs) in per_stream.items():
             for n in names:
                 ns[n][i] = len(arrs[n])
                 recs_cap[n][i, : len(arrs[n])] = arrs[n]
@@ -497,7 +498,7 @@ class BatchedEncoder:
         )
         bufs, starts, lens_l = jax.device_get((bufs, starts, lens_l))
 
-        for i, (xx1, xx2, arrs) in per_stream.items():
+        for i, (xx1, xx2, n_data, arrs) in per_stream.items():
             sections = []
             for n in names:
                 blobs = [
@@ -513,7 +514,7 @@ class BatchedEncoder:
                     bytes([1]),
                     bs.pack_u32(
                         xx1, xx2, len(arrs["bt"]), len(arrs["sxy"]),
-                        len(arrs["mv"]), len(arrs["rec"]), len(arrs["col"]),
+                        len(arrs["mv"]), len(arrs["rec"]), len(arrs["col"]), n_data,
                     ),
                 ]
                 + sections

@@ -252,7 +252,7 @@ def decode_p(data: bytes, pos: int, prev: np.ndarray, tables: TableSet, cfg: Cod
     pos += 1
     if not flags & 1:
         return prev.copy()
-    (xx1, xx2, n_bt, n_sxy, n_mv, n_pix, n_lit), pos = bs.read_u32(data, pos, 7)
+    (xx1, xx2, n_bt, n_sxy, n_mv, n_pix, n_lit, n_data), pos = bs.read_u32(data, pos, 8)
 
     recs_by = []
     for n_recs, codec in (
@@ -277,6 +277,8 @@ def decode_p(data: bytes, pos: int, prev: np.ndarray, tables: TableSet, cfg: Cod
         x += n
     if x != xx2 + 1:
         raise bs.CorruptStreamError("block-type runs do not cover xx range")
+    if int(np.sum((bts == BT_FULL_DATA) | (bts == BT_PARTIAL_DATA))) != n_data:
+        raise bs.CorruptStreamError("data block count mismatch")
 
     h, w = cfg.height, cfg.width
     out32 = prev.astype(np.int32)
