@@ -81,7 +81,47 @@ def _make_session(cfg: CodecConfig, backend: str, encoder: bool):
         from screenpressor_tpu.native import NativeDecoder, NativeEncoder
 
         return NativeEncoder(cfg) if encoder else NativeDecoder(cfg)
+    if backend in ("scpr2", "scpr3", "scpr4"):
+        # reference-format interop sessions (SCPR v2 range coder / v3-v4 rANS)
+        return _LegacySession(cfg, int(backend[4]), encoder)
     raise ValueError(f"unknown backend {backend!r}")
+
+
+class _LegacySession:
+    """api-session adapter over the native SCPR v2/v3/v4 interop codecs."""
+
+    def __init__(self, cfg: CodecConfig, version: int, encoder: bool):
+        self.cfg = cfg
+        self.version = version
+        if version == 2:
+            from screenpressor_tpu.native.legacy import (
+                LegacyV2Decoder,
+                LegacyV2Encoder,
+            )
+
+            self._impl = (
+                LegacyV2Encoder(cfg.width, cfg.height, cfg.kf_interval)
+                if encoder else LegacyV2Decoder(cfg.width, cfg.height)
+            )
+        else:
+            from screenpressor_tpu.native.legacy_ans import (
+                ScprAnsDecoder,
+                ScprAnsEncoder,
+            )
+
+            self._impl = (
+                ScprAnsEncoder(version, cfg.width, cfg.height, cfg.kf_interval)
+                if encoder else ScprAnsDecoder(version, cfg.width, cfg.height)
+            )
+
+    def encode(self, frame, force_key: bool = False):
+        from screenpressor_tpu.spec.codec import apply_loss
+
+        frame = apply_loss(np.asarray(frame, np.uint8), self.cfg.loss)
+        return self._impl.encode(frame, force_key=force_key)
+
+    def decode(self, data: bytes):
+        return self._impl.decode(data)
 
 
 class _FormatAdapter:
@@ -174,7 +214,15 @@ class Encoder:
 
 
 class Decoder:
-    """Per-stream decoder session."""
+    """Per-stream decoder session with unified version dispatch.
+
+    Like the reference's `ScreenCodec::DecompressFrame`
+    (`screencap.cpp:1695-1702`), the decoder routes each frame by its stream
+    version nibble: SPTC (0xA) streams go to the configured backend; SCPR
+    v2/v3/v4 reference-format streams go to the native interop codecs, with
+    the legacy session created lazily at the stream's first keyframe and
+    reused for its P frames. One Decoder instance can decode a mixed corpus.
+    """
 
     def __init__(
         self,
@@ -186,9 +234,31 @@ class Decoder:
         self.fmt = fmt
         self._adapter = _FormatAdapter(fmt)
         self._session = _make_session(cfg, backend, encoder=False)
+        self._legacy: _LegacySession | None = None
         # crash latch: a failed decode poisons the instance until the next
         # keyframe (reference `crashed`, `screencap.cpp:1621-1710`)
         self.crashed = False
+
+    def _decode_one(self, data: bytes) -> np.ndarray:
+        from screenpressor_tpu import bitstream as bs
+        from screenpressor_tpu.config import SPTC_VERSION_NIBBLE
+
+        if not data:
+            raise bs.CorruptStreamError("empty frame")
+        if (data[0] >> 4) == SPTC_VERSION_NIBBLE:
+            return self._session.decode(data)
+        # reference-format SCPR stream
+        from screenpressor_tpu.native.legacy_ans import stream_version
+
+        try:
+            ver = stream_version(data)
+        except ValueError as e:
+            raise bs.BadVersionError(data[0] >> 4) from e
+        if ver is not None and (self._legacy is None or self._legacy.version != ver):
+            self._legacy = _LegacySession(self.cfg, ver, encoder=False)
+        if self._legacy is None:
+            raise bs.CorruptStreamError("SCPR P-frame before any keyframe")
+        return self._legacy.decode(data)
 
     def decode(self, data: bytes) -> np.ndarray:
         from screenpressor_tpu import bitstream as bs
@@ -197,7 +267,7 @@ class Decoder:
         if self.crashed and (not data or (data[0] & 0x0F) == ALG_P):
             raise bs.CorruptStreamError("decoder poisoned; keyframe required")
         try:
-            frame = self._session.decode(data)
+            frame = self._decode_one(data)
         except Exception:
             self.crashed = True
             raise
@@ -215,12 +285,15 @@ class Decoder:
             raise ValueError("device_out requires RGB24")
         if self.crashed and datas and (not datas[0] or (datas[0][0] & 0x0F) == ALG_P):
             raise bs.CorruptStreamError("decoder poisoned; keyframe required")
+        from screenpressor_tpu.config import SPTC_VERSION_NIBBLE
+
+        all_sptc = all(d and (d[0] >> 4) == SPTC_VERSION_NIBBLE for d in datas)
         batch = getattr(self._session, "decode_batch", None)
         try:
-            if batch is not None:
+            if batch is not None and all_sptc:
                 frames = batch(datas, device_out=device_out)
             else:
-                frames = [self._session.decode(d) for d in datas]
+                frames = [self._decode_one(d) for d in datas]
         except Exception:
             self.crashed = True
             raise

@@ -17,10 +17,15 @@ import dataclasses
 PROB_BITS = 14
 PROB_SCALE = 1 << PROB_BITS
 RANS_L = 1 << 23  # lower bound of the rANS normalization interval
-STEP = 512  # default adaptation increment (fast adaptation; tuned on corpus)
-STEP_COLOR = 256  # color tables adapt slower (protects incompressible content)
-INIT_CNT_SHIFT = 3  # renew counts start at freq >> 3 (low inertia)
-RESCALE_PASSES = 5  # halvings covering worst batched overshoot (K_MAX*STEP)
+STEP = 512  # adaptation increment (tuned on corpus; see FORMAT.md)
+RESCALE_SHIFT = 13  # fixed-point shift of the scale-to-fill rescale factor
+# color context quantization: ctx = ((a >> SHIFT) << CTX_HALF_BITS) | (b >> SHIFT)
+# (8-bit context; the reference uses 12-bit (>>2), `screencap.h:35-36` — 8 bits
+# costs ~12% on photo-like content, 0% on screen content, and keeps the color
+# tables small enough to live in VMEM for the Pallas section kernels)
+COLOR_CTX_SHIFT = 4
+COLOR_CTX_HALF_BITS = 4
+COLOR_CTX_ROWS = 1 << (2 * COLOR_CTX_HALF_BITS)
 
 # Lane policy (format-normative)
 K_MAX = 256
@@ -67,7 +72,7 @@ MAX_RUN = 255
 TABLE_KINDS = {
     "ptype": (NUM_PTYPES, NUM_PTYPES),
     "nrun": (NUM_PTYPES, 256),
-    "color": (3 * 4096, 256),
+    "color": (3 * COLOR_CTX_ROWS, 256),
     "bt": (1, 5),
     "btn": (1, 256),
     "sxy": (4, 16),
@@ -77,7 +82,12 @@ TABLE_KINDS = {
 
 
 def kind_step(name: str) -> int:
-    return STEP_COLOR if name == "color" else STEP
+    return STEP
+
+
+def color_ctx(a: int, b: int) -> int:
+    """Color context chain index from two conditioning bytes (FORMAT.md)."""
+    return ((a >> COLOR_CTX_SHIFT) << COLOR_CTX_HALF_BITS) | (b >> COLOR_CTX_SHIFT)
 
 I_SECTION_TABLES = ("ptype", "nrun", "color")
 P_SECTION_TABLES = ("ptype", "nrun", "color", "bt", "btn", "sxy", "mvflag", "mv")

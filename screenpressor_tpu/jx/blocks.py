@@ -145,6 +145,71 @@ def motion_search_windowed(frame, prev, rects, valid, masks, cands, h, w, bcap, 
     return best
 
 
+def motion_search_pruned(frame, prev, rects, in_sub, changed, probes, cands,
+                         h: int, w: int, nby: int, nbx: int, rmax: int):
+    """First-match motion search with a probe pre-screen.
+
+    For each (candidate, block) a single changed probe pixel is compared
+    first (one gather for the full matrix); the expensive whole-frame shifted
+    compare runs only for candidates some unresolved block could still match
+    (lax.cond skips the rest). Identical choice to `motion_search` /
+    spec.find_mv (same order, full verification before acceptance).
+
+    probes: [nby, nbx] flat index of one changed pixel per block (garbage for
+    unchanged blocks). Returns choice [nby, nbx] int32 (C = no match).
+    """
+    c_count = cands.shape[0]
+    nb = nby * nbx
+    x1, y1, x2, y2 = rects[..., 0], rects[..., 1], rects[..., 2], rects[..., 3]
+
+    fr_flat = frame.reshape(-1, 3).astype(jnp.int16)
+    pv_flat = prev.reshape(-1, 3).astype(jnp.int16)
+    pflat = probes.reshape(nb)
+    inb = (
+        (x1.reshape(nb)[None, :] + cands[:, 0:1] >= 0)
+        & (x2.reshape(nb)[None, :] + cands[:, 0:1] <= w)
+        & (y1.reshape(nb)[None, :] + cands[:, 1:2] >= 0)
+        & (y2.reshape(nb)[None, :] + cands[:, 1:2] <= h)
+    )  # [C, nb]
+    shift = cands[:, 1:2] * w + cands[:, 0:1]  # [C, 1]
+    src = jnp.clip(pflat[None, :] + shift, 0, h * w - 1)  # [C, nb]
+    probe_ok = jnp.all(pv_flat[src] == fr_flat[pflat][None, :], axis=-1)
+    plausible = (probe_ok & inb & changed.reshape(nb)[None, :]).reshape(
+        c_count, nby, nbx
+    )
+
+    prev_pad = jnp.pad(
+        prev.astype(jnp.int16),
+        ((rmax, rmax), (rmax, rmax), (0, 0)),
+        constant_values=-1,
+    )
+    fr = frame.astype(jnp.int16)
+    mask_pad = jnp.zeros((nby * BLOCK, nbx * BLOCK), bool).at[:h, :w].set(in_sub)
+
+    def verify(best, ci):
+        mx, my = cands[ci, 0], cands[ci, 1]
+        win = jax.lax.dynamic_slice(prev_pad, (rmax + my, rmax + mx, 0), (h, w, 3))
+        neq = jnp.any(win != fr, axis=-1)
+        neq_pad = jnp.ones((nby * BLOCK, nbx * BLOCK), bool).at[:h, :w].set(neq)
+        bad = (neq_pad & mask_pad).reshape(nby, BLOCK, nbx, BLOCK).any(axis=(1, 3))
+        match = plausible[ci] & ~bad
+        return jnp.where(match & (best == c_count), ci, best)
+
+    def body(carry):
+        best, ci = carry
+        useful = jnp.any(plausible[ci] & (best == c_count))
+        best = jax.lax.cond(useful, verify, lambda b, _: b, best, ci)
+        return best, ci + 1
+
+    def cond(carry):
+        best, ci = carry
+        return (ci < c_count) & jnp.any(changed & (best == c_count))
+
+    best0 = jnp.full((nby, nbx), c_count, jnp.int32)
+    best, _ = jax.lax.while_loop(cond, body, (best0, jnp.int32(0)))
+    return best
+
+
 @functools.partial(jax.jit, static_argnames=("h", "w", "nby", "nbx", "rmax", "nbp"))
 def analyze_compact(frame, prev, cands, h: int, w: int, nby: int, nbx: int,
                     rmax: int, nbp: int):
@@ -169,18 +234,22 @@ def analyze_compact(frame, prev, cands, h: int, w: int, nby: int, nbx: int,
     )
 
     nb = nby * nbx
-    changed, rects, _ = change_analysis(frame, prev, h, w, nby, nbx)
+    changed, rects, in_sub = change_analysis(frame, prev, h, w, nby, nbx)
     rects_f = rects.reshape(nb, 4)
     valid = changed.reshape(nb)
 
-    bw = (rects_f[:, 2] - rects_f[:, 0])[:, None, None]
-    bh = (rects_f[:, 3] - rects_f[:, 1])[:, None, None]
-    masks = (jnp.arange(BLOCK)[None, :, None] < bh) & (
-        jnp.arange(BLOCK)[None, None, :] < bw
+    # one changed probe pixel per block (min flat index inside the block)
+    diff = jnp.any(frame != prev, axis=-1)
+    flat_idx = jnp.where(diff, jnp.arange(h * w).reshape(h, w), h * w)
+    fpad = jnp.full((nby * BLOCK, nbx * BLOCK), h * w, jnp.int32).at[:h, :w].set(
+        flat_idx
     )
-    choice = motion_search_windowed(
-        frame, prev, rects_f, valid, masks, cands, h, w, nb, rmax
-    )
+    probes = fpad.reshape(nby, BLOCK, nbx, BLOCK).min(axis=(1, 3))
+    probes = jnp.clip(probes, 0, h * w - 1)
+
+    choice = motion_search_pruned(
+        frame, prev, rects, in_sub, changed, probes, cands, h, w, nby, nbx, rmax
+    ).reshape(nb)
     c_count = cands.shape[0]
     found = valid & (choice < c_count)
     mvs = cands[jnp.clip(choice, 0, c_count - 1)]

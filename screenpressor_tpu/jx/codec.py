@@ -221,7 +221,7 @@ class JaxEncoder:
                     (out[0], start_rec, lens_rec, k_rec, t_rec, 2),
                     (out[3], start_col, lens_col, k_col, t_col, 3),
                 ):
-                    cap = 2 * t * nsub + 8
+                    cap = buf.shape[1]
                     lanes = []
                     for li in range(k):
                         ln = int(cap - starts_h[li]) if lens_h[li] > 0 else 0
@@ -243,8 +243,7 @@ class JaxEncoder:
                 total, is_raw = int(stats[0]), bool(stats[1])
                 sections = []
                 for name, k, t in kts:
-                    nsub = len(jc.CODECS[name].kinds)
-                    cap = 2 * t * nsub + 8
+                    cap = bufs[name].shape[1]
                     starts_h, lens_h = sec_meta[name]
                     lanes = []
                     for li in range(k):

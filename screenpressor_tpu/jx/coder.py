@@ -70,14 +70,16 @@ class ColCodec:
         return jnp.zeros((k, 2), jnp.int32)  # (prevg, prevb)
 
     def _row(self, j, partial_or_rec, state):
+        from screenpressor_tpu.config import COLOR_CTX_ROWS, color_ctx
+
         prevg, prevb = state[:, 0], state[:, 1]
         if j == 0:
-            return ((prevg >> 2) << 6) | (prevb >> 2)
+            return color_ctx(prevg, prevb)
         if j == 1:
             r = partial_or_rec[0]
-            return 4096 + (((prevb >> 2) << 6) | (r >> 2))
+            return COLOR_CTX_ROWS + color_ctx(prevb, r)
         r, g = partial_or_rec[0], partial_or_rec[1]
-        return 2 * 4096 + (((r >> 2) << 6) | (g >> 2))
+        return 2 * COLOR_CTX_ROWS + color_ctx(r, g)
 
     def dec_row(self, j, partial, state):
         return self._row(j, partial, state)
@@ -312,9 +314,9 @@ def decode_section_scan(payload, lens, tables, codec_name: str, k: int, t_steps:
         for j, kind in enumerate(codec.kinds):
             row, extra = _dec_row(codec, j, partial, state)
             active = lane_active if extra is None else (lane_active & extra)
-            row = jnp.clip(row, 0, tables[kind]["cum"].shape[0] - 1)
-            cum_rows = tables[kind]["cum"][row]
-            freq_rows = tables[kind]["freq"][row]
+            row = jnp.clip(row, 0, tables[kind]["cnt"].shape[0] - 1)
+            freq_rows = tables[kind]["cnt"][row]
+            cum_rows = jnp.cumsum(freq_rows, axis=1) - freq_rows
             sf = (x & MASK).astype(jnp.int32)
             sym, cum, freq = _lookup(cum_rows, freq_rows, sf)
             x, pos = _dec_advance(x, pos, payload, cum, freq, active)
@@ -377,10 +379,12 @@ def model_scan(recs, lens, tables, codec_name: str, k: int, t_steps: int):
         for j, kind in enumerate(codec.kinds):
             row, sym, extra = codec.enc_syms(j, rec, state)
             active = lane_active if extra is None else (lane_active & extra)
-            row = jnp.clip(row, 0, tables[kind]["cum"].shape[0] - 1)
-            symc = jnp.clip(sym, 0, tables[kind]["cum"].shape[1] - 1)
-            cum = tables[kind]["cum"][row, symc]
-            freq = tables[kind]["freq"][row, symc]
+            row = jnp.clip(row, 0, tables[kind]["cnt"].shape[0] - 1)
+            symc = jnp.clip(sym, 0, tables[kind]["cnt"].shape[1] - 1)
+            freq_rows = tables[kind]["cnt"][row]
+            cum_rows = jnp.cumsum(freq_rows, axis=1) - freq_rows
+            cum = jnp.take_along_axis(cum_rows, symc[:, None], axis=1)[:, 0]
+            freq = jnp.take_along_axis(freq_rows, symc[:, None], axis=1)[:, 0]
             cums.append(cum)
             freqs.append(freq)
             acts.append(active)
@@ -440,6 +444,39 @@ def rans_pack(cum, freq, act, cap: int):
     for i in (3, 2, 1, 0):
         buf, pos = emit(buf, pos, (x >> (8 * i)) & 0xFF, jnp.ones((k,), bool))
     return buf, pos
+
+
+def use_kernels() -> bool:
+    """Pallas section kernels: on for TPU, off for CPU (the lax.scan path is
+    faster than interpret mode there); override with SPTC_KERNELS=0/1."""
+    import os
+
+    env = os.environ.get("SPTC_KERNELS")
+    if env is not None:
+        return env != "0"
+    return jax.default_backend() == "tpu"
+
+
+def decode_section_auto(payload, lens, tables, codec_name: str, k: int, t_steps: int):
+    """Kernel/scan dispatch; identical contract and bytes either way."""
+    if use_kernels():
+        from screenpressor_tpu.jx import kernels as kx
+
+        return kx.decode_section_kernel(payload, lens, tables, codec_name, k, t_steps)
+    return decode_section_scan(payload, lens, tables, codec_name, k, t_steps)
+
+
+def encode_section_auto(recs, lens, tables, codec_name: str, k: int, t_steps: int):
+    """Kernel/scan dispatch -> (buf [K, cap], start [K], tables'). Blob bytes
+    (buf[i, start[i]:]) are identical either way; only cap padding differs."""
+    if use_kernels():
+        from screenpressor_tpu.jx import kernels as kx
+
+        return kx.encode_section_kernel(recs, lens, tables, codec_name, k, t_steps)
+    cum, freq, act, tables = model_scan(recs, lens, tables, codec_name, k, t_steps)
+    nsub = len(CODECS[codec_name].kinds)
+    buf, start = rans_pack(cum, freq, act, 2 * t_steps * nsub + 8)
+    return buf, start, tables
 
 
 def encode_section(records: np.ndarray, k: int, tables, codec_name: str):

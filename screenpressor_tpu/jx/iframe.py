@@ -59,11 +59,11 @@ def encode_i_raw(records, n_rec, lits, n_lit, tables,
     )
     buf_rec, start_rec, lens_rec, buf_col, start_col, lens_col, tables2 = out
     total = jnp.int32(1 + 8)  # header byte + 2 u32 counts
-    for k, t, nsub, starts, lens in (
-        (k_rec, t_rec, 2, start_rec, lens_rec),
-        (k_col, t_col, 3, start_col, lens_col),
+    for k, buf, starts, lens in (
+        (k_rec, buf_rec, start_rec, lens_rec),
+        (k_col, buf_col, start_col, lens_col),
     ):
-        cap = 2 * t * nsub + 8
+        cap = buf.shape[1]
         total = total + 1 + 4 * k + jnp.where(lens > 0, cap - starts, 0).sum()
     is_raw = total >= raw_threshold
     renewed = renew_tables()
@@ -97,13 +97,15 @@ def encode_i_from_records(records, n_rec, lits, n_lit, tables, k_rec, t_rec, k_c
     once in classify_counts; its arrays stay on device)."""
     rec_dealt = jc.deal_device(records, n_rec, k_rec, t_rec)
     lens_rec = jc.lane_lens_device(n_rec, k_rec)
-    cum, freq, act, tables = jc.model_scan(rec_dealt, lens_rec, tables, "rec", k_rec, t_rec)
-    buf_rec, start_rec = jc.rans_pack(cum, freq, act, 2 * t_rec * 2 + 8)
+    buf_rec, start_rec, tables = jc.encode_section_auto(
+        rec_dealt, lens_rec, tables, "rec", k_rec, t_rec
+    )
 
     col_dealt = jc.deal_device(lits, n_lit, k_col, t_col)
     lens_col = jc.lane_lens_device(n_lit, k_col)
-    cum, freq, act, tables = jc.model_scan(col_dealt, lens_col, tables, "col", k_col, t_col)
-    buf_col, start_col = jc.rans_pack(cum, freq, act, 2 * t_col * 3 + 8)
+    buf_col, start_col, tables = jc.encode_section_auto(
+        col_dealt, lens_col, tables, "col", k_col, t_col
+    )
     return buf_rec, start_rec, lens_rec, buf_col, start_col, lens_col, tables
 
 
@@ -112,9 +114,9 @@ def encode_i_from_records(records, n_rec, lits, n_lit, tables, k_rec, t_rec, k_c
 )
 def decode_i_device(pay_rec, pay_col, n_rec, n_lit, tables, h, w, k_rec, t_rec, k_col, t_col):
     lens_rec = jc.lane_lens_device(n_rec, k_rec)
-    recs_scan, tables = jc.decode_section_scan(pay_rec, lens_rec, tables, "rec", k_rec, t_rec)
+    recs_scan, tables = jc.decode_section_auto(pay_rec, lens_rec, tables, "rec", k_rec, t_rec)
     lens_col = jc.lane_lens_device(n_lit, k_col)
-    lits_scan, tables = jc.decode_section_scan(pay_col, lens_col, tables, "col", k_col, t_col)
+    lits_scan, tables = jc.decode_section_auto(pay_col, lens_col, tables, "col", k_col, t_col)
     n = h * w
     records = jc.undeal_device(recs_scan, n_rec, k_rec, n)
     lits = jc.undeal_device(lits_scan, n_lit, k_col, n)

@@ -1,0 +1,789 @@
+"""Pallas TPU kernels for the BSAC section coder.
+
+One kernel invocation runs a whole section (T steps x sub-steps) with every
+piece of state resident in VMEM: lane rANS states, lane payload bytes, and
+the adaptive tables. This removes the per-substep XLA op launches and HBM
+round-trips that dominate the lax.scan implementation in jx/coder.py
+(measured 45-55 ms per 1080p section scan in round 1).
+
+Mosaic has no dynamic vector gather/scatter, so data-dependent table access
+is built from lane-column masks:
+
+- small tables (R <= 16: ptype/nrun/bt/btn/sxy/mvflag/mv): gather/scatter as
+  R masked row broadcasts/reductions on the VPU (exact, no MXU);
+- the color table (R = 768): exact one-hot matmuls on the MXU with
+  precision=HIGHEST (TPU matmuls default to bf16 operands; table values up
+  to PROB_SCALE are not bf16-exact);
+- exclusive prefix over the alphabet: one [K,A] @ [A,A] strictly-lower-
+  triangular matmul (HIGHEST);
+- payload byte fetch at per-lane positions: a per-step 256-byte window per
+  lane (block-mask refill), then a one-hot select per byte.
+
+Every per-lane vector is kept in COLUMN form [K, 1] — sublane-major — so the
+substep loop contains no lane<->sublane transposes. (Also note: narrow
+column slices like `ref[:, 2:3]` miscompile on this Mosaic version — always
+select columns with an iota mask + reduce.)
+
+Table semantics are EXACTLY spec/tables.py (SPTC2 live counts, scale-to-fill
+rescale with integer `(target << 13) // cntsum`); streams are byte-identical
+to the spec/jx/native implementations (tests/test_kernels.py).
+
+Reference analog: the serial decode loops of `DecompressI/P`
+(`screencap.cpp:414-498,1275-1432`) and the pipelined encode of `ransmt.h`,
+re-expressed as K parallel lanes stepping in lockstep on the VPU/MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from screenpressor_tpu.config import (
+    COLOR_CTX_HALF_BITS,
+    COLOR_CTX_ROWS,
+    COLOR_CTX_SHIFT,
+    MV_OFFSET,
+    PROB_BITS,
+    PROB_SCALE,
+    RANS_L,
+    RESCALE_SHIFT,
+    TABLE_KINDS,
+    kind_step,
+)
+
+MASK = PROB_SCALE - 1
+X_MAX_SHIFT = 23 - PROB_BITS + 8
+PAYBLK = 128  # payload refill block granularity
+SMALL_R = 16  # tables with R <= SMALL_R use VPU row broadcasts, not the MXU
+
+U32 = jnp.uint32
+F32 = jnp.float32
+I32 = jnp.int32
+HIGH = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Kernel-side codec adapters: the record schedules of jx.coder's codecs on
+# [K, 1] column vectors. State is a tuple of [K, 1] int32 columns.
+# ---------------------------------------------------------------------------
+
+
+class KRec:
+    kinds = ("ptype", "nrun")
+    rec_width = 2
+
+    def init_state(self, k):
+        return (jnp.zeros((k, 1), I32),)
+
+    def dec_row(self, j, partial, state):
+        return (state[0] if j == 0 else partial[0]), None
+
+    def dec_finish(self, partial, state, active):
+        rec = [partial[0], partial[1] + 1]
+        return rec, (jnp.where(active, partial[0], state[0]),)
+
+    def enc_syms(self, j, rec, state):
+        if j == 0:
+            return state[0], rec[0], None
+        return rec[0], rec[1] - 1, None
+
+    def enc_next_state(self, rec, state, active):
+        return (jnp.where(active, rec[0], state[0]),)
+
+
+class KCol:
+    kinds = ("color", "color", "color")
+    rec_width = 3
+
+    def init_state(self, k):
+        return (jnp.zeros((k, 1), I32), jnp.zeros((k, 1), I32))  # (prevg, prevb)
+
+    def _row(self, j, parts, state):
+        prevg, prevb = state
+        cc = lambda a, b: ((a >> COLOR_CTX_SHIFT) << COLOR_CTX_HALF_BITS) | (
+            b >> COLOR_CTX_SHIFT
+        )
+        if j == 0:
+            return cc(prevg, prevb)
+        if j == 1:
+            return COLOR_CTX_ROWS + cc(prevb, parts[0])
+        return 2 * COLOR_CTX_ROWS + cc(parts[0], parts[1])
+
+    def dec_row(self, j, partial, state):
+        return self._row(j, partial, state), None
+
+    def dec_finish(self, partial, state, active):
+        new = (partial[1], partial[2])
+        return list(partial), tuple(
+            jnp.where(active, n, s) for n, s in zip(new, state)
+        )
+
+    def enc_syms(self, j, rec, state):
+        return self._row(j, rec, state), rec[j], None
+
+    def enc_next_state(self, rec, state, active):
+        new = (rec[1], rec[2])
+        return tuple(jnp.where(active, n, s) for n, s in zip(new, state))
+
+
+class KBT:
+    kinds = ("bt", "btn")
+    rec_width = 2
+
+    def init_state(self, k):
+        return (jnp.zeros((k, 1), I32),)
+
+    def dec_row(self, j, partial, state):
+        return jnp.zeros_like(state[0]), None
+
+    def dec_finish(self, partial, state, active):
+        return [partial[0], partial[1] + 1], state
+
+    def enc_syms(self, j, rec, state):
+        zero = jnp.zeros_like(state[0])
+        return (zero, rec[0], None) if j == 0 else (zero, rec[1] - 1, None)
+
+    def enc_next_state(self, rec, state, active):
+        return state
+
+
+class KSxy:
+    kinds = ("sxy", "sxy", "sxy", "sxy")
+    rec_width = 4
+
+    def init_state(self, k):
+        return (jnp.zeros((k, 1), I32),)
+
+    def dec_row(self, j, partial, state):
+        return jnp.full_like(state[0], j), None
+
+    def dec_finish(self, partial, state, active):
+        return list(partial), state
+
+    def enc_syms(self, j, rec, state):
+        return jnp.full_like(state[0], j), rec[j], None
+
+    def enc_next_state(self, rec, state, active):
+        return state
+
+
+class KMV:
+    kinds = ("mvflag", "mv", "mv")
+    rec_width = 2
+
+    def init_state(self, k):
+        return (jnp.zeros((k, 1), I32), jnp.zeros((k, 1), I32))  # last (mx, my)
+
+    def dec_row(self, j, partial, state):
+        if j == 0:
+            return jnp.zeros_like(state[0]), None
+        skip = partial[0] == 1
+        return jnp.full_like(state[0], j - 1), ~skip
+
+    def dec_finish(self, partial, state, active):
+        same = partial[0] == 1
+        mx = jnp.where(same, state[0], partial[1] - MV_OFFSET)
+        my = jnp.where(same, state[1], partial[2] - MV_OFFSET)
+        return [mx, my], (
+            jnp.where(active, mx, state[0]),
+            jnp.where(active, my, state[1]),
+        )
+
+    def enc_syms(self, j, rec, state):
+        same = (rec[0] == state[0]) & (rec[1] == state[1])
+        if j == 0:
+            return jnp.zeros_like(state[0]), same.astype(I32), None
+        return jnp.full_like(state[0], j - 1), rec[j - 1] + MV_OFFSET, ~same
+
+    def enc_next_state(self, rec, state, active):
+        return (
+            jnp.where(active, rec[0], state[0]),
+            jnp.where(active, rec[1], state[1]),
+        )
+
+
+KCODECS = {"rec": KRec(), "col": KCol(), "bt": KBT(), "sxy": KSxy(), "mv": KMV()}
+
+
+def _unique_kinds(codec):
+    seen = []
+    for kd in codec.kinds:
+        if kd not in seen:
+            seen.append(kd)
+    return tuple(seen)
+
+
+# ---------------------------------------------------------------------------
+# Kernel-side primitives (column-vector conventions: lanes along sublanes)
+# ---------------------------------------------------------------------------
+
+
+def _prefix_matrix(a):
+    """[A, A] f32 strictly-lower-triangular ones (built in-kernel)."""
+    r = jax.lax.broadcasted_iota(I32, (a, a), 0)
+    c = jax.lax.broadcasted_iota(I32, (a, a), 1)
+    return (r < c).astype(F32)
+
+
+def _split_hi_lo(v):
+    """f32 integer matrix -> (hi, lo) with v = 256*hi + lo, both bf16-exact
+    (hi <= PROB_SCALE/256 + overshoot < 1024... values here are < 2^17, so
+    hi < 512 and lo < 256 — integers <= 256 are bf16-exact; hi values up to
+    512 are also exact since 512 = 2^9 with 8-bit mantissa covers multiples
+    at that scale only for <= 512... to stay safe hi uses a 128 divisor)."""
+    hi = jnp.floor(v * (1.0 / 128.0))
+    lo = v - hi * 128.0
+    return hi, lo
+
+
+def _exact_dot(a, b):
+    """Exact integer-valued f32 matmul via hi/lo split (2 default-precision
+    bf16 matmuls instead of one 6-pass HIGHEST matmul; the split operand
+    halves are bf16-exact: lo < 128, hi < 2048 -> needs one more split level
+    when values exceed 2^15; BSAC values stay < PROB_SCALE + K*STEP < 2^18,
+    so hi < 2^11 which is NOT bf16-exact... use a 3-way split)."""
+    # 3-way split into 7-bit planes: v = h2*2^14 + h1*2^7 + h0, each < 128
+    h1 = jnp.floor(a * (1.0 / 128.0))
+    h0 = a - h1 * 128.0
+    h2 = jnp.floor(h1 * (1.0 / 128.0))
+    h1 = h1 - h2 * 128.0
+    d0 = jnp.dot(h0, b, preferred_element_type=F32)
+    d1 = jnp.dot(h1, b, preferred_element_type=F32)
+    d2 = jnp.dot(h2, b, preferred_element_type=F32)
+    return d0 + d1 * 128.0 + d2 * (128.0 * 128.0)
+
+
+def _prefix_exclusive(g, pm):
+    """[K, A] f32 -> exclusive prefix along axis 1 via triangular matmuls."""
+    return _exact_dot(g, pm)
+
+
+def _gather_small(cnt_ref, rowc, r):
+    """[K,1] rows from small table [R, A] via R masked row broadcasts."""
+    g = None
+    for ri in range(r):
+        m = (rowc == ri).astype(F32)  # [K, 1]
+        term = m * cnt_ref[ri, :][None, :]
+        g = term if g is None else g + term
+    return g  # [K, A]
+
+
+def _gather_mxu(cnt_ref, oh):
+    """[K, R] one-hot @ [R, A] table (exact: one-hot side is bf16-exact, so
+    split the TABLE side into 7-bit planes and do 2-3 default matmuls...
+    table values < PROB_SCALE so a 2-level split suffices; reuse the 3-way
+    splitter on the one-hot side instead by transposing the roles: here we
+    split the table, which is the rhs)."""
+    tab = cnt_ref[:, :]
+    h1 = jnp.floor(tab * (1.0 / 128.0))
+    h0 = tab - h1 * 128.0
+    d0 = jnp.dot(oh, h0, preferred_element_type=F32)
+    d1 = jnp.dot(oh, h1, preferred_element_type=F32)
+    return d0 + d1 * 128.0
+
+
+def _select_col(mat, sym_col):
+    """mat [K, A], sym [K, 1] -> [K, 1] f32 values mat[k, sym[k]]."""
+    k, a = mat.shape
+    oh = (sym_col == jax.lax.broadcasted_iota(I32, (k, a), 1)).astype(F32)
+    return jnp.sum(mat * oh, axis=1, keepdims=True)
+
+
+def _update_deltas(g, rowc, sym_col, active, step, a, eq, first_mask):
+    """Common SPTC2 batched-update math on gathered rows.
+
+    Returns (delta [K, A] f32, masked by first-lane-per-row)."""
+    k = g.shape[0]
+    actf = active.astype(F32)  # [K, 1]
+    oh_sym = (
+        sym_col == jax.lax.broadcasted_iota(I32, (k, a), 1)
+    ).astype(F32) * actf  # [K, A]
+    # h[k, a] = step * sum_j eq[k, j] * oh_sym[j, a]  (eq columns pre-masked)
+    h = jnp.dot(eq, oh_sym * float(step), preferred_element_type=F32)  # [K, A]
+    post = g + h
+    postsum = jnp.sum(post, axis=1, keepdims=True).astype(I32)  # [K, 1]
+    touched = jnp.sum(eq, axis=1, keepdims=True) > 0.0
+    need = (postsum > PROB_SCALE - step) & touched
+    target = PROB_SCALE - step - a
+    sc = (
+        jnp.full_like(postsum, target << RESCALE_SHIFT).astype(U32)
+        // jnp.maximum(postsum, 1).astype(U32)
+    ).astype(I32)
+    post_i = post.astype(I32)
+    newc = jnp.maximum((post_i * sc) >> RESCALE_SHIFT, 1)
+    final = jnp.where(need, newc, post_i)
+    delta = (final - g.astype(I32)).astype(F32)
+    return delta * first_mask
+
+
+def _row_masks(rowc, active, k):
+    """eq (active-masked row-sharing matrix) + first-lane mask, both f32.
+
+    eq[k, j] = (row_k == row_j) & active_j; first_mask[k] = 1 iff k is the
+    lowest lane index sharing row_k (over ALL lanes, active or not, so every
+    writer of a row computes identical values)."""
+    # rowc [K,1] vs rowT [1,K]: one int32 transpose per substep
+    rowT = jnp.transpose(rowc)  # [1, K]
+    eq_b = rowc == rowT  # [K, K]
+    lanes = jax.lax.broadcasted_iota(I32, (k, k), 1)
+    first = jnp.min(jnp.where(eq_b, lanes, k), axis=1, keepdims=True)
+    first_mask = (first == jax.lax.broadcasted_iota(I32, (k, 1), 0)).astype(F32)
+    eq = eq_b.astype(F32) * jnp.transpose(active.astype(F32))  # mask columns
+    return eq, first_mask
+
+
+def _scatter_small(cnt_ref, rowc, delta, r):
+    """Scatter-add masked deltas into a small table: R masked reductions."""
+    for ri in range(r):
+        m = (rowc == ri).astype(F32)  # [K, 1]
+        cnt_ref[ri, :] = cnt_ref[ri, :] + jnp.sum(m * delta, axis=0)
+
+
+def _scatter_mxu(cnt_ref, oh, delta):
+    """cnt += onehot^T @ delta (exact via signed 7-bit-plane split of delta:
+    delta in (-2^18, 2^18); split on delta + bias to keep planes positive)."""
+    bias = float(1 << 18)
+    d = delta + bias  # in [0, 2^19)
+    h1 = jnp.floor(d * (1.0 / 128.0))
+    h0 = d - h1 * 128.0
+    h2 = jnp.floor(h1 * (1.0 / 128.0))
+    h1 = h1 - h2 * 128.0
+    dims = (((0,), (0,)), ((), ()))
+    d0 = jax.lax.dot_general(oh, h0, dims, preferred_element_type=F32)
+    d1 = jax.lax.dot_general(oh, h1, dims, preferred_element_type=F32)
+    d2 = jax.lax.dot_general(oh, h2, dims, preferred_element_type=F32)
+    # combine the planes in int32 (d2 * 2^14 exceeds f32's exact-int range)
+    dT = d0.astype(I32) + (d1.astype(I32) << 7) + (d2.astype(I32) << 14)
+    # remove the bias contribution: bias * (lanes mapping to each row)
+    colsum = jnp.sum(oh, axis=0)[:, None].astype(I32)  # [R, 1]
+    upd = dT - colsum * int(bias)
+    cnt_ref[:, :] = cnt_ref[:, :] + upd.astype(F32)
+
+
+class _ByteWindow:
+    """Per-lane 256-byte payload window, refilled once per step."""
+
+    def __init__(self, pay_ref, k, l):
+        self.pay_ref = pay_ref  # [K, L] int32, L multiple of PAYBLK
+        self.k = k
+        self.l = l
+        self.nblk = l // PAYBLK
+
+    def refill(self, pos_col):
+        """base = pos & ~(PAYBLK-1); win[k, :] = payload[k, base : base+256]."""
+        base = pos_col & ~(PAYBLK - 1)
+        blk = base >> 7  # [K, 1]
+        pay3 = self.pay_ref[:, :].reshape(self.k, self.nblk, PAYBLK)
+        bidx = jax.lax.broadcasted_iota(I32, (self.k, self.nblk), 1)
+        oh0 = (bidx == blk).astype(I32)
+        oh1 = (bidx == jnp.minimum(blk + 1, self.nblk - 1)).astype(I32)
+        w0 = jnp.sum(pay3 * oh0[:, :, None], axis=1)  # [K, 128]
+        w1 = jnp.sum(pay3 * oh1[:, :, None], axis=1)
+        return base, jnp.concatenate([w0, w1], axis=1)  # [K, 256]
+
+    @staticmethod
+    def fetch(win, base, pos_col):
+        off = pos_col - base  # [K, 1]
+        k = win.shape[0]
+        oh = (off == jax.lax.broadcasted_iota(I32, (k, 2 * PAYBLK), 1)).astype(I32)
+        return jnp.sum(win * oh, axis=1, keepdims=True)  # [K, 1]
+
+
+def _substep_tables(cnts, kd, rowc, active, k):
+    """Gather + (deferred) update closure for one substep's table access."""
+    r, a = TABLE_KINDS[kd]
+    rowc = jnp.clip(rowc, 0, r - 1)
+    small = r <= SMALL_R
+    if small:
+        g = _gather_small(cnts[kd], rowc, r)
+        oh = None
+    else:
+        oh = (
+            rowc == jax.lax.broadcasted_iota(I32, (k, r), 1)
+        ).astype(F32)  # [K, R]
+        g = _gather_mxu(cnts[kd], oh)
+
+    def update(sym_col):
+        eq, first_mask = _row_masks(rowc, active, k)
+        delta = _update_deltas(
+            g, rowc, sym_col, active, kind_step(kd), a, eq, first_mask
+        )
+        if small:
+            _scatter_small(cnts[kd], rowc, delta, r)
+        else:
+            _scatter_mxu(cnts[kd], oh, delta)
+
+    return g, update
+
+
+# ---------------------------------------------------------------------------
+# Section decode kernel
+# ---------------------------------------------------------------------------
+
+
+def _build_decode_kernel(codec_name: str, k: int, l: int, t_steps: int):
+    codec = KCODECS[codec_name]
+    kinds = _unique_kinds(codec)
+    w = codec.rec_width
+    pms = {kd: TABLE_KINDS[kd][1] for kd in kinds}
+
+    def kernel(pay_ref, lens_ref, *refs):
+        # refs = (cnt_in..., out_rec, cnt_out...); cnt_in aliases cnt_out
+        out_ref = refs[len(kinds)]
+        cnts = dict(zip(kinds, refs[len(kinds) + 1 :]))
+        for i, kd in enumerate(kinds):
+            cnts[kd][:, :] = refs[i][:, :]
+        bw = _ByteWindow(pay_ref, k, l)
+        prefix_m = {a: _prefix_matrix(a) for a in set(pms.values())}
+
+        # rANS init: 4 LE bytes per lane (iota-select columns; narrow column
+        # slices miscompile)
+        p8 = pay_ref[:, 0:8]
+        cidx = jax.lax.broadcasted_iota(I32, (k, 8), 1)
+        xi = jnp.zeros((k, 1), I32)
+        for i in range(4):
+            col = jnp.sum(p8 * (cidx == i), axis=1, keepdims=True)
+            xi = xi | (col << (8 * i))
+        x = pltpu.bitcast(xi, U32)  # [K, 1]
+        pos = jnp.full((k, 1), 4, I32)
+        state = codec.init_state(k)
+        lens = lens_ref[:, :]  # [K, 1]
+        stage0 = tuple(jnp.zeros((k, PAYBLK), I32) for _ in range(w))
+
+        def step(t, carry):
+            x, pos, state, stage = carry
+            lane_active = t < lens  # [K, 1]
+            base, win = bw.refill(pos)
+            partial = []
+            for j, kd in enumerate(codec.kinds):
+                a = TABLE_KINDS[kd][1]
+                row, extra = codec.dec_row(j, partial, state)
+                active = lane_active if extra is None else (lane_active & extra)
+                g, update = _substep_tables(cnts, kd, row, active, k)
+                cum = _prefix_exclusive(g, prefix_m[a])
+                sf = (x & MASK).astype(I32).astype(F32)  # [K, 1]
+                ge = (cum <= sf).astype(I32)
+                sym_col = jnp.sum(ge, axis=1, keepdims=True) - 1  # [K, 1]
+                cum_c = _select_col(cum, sym_col).astype(I32)
+                freq_c = _select_col(g, sym_col).astype(I32)
+                xx = (
+                    freq_c.astype(U32) * (x >> PROB_BITS)
+                    + (x & MASK)
+                    - cum_c.astype(U32)
+                )
+                for _ in range(2):
+                    need = (xx < RANS_L) & active
+                    byte = _ByteWindow.fetch(win, base, pos)
+                    xx = jnp.where(need, (xx << 8) | byte.astype(U32), xx)
+                    pos = jnp.where(need, pos + 1, pos)
+                x = jnp.where(active, xx, x)
+                sym_col = jnp.where(active, sym_col, 0)
+                partial.append(sym_col)
+                update(sym_col)
+            rec, state = codec.dec_finish(partial, state, lane_active)
+            # stage records; flush aligned 128-column blocks (Mosaic requires
+            # dynamic minor-dim store offsets to be 128-multiples)
+            tmod = t % PAYBLK
+            cmask = jax.lax.broadcasted_iota(I32, (k, PAYBLK), 1) == tmod
+            stage = tuple(
+                jnp.where(cmask, rec[wi], stage[wi]) for wi in range(w)
+            )
+
+            @pl.when(tmod == PAYBLK - 1)
+            def _():
+                tb = pl.multiple_of(t - (PAYBLK - 1), PAYBLK)
+                for wi in range(w):
+                    out_ref[wi, :, pl.ds(tb, PAYBLK)] = stage[wi]
+
+            return x, pos, state, stage
+
+        x, pos, state, stage = jax.lax.fori_loop(
+            0, t_steps, step, (x, pos, state, stage0)
+        )
+        if t_steps % PAYBLK != 0:
+            tb = (t_steps // PAYBLK) * PAYBLK
+            for wi in range(w):
+                out_ref[wi, :, pl.ds(tb, PAYBLK)] = stage[wi]
+
+    return kernel, kinds, w
+
+
+@functools.partial(jax.jit, static_argnames=("codec_name", "k", "t_steps"))
+def decode_section_kernel(payload, lens, tables, codec_name: str, k: int,
+                          t_steps: int):
+    """Drop-in replacement for jx.coder.decode_section_scan (same contract:
+    payload [K, L] uint8, lens [K] -> records [T, K, W] int32, tables')."""
+    codec = KCODECS[codec_name]
+    kinds = _unique_kinds(codec)
+
+    kp = max(k, 8)  # lane padding for tiny sections (padded lanes never active)
+    l = payload.shape[1]
+    lp = 2 * PAYBLK  # pow2 bucketing bounds the Mosaic compile variants
+    while lp < l:
+        lp *= 2
+    pay = jnp.zeros((kp, lp), I32).at[:k, :l].set(payload.astype(I32))
+    lens2 = jnp.zeros((kp, 1), I32).at[:k, 0].set(lens.astype(I32))
+    cnt_f32 = [tables[kd]["cnt"].astype(F32) for kd in kinds]
+
+    kernel, kinds, w = _build_decode_kernel(codec_name, kp, lp, t_steps)
+    tp = -(-t_steps // PAYBLK) * PAYBLK
+    out_shapes = [jax.ShapeDtypeStruct((w, kp, tp), I32)] + [
+        jax.ShapeDtypeStruct(tables[kd]["cnt"].shape, F32) for kd in kinds
+    ]
+    n_in = 2  # pay, lens
+    aliases = {n_in + i: 1 + i for i in range(len(kinds))}
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_in + len(kinds)),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + len(kinds)),
+        input_output_aliases=aliases,
+        interpret=jax.default_backend() == "cpu",
+    )(pay, lens2, *cnt_f32)
+    recs = jnp.transpose(outs[0], (2, 1, 0))[:t_steps, :k, :]  # [T, K, W]
+    tables = dict(tables)
+    for kd, cnew in zip(kinds, outs[1:]):
+        cnt = cnew.astype(jnp.int32)
+        tables[kd] = {"cnt": cnt, "cntsum": cnt.sum(axis=1)}
+    return recs, tables
+
+
+# ---------------------------------------------------------------------------
+# Fused section encode kernel (forward model pass + reverse rANS pack)
+# ---------------------------------------------------------------------------
+
+
+def _build_encode_kernel(codec_name: str, k: int, t_steps: int, cap: int):
+    codec = KCODECS[codec_name]
+    kinds = _unique_kinds(codec)
+    w = codec.rec_width
+    s_sub = len(codec.kinds)
+    ts = t_steps * s_sub
+    tsp = -(-ts // PAYBLK) * PAYBLK
+    tp = -(-t_steps // PAYBLK) * PAYBLK
+    ncapb = cap // PAYBLK
+
+    def kernel(recs_ref, lens_ref, *refs):
+        # refs = (cnt_in..., buf_out, start_out, cnt_out...), cnt aliased;
+        # scratch: ivals [3, K, TSp] (cum, freq, act per substep)
+        buf_ref = refs[len(kinds)]
+        start_ref = refs[len(kinds) + 1]
+        cnts = dict(zip(kinds, refs[len(kinds) + 2 : len(kinds) + 2 + len(kinds)]))
+        iv_ref = refs[-1]  # scratch
+        for i, kd in enumerate(kinds):
+            cnts[kd][:, :] = refs[i][:, :]
+        prefix_m = {a: _prefix_matrix(a) for a in {TABLE_KINDS[kd][1] for kd in kinds}}
+        lens = lens_ref[:, :]  # [K, 1]
+
+        # ---- phase 1: forward model pass ----
+        state0 = codec.init_state(k)
+        rstage0 = tuple(jnp.zeros((k, PAYBLK), I32) for _ in range(w))
+        istage0 = jnp.zeros((k, PAYBLK), I32)
+
+        def fwd(t, carry):
+            state, rstage, istage = carry
+            lane_active = t < lens
+            # refill the record stage every 128 steps (aligned loads)
+            @pl.when(t % PAYBLK == 0)
+            def _():
+                pass  # loads below handle staging via value-carry
+
+            tmod = t % PAYBLK
+            rstage = jax.lax.cond(
+                tmod == 0,
+                lambda rs: tuple(
+                    recs_ref[wi, :, pl.ds(pl.multiple_of(t, PAYBLK), PAYBLK)]
+                    for wi in range(w)
+                ),
+                lambda rs: rs,
+                rstage,
+            )
+            cmask = jax.lax.broadcasted_iota(I32, (k, PAYBLK), 1) == tmod
+            rec = [
+                jnp.sum(jnp.where(cmask, rstage[wi], 0), axis=1, keepdims=True)
+                for wi in range(w)
+            ]
+            for j, kd in enumerate(codec.kinds):
+                a = TABLE_KINDS[kd][1]
+                row, sym, extra = codec.enc_syms(j, rec, state)
+                active = lane_active if extra is None else (lane_active & extra)
+                symc = jnp.clip(sym, 0, a - 1)
+                g, update = _substep_tables(cnts, kd, row, active, k)
+                cum = _prefix_exclusive(g, prefix_m[a])
+                cum_c = _select_col(cum, symc).astype(I32)
+                freq_c = _select_col(g, symc).astype(I32)
+                symm = jnp.where(active, symc, 0)
+                update(symm)
+                # stage packed (cum | freq<<14 | act<<29) at s = t*S + j
+                s = t * s_sub + j
+                smod = s % PAYBLK
+                simask = jax.lax.broadcasted_iota(I32, (k, PAYBLK), 1) == smod
+                packed = cum_c | (freq_c << 14) | (active.astype(I32) << 29)
+                istage = jnp.where(simask, packed, istage)
+
+                @pl.when(smod == PAYBLK - 1)
+                def _(istage=istage, s=s):
+                    sb = pl.multiple_of(s - (PAYBLK - 1), PAYBLK)
+                    iv_ref[:, pl.ds(sb, PAYBLK)] = istage
+
+            state = codec.enc_next_state(rec, state, lane_active)
+            return state, rstage, istage
+
+        state, rstage, istage = jax.lax.fori_loop(
+            0, t_steps, fwd, (state0, rstage0, istage0)
+        )
+        if ts % PAYBLK != 0:
+            sb = (ts // PAYBLK) * PAYBLK
+            iv_ref[:, pl.ds(sb, PAYBLK)] = istage
+
+        # ---- phase 2: reverse rANS pack ----
+        buf_ref[:, :] = jnp.zeros((k, cap), I32)
+        x = jnp.full((k, 1), RANS_L, U32)
+        pos = jnp.full((k, 1), cap, I32)
+        wstage0 = jnp.zeros((k, 2 * PAYBLK), I32)  # byte window [wbase, +256)
+
+        def emit(wstage, wbase, pos, byte, do):
+            p = jnp.where(do, pos - 1, pos)
+            off = p - wbase  # in [0, 256) by refill invariant
+            offm = jax.lax.broadcasted_iota(I32, (k, 2 * PAYBLK), 1) == off
+            wstage = jnp.where(
+                offm & do, byte, wstage
+            )
+            return wstage, p
+
+        def flush_low(wstage, wbase, need):
+            """Slide windows down 128 bytes for lanes that `need` it: write
+            the window's upper half into buf_ref and shift."""
+            blk = (wbase >> 7) + 1  # upper-half block index
+            bidx = jax.lax.broadcasted_iota(I32, (k, ncapb), 1)
+            ohb = ((bidx == blk) & need).astype(I32)
+            upper = jnp.where(
+                jax.lax.broadcasted_iota(I32, (k, 2 * PAYBLK), 1) >= PAYBLK,
+                wstage, 0,
+            )
+            # align upper half to [0,128): roll left by 128
+            upper128 = pltpu.roll(upper, PAYBLK, 1)[:, :PAYBLK]
+            add = (ohb[:, :, None] * upper128[:, None, :]).reshape(k, cap)
+            buf_ref[:, :] = buf_ref[:, :] + add
+            # shift window contents up (bytes move from low half to high half)
+            wstage = jnp.where(
+                need,
+                pltpu.roll(wstage, PAYBLK, 1)
+                & jnp.where(
+                    jax.lax.broadcasted_iota(I32, (k, 2 * PAYBLK), 1) >= PAYBLK,
+                    -1, 0,
+                ),
+                wstage,
+            )
+            wbase = jnp.where(need, wbase - PAYBLK, wbase)
+            return wstage, wbase
+
+        wbase0 = jnp.full((k, 1), cap - 2 * PAYBLK, I32)
+
+        def rev(i, carry):
+            x, pos, wstage, wbase, istage = carry
+            s = ts - 1 - i
+            smod = s % PAYBLK
+            istage = jax.lax.cond(
+                smod == PAYBLK - 1,
+                lambda st: iv_ref[
+                    :, pl.ds(pl.multiple_of(s - (PAYBLK - 1), PAYBLK), PAYBLK)
+                ],
+                lambda st: st,
+                istage,
+            )
+            cmask = jax.lax.broadcasted_iota(I32, (k, PAYBLK), 1) == smod
+            packed = jnp.sum(jnp.where(cmask, istage, 0), axis=1, keepdims=True)
+            cum_c = packed & 16383
+            freq_c = (packed >> 14) & 32767
+            act = (packed >> 29) != 0
+            fx = jnp.maximum(freq_c, 1).astype(U32)  # int32 max (maxui is
+            # not legal on this Mosaic version)
+            x_max = jnp.where(
+                act, fx << X_MAX_SHIFT, jnp.full((k, 1), 0xFFFFFFFF, U32)
+            )
+            for _ in range(2):
+                do = x >= x_max
+                wstage, pos = emit(
+                    wstage, wbase, pos, (x & 0xFF).astype(I32), do
+                )
+                x = jnp.where(do, x >> 8, x)
+            nx = ((x // fx) << PROB_BITS) + (x % fx) + cum_c.astype(U32)
+            x = jnp.where(act, nx, x)
+            # keep >= 8 bytes of room below pos
+            need = (pos - wbase) < 8
+            wstage, wbase = flush_low(wstage, wbase, need)
+            return x, pos, wstage, wbase, istage
+
+        # preload the (possibly partial) top block for the first reverse steps
+        top = ((ts - 1) // PAYBLK) * PAYBLK
+        istage_r = iv_ref[:, pl.ds(top, PAYBLK)]
+        x, pos, wstage, wbase, _ = jax.lax.fori_loop(
+            0, ts, rev, (x, pos, wstage0, wbase0, istage_r)
+        )
+        # final 4-byte state flush (LE, low byte at the lowest address)
+        ones = jnp.ones((k, 1), bool)
+        for i in (3, 2, 1, 0):
+            wstage, pos = emit(
+                wstage, wbase, pos, ((x >> (8 * i)) & 0xFF).astype(I32), ones
+            )
+            need = (pos - wbase) < 8
+            wstage, wbase = flush_low(wstage, wbase, need)
+        # flush remaining window halves (both blocks)
+        for _ in range(2):
+            wstage, wbase = flush_low(wstage, wbase, ones)
+        start_ref[:, :] = pos
+
+    return kernel, kinds, w, tsp
+
+
+@functools.partial(jax.jit, static_argnames=("codec_name", "k", "t_steps"))
+def encode_section_kernel(recs, lens, tables, codec_name: str, k: int,
+                          t_steps: int):
+    """Fused replacement for jx.coder.model_scan + rans_pack.
+
+    recs: [T, K, W] int32 dealt records; lens [K].
+    Returns (buf [K, cap] uint8, start [K] int32, tables')."""
+    codec = KCODECS[codec_name]
+    kinds = _unique_kinds(codec)
+    s_sub = len(codec.kinds)
+    cap0 = 2 * t_steps * s_sub + 8
+    cap = -(-cap0 // (2 * PAYBLK)) * (2 * PAYBLK)
+
+    kp = max(k, 8)
+    tp = -(-t_steps // PAYBLK) * PAYBLK
+    w = codec.rec_width
+    recs_t = jnp.zeros((w, kp, tp), I32).at[:, :k, :t_steps].set(
+        jnp.transpose(recs, (2, 1, 0))
+    )
+    lens2 = jnp.zeros((kp, 1), I32).at[:k, 0].set(lens.astype(I32))
+    cnt_f32 = [tables[kd]["cnt"].astype(F32) for kd in kinds]
+
+    kernel, kinds, w, tsp = _build_encode_kernel(codec_name, kp, t_steps, cap)
+    out_shapes = [
+        jax.ShapeDtypeStruct((kp, cap), I32),
+        jax.ShapeDtypeStruct((kp, 1), I32),
+    ] + [jax.ShapeDtypeStruct(tables[kd]["cnt"].shape, F32) for kd in kinds]
+    n_in = 2
+    aliases = {n_in + i: 2 + i for i in range(len(kinds))}
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_in + len(kinds)),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + len(kinds)),
+        input_output_aliases=aliases,
+        scratch_shapes=[pltpu.VMEM((kp, tsp), I32)],
+        interpret=jax.default_backend() == "cpu",
+    )(recs_t, lens2, *cnt_f32)
+    buf = outs[0][:k].astype(jnp.uint8)
+    start = outs[1][:k, 0]
+    tables = dict(tables)
+    for kd, cnew in zip(kinds, outs[2:]):
+        cnt = cnew.astype(jnp.int32)
+        tables[kd] = {"cnt": cnt, "cntsum": cnt.sum(axis=1)}
+    return buf, start, tables

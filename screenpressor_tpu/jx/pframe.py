@@ -294,9 +294,7 @@ def encode_sections_device(recs_cap, ns, tables, kts):
         n = ns[name]
         dealt = jc.deal_device(recs_cap[name], n, k, t)
         lens = jc.lane_lens_device(n, k)
-        nsub = len(jc.CODECS[name].kinds)
-        cum, freq, act, tables = jc.model_scan(dealt, lens, tables, name, k, t)
-        buf, start = jc.rans_pack(cum, freq, act, 2 * t * nsub + 8)
+        buf, start, tables = jc.encode_section_auto(dealt, lens, tables, name, k, t)
         bufs[name], starts[name], lens_out[name] = buf, start, lens
     return bufs, starts, lens_out, tables
 
@@ -308,7 +306,7 @@ def decode_sections_device(payloads, ns, tables, kts, caps):
     for (name, k, t), cap in zip(kts, caps):
         n = ns[name]
         lens = jc.lane_lens_device(n, k)
-        scan_out, tables = jc.decode_section_scan(payloads[name], lens, tables, name, k, t)
+        scan_out, tables = jc.decode_section_auto(payloads[name], lens, tables, name, k, t)
         out[name] = jc.undeal_device(scan_out, n, k, cap)
     return out, tables
 
@@ -562,8 +560,7 @@ def encode_sections_raw(recs_cap, ns, tables, kts, extra_bytes: int,
     bufs, starts, lens_out, tables2 = encode_sections_device(recs_cap, ns, tables, kts)
     total = jnp.int32(extra_bytes)
     for name, k, t in kts:
-        nsub = len(jc.CODECS[name].kinds)
-        cap = 2 * t * nsub + 8
+        cap = bufs[name].shape[1]
         total = total + 1 + 4 * k + jnp.where(
             lens_out[name] > 0, cap - starts[name], 0
         ).sum()

@@ -25,9 +25,10 @@ constexpr int PROB_BITS = 14;
 constexpr int PROB_SCALE = 1 << PROB_BITS;
 constexpr uint32_t RANS_L = 1u << 23;
 constexpr int STEP = 512;
-constexpr int STEP_COLOR = 256;
-constexpr int INIT_CNT_SHIFT = 3;
-constexpr int RESCALE_PASSES = 5;
+constexpr int RESCALE_SHIFT = 13;
+constexpr int COLOR_CTX_SHIFT = 4;
+constexpr int COLOR_CTX_HALF_BITS = 4;
+constexpr int COLOR_CTX_ROWS = 1 << (2 * COLOR_CTX_HALF_BITS);
 constexpr int K_MAX = 256;
 constexpr int TARGET_PER_LANE = 256;
 constexpr int BLOCK = 16;
@@ -49,64 +50,56 @@ static int next_pow2(int n) {
   return p;
 }
 
+static inline int color_ctx(int a, int b) {
+  return ((a >> COLOR_CTX_SHIFT) << COLOR_CTX_HALF_BITS) | (b >> COLOR_CTX_SHIFT);
+}
+
 static int lane_count(int n) {
   if (n <= 0) return 1;
   return std::min(K_MAX, next_pow2((n + TARGET_PER_LANE - 1) / TARGET_PER_LANE));
 }
 
-// ----- adaptive tables (spec/tables.py) ------------------------------------
+// ----- adaptive tables (spec/tables.py, SPTC2 live-count semantics) ---------
 struct Table {
   int rows, A, step;
-  std::vector<int32_t> freq, cum, cnt;
+  std::vector<int32_t> cnt;
   std::vector<int32_t> cntsum;
 
   Table(int rows_, int a, int step_ = STEP) : rows(rows_), A(a), step(step_) { renew(); }
 
   void renew() {
-    int f = PROB_SCALE / A;
-    int c0 = std::max(f >> INIT_CNT_SHIFT, 1);
-    freq.assign((size_t)rows * A, f);
-    cum.resize((size_t)rows * A);
-    cnt.assign((size_t)rows * A, c0);
-    cntsum.assign(rows, c0 * A);
-    for (int r = 0; r < rows; r++)
-      for (int c = 0; c < A; c++) cum[(size_t)r * A + c] = c * f;
+    // init strictly below the rescale threshold (spec/tables.py)
+    int f = std::max((PROB_SCALE - step - A) / A, 1);
+    cnt.assign((size_t)rows * A, f);
+    cntsum.assign(rows, f * A);
   }
 
   void interval(int r, int s, int& cu, int& fr) const {
-    cu = cum[(size_t)r * A + s];
-    fr = freq[(size_t)r * A + s];
+    const int32_t* cr = &cnt[(size_t)r * A];
+    int32_t cf = 0;
+    for (int i = 0; i < s; i++) cf += cr[i];
+    cu = cf;
+    fr = cr[s];
   }
 
   int lookup(int r, int sf, int& cu, int& fr) const {
-    const int32_t* cr = &cum[(size_t)r * A];
-    // last slot whose start is <= sf
-    int lo = 0, hi = A - 1;
-    while (lo < hi) {
-      int mid = (lo + hi + 1) >> 1;
-      if (cr[mid] <= sf) lo = mid;
-      else hi = mid - 1;
-    }
-    cu = cr[lo];
-    fr = freq[(size_t)r * A + lo];
-    return lo;
+    const int32_t* cr = &cnt[(size_t)r * A];
+    // last symbol whose interval start is <= sf (live prefix walk)
+    int32_t cf = 0;
+    int c = 0;
+    while (c + 1 < A && cf + cr[c] <= sf) cf += cr[c++];
+    cu = cf;
+    fr = cr[c];
+    return c;
   }
 
   void rescale_row(int r) {
     int32_t* c = &cnt[(size_t)r * A];
-    std::vector<int32_t> tmp(c, c + A);
-    for (int pass = 0; pass < RESCALE_PASSES; pass++) {
-      long s = 0;
-      for (int i = 0; i < A; i++) s += tmp[i];
-      if (s > PROB_SCALE)
-        for (int i = 0; i < A; i++) tmp[i] = std::max(tmp[i] >> 1, 1);
-    }
-    int32_t cf = 0, cs = 0;
+    int target = PROB_SCALE - step - A;
+    int64_t sc = ((int64_t)target << RESCALE_SHIFT) / cntsum[r];
+    int32_t cs = 0;
     for (int i = 0; i < A; i++) {
-      freq[(size_t)r * A + i] = tmp[i];
-      cum[(size_t)r * A + i] = cf;
-      cf += tmp[i];
-      c[i] = std::max(tmp[i] - (tmp[i] >> 1), 1);
+      c[i] = std::max<int32_t>((int32_t)(((int64_t)c[i] * sc) >> RESCALE_SHIFT), 1);
       cs += c[i];
     }
     cntsum[r] = cs;
@@ -127,7 +120,7 @@ struct Table {
 };
 
 struct TableSet {
-  Table ptype{6, 6}, nrun{6, 256}, color{3 * 4096, 256, STEP_COLOR}, bt{1, 5}, btn{1, 256},
+  Table ptype{6, 6}, nrun{6, 256}, color{3 * COLOR_CTX_ROWS, 256}, bt{1, 5}, btn{1, 256},
       sxy{4, 16}, mvflag{1, 2}, mv{2, 512};
   void renew() {
     ptype.renew(); nrun.renew(); color.renew(); bt.renew();
@@ -228,9 +221,9 @@ struct SectionCodec {
       case C_COL: {
         tab = &T.color;
         int pg = st.a, pb = st.b;
-        if (j == 0) { row = ((pg >> 2) << 6) | (pb >> 2); sym = r.v[0]; }
-        else if (j == 1) { row = 4096 + (((pb >> 2) << 6) | (r.v[0] >> 2)); sym = r.v[1]; }
-        else { row = 2 * 4096 + (((r.v[0] >> 2) << 6) | (r.v[1] >> 2)); sym = r.v[2]; }
+        if (j == 0) { row = color_ctx(pg, pb); sym = r.v[0]; }
+        else if (j == 1) { row = COLOR_CTX_ROWS + color_ctx(pb, r.v[0]); sym = r.v[1]; }
+        else { row = 2 * COLOR_CTX_ROWS + color_ctx(r.v[0], r.v[1]); sym = r.v[2]; }
         return true;
       }
       case C_MV: {
@@ -261,9 +254,9 @@ struct SectionCodec {
       case C_COL: {
         tab = &T.color;
         int pg = st.a, pb = st.b;
-        if (j == 0) row = ((pg >> 2) << 6) | (pb >> 2);
-        else if (j == 1) row = 4096 + (((pb >> 2) << 6) | (partial[0] >> 2));
-        else row = 2 * 4096 + (((partial[0] >> 2) << 6) | (partial[1] >> 2));
+        if (j == 0) row = color_ctx(pg, pb);
+        else if (j == 1) row = COLOR_CTX_ROWS + color_ctx(pb, partial[0]);
+        else row = 2 * COLOR_CTX_ROWS + color_ctx(partial[0], partial[1]);
         return true;
       }
       case C_MV:

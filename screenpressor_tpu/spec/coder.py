@@ -88,15 +88,16 @@ class ColCodec(RecordCodec):
 
     @staticmethod
     def _rows(partial, state):
+        from screenpressor_tpu.config import COLOR_CTX_ROWS, color_ctx
+
         prevg, prevb = state
-        ctx_r = ((prevg >> 2) << 6) | (prevb >> 2)
-        rows = [ctx_r]
+        rows = [color_ctx(prevg, prevb)]
         if partial[0] is not None:
             r = partial[0]
-            rows.append(4096 + (((prevb >> 2) << 6) | (r >> 2)))
+            rows.append(COLOR_CTX_ROWS + color_ctx(prevb, r))
             if len(partial) > 1 and partial[1] is not None:
                 g = partial[1]
-                rows.append(2 * 4096 + (((r >> 2) << 6) | (g >> 2)))
+                rows.append(2 * COLOR_CTX_ROWS + color_ctx(r, g))
         return rows
 
     def enc_symbol(self, j, record, state):

@@ -1,9 +1,17 @@
-"""BSAC adaptive tables — numpy specification.
+"""BSAC adaptive tables — numpy specification (SPTC2 live-count semantics).
 
 Batched-synchronous shared adaptive contexts (FORMAT.md "Adaptive tables").
 Reference analog: `FixedSizeRansCtx<N>` (`ans_contexts.h:1053-1132`) — fixed
-alphabet, count/step adaptation, halving rescale — generalized to a batched
-update so K lanes can code against one table set in lockstep.
+alphabet, count/step adaptation — generalized to a batched update so K lanes
+code against one table set in lockstep.
+
+SPTC2 revision (round 2): the live counts ARE the coding distribution
+(`freq[c] = cnt[c]`, `cum = exclusive prefix(cnt)` computed at coding time),
+and rescale scales counts back up to fill the code space
+(`target = PROB_SCALE - step - A`) instead of bare halving. This removes the
+snapshot arrays (freq/cum) — halving table state and device scatter traffic —
+and fixes the round-1 ratio leak where a freshly-halved snapshot coded with
+only ~half of the 2^PROB_BITS code space (~up to 1 bit/symbol).
 """
 
 from __future__ import annotations
@@ -11,9 +19,7 @@ from __future__ import annotations
 import numpy as np
 
 from screenpressor_tpu.config import (
-    INIT_CNT_SHIFT,
     PROB_SCALE,
-    RESCALE_PASSES,
     STEP,
     TABLE_KINDS,
 )
@@ -26,34 +32,36 @@ class Table:
         self.rows = rows
         self.A = alphabet
         self.step = step
-        self.freq = np.zeros((rows, alphabet), np.int32)
-        self.cum = np.zeros((rows, alphabet), np.int32)
+        assert PROB_SCALE - step - alphabet > 0, (step, alphabet)
         self.cnt = np.zeros((rows, alphabet), np.int32)
         self.cntsum = np.zeros((rows,), np.int32)
         self.renew()
 
     def renew(self) -> None:
-        f = PROB_SCALE // self.A
-        self.freq[:] = f
-        self.cum[:] = np.arange(self.A, dtype=np.int32) * f
-        self.cnt[:] = max(f >> INIT_CNT_SHIFT, 1)
-        self.cntsum[:] = self.cnt[0].sum()
+        # init strictly below the rescale threshold: an untouched row must
+        # never satisfy the trigger (the batched implementations evaluate the
+        # per-row predicate for parked lanes too)
+        f = max((PROB_SCALE - self.step - self.A) // self.A, 1)
+        self.cnt[:] = f
+        self.cntsum[:] = f * self.A
 
     # -- coding ------------------------------------------------------------
 
     def interval(self, row: int, sym: int) -> tuple[int, int]:
-        return int(self.cum[row, sym]), int(self.freq[row, sym])
+        c = self.cnt[row]
+        return int(c[:sym].sum()), int(c[sym])
 
     def lookup(self, row: int, some_freq: int) -> tuple[int, int, int]:
         """someFreq -> (symbol, cum, freq). Last slot absorbs the unused tail."""
-        c = int(np.searchsorted(self.cum[row], some_freq, side="right")) - 1
-        return c, int(self.cum[row, c]), int(self.freq[row, c])
+        cum = np.cumsum(self.cnt[row]) - self.cnt[row]
+        c = int(np.searchsorted(cum, some_freq, side="right")) - 1
+        return c, int(cum[c]), int(self.cnt[row, c])
 
     # -- batched update ----------------------------------------------------
 
     def update_batch(self, rows_syms: list[tuple[int, int]]) -> None:
         """Apply one sub-step's updates for all active lanes, then rescale
-        every touched row that crossed the threshold."""
+        every row that crossed the threshold (scale-to-fill)."""
         if not rows_syms:
             return
         rs = np.asarray([r for r, _ in rows_syms], np.int64)
@@ -65,14 +73,11 @@ class Table:
                 self._rescale(int(r))
 
     def _rescale(self, r: int) -> None:
-        c = self.cnt[r].copy()
-        for _ in range(RESCALE_PASSES):
-            if c.sum() > PROB_SCALE:
-                c = np.maximum(c >> 1, 1)
-        self.freq[r] = c
-        self.cum[r] = np.concatenate(([0], np.cumsum(c)[:-1]))
-        self.cnt[r] = np.maximum(c - (c >> 1), 1)
-        self.cntsum[r] = self.cnt[r].sum()
+        target = PROB_SCALE - self.step - self.A
+        sc = (target << 13) // int(self.cntsum[r])
+        c = np.maximum((self.cnt[r] * sc) >> 13, 1)
+        self.cnt[r] = c
+        self.cntsum[r] = c.sum()
 
 
 class TableSet:

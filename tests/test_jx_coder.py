@@ -74,8 +74,8 @@ def test_jax_roundtrip_table_lockstep():
     np.testing.assert_array_equal(out, rec_arr)
     for kind in ("ptype", "nrun"):
         np.testing.assert_array_equal(
-            np.asarray(enc_tabs[kind]["freq"]), np.asarray(dec_tabs[kind]["freq"])
+            np.asarray(enc_tabs[kind]["cnt"]), np.asarray(dec_tabs[kind]["cnt"])
         )
         np.testing.assert_array_equal(
-            np.asarray(enc_tabs[kind]["cnt"]), np.asarray(dec_tabs[kind]["cnt"])
+            np.asarray(enc_tabs[kind]["cntsum"]), np.asarray(dec_tabs[kind]["cntsum"])
         )

@@ -1,0 +1,94 @@
+"""Pallas section kernels must reproduce the lax.scan coder exactly
+(same records, same updated tables) for every codec."""
+
+import numpy as np
+import pytest
+
+from screenpressor_tpu.config import lane_count
+from screenpressor_tpu.jx import coder as jc
+from screenpressor_tpu.jx import kernels as kx
+from screenpressor_tpu.jx.tables import renew_tables
+
+from tests.test_jx_coder import SPEC_CODECS, _spec_records
+
+
+@pytest.mark.parametrize("name", ["rec", "col", "bt", "sxy", "mv"])
+@pytest.mark.parametrize("n", [5, 700])
+def test_decode_kernel_matches_scan(name, n):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(sum(map(ord, name)) + n + 3)
+    records = _spec_records(name, n, rng)
+    k = lane_count(n)
+    rec_arr = np.asarray([list(r) for r in records], np.int32)
+    blobs, _ = jc.encode_section(rec_arr, k, renew_tables(), name)
+
+    t_steps = jc._pad_steps(-(-n // k))
+    lens = jnp.asarray(jc.lane_lengths(n, k))
+    max_len = max(max(len(b) for b in blobs), 4)
+    payload = np.zeros((k, max_len), np.uint8)
+    for i, b in enumerate(blobs):
+        payload[i, : len(b)] = np.frombuffer(b, np.uint8)
+    payload = jnp.asarray(payload)
+
+    recs_scan, tabs_scan = jc.decode_section_scan(
+        payload, lens, renew_tables(), name, k, t_steps
+    )
+    recs_kern, tabs_kern = kx.decode_section_kernel(
+        payload, lens, renew_tables(), name, k, t_steps
+    )
+    np.testing.assert_array_equal(np.asarray(recs_kern), np.asarray(recs_scan))
+    for kd in tabs_scan:
+        np.testing.assert_array_equal(
+            np.asarray(tabs_kern[kd]["cnt"]), np.asarray(tabs_scan[kd]["cnt"]),
+            err_msg=f"table {kd} cnt",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(tabs_kern[kd]["cntsum"]), np.asarray(tabs_scan[kd]["cntsum"]),
+            err_msg=f"table {kd} cntsum",
+        )
+
+
+@pytest.mark.parametrize("name", ["rec", "col", "bt", "sxy", "mv"])
+@pytest.mark.parametrize("n", [5, 700])
+def test_encode_kernel_matches_scan(name, n):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(sum(map(ord, name)) + n + 11)
+    records = _spec_records(name, n, rng)
+    k = lane_count(n)
+    codec = jc.CODECS[name]
+    t_steps = jc._pad_steps(-(-n // k))
+    lens_np = jc.lane_lengths(n, k)
+    recs = np.zeros((t_steps, k, codec.rec_width), np.int32)
+    lane, t = jc.gather_order(n, k)
+    recs[t, lane] = np.asarray([list(r) for r in records], np.int32)
+    recs = jnp.asarray(recs)
+    lens = jnp.asarray(lens_np)
+
+    cum, freq, act, tabs_scan = jc.model_scan(
+        recs, lens, renew_tables(), name, k, t_steps
+    )
+    nsub = len(codec.kinds)
+    cap = 2 * t_steps * nsub + 8
+    buf_s, start_s = jc.rans_pack(cum, freq, act, cap)
+    buf_s, start_s = np.asarray(buf_s), np.asarray(start_s)
+    blobs_scan = [
+        bytes(buf_s[i, start_s[i]:].tobytes()) if lens_np[i] > 0 else b""
+        for i in range(k)
+    ]
+
+    buf_k, start_k, tabs_kern = kx.encode_section_kernel(
+        recs, lens, renew_tables(), name, k, t_steps
+    )
+    buf_k, start_k = np.asarray(buf_k), np.asarray(start_k)
+    blobs_kern = [
+        bytes(buf_k[i, start_k[i]:].tobytes()) if lens_np[i] > 0 else b""
+        for i in range(k)
+    ]
+    assert blobs_kern == blobs_scan
+    for kd in tabs_scan:
+        np.testing.assert_array_equal(
+            np.asarray(tabs_kern[kd]["cnt"]), np.asarray(tabs_scan[kd]["cnt"]),
+            err_msg=f"table {kd}",
+        )

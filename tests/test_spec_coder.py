@@ -24,8 +24,8 @@ def _roundtrip(records, codec, k=None):
     assert out == list(records)
     # encoder/decoder models must stay in lockstep
     for name in enc_tabs.tables:
-        np.testing.assert_array_equal(enc_tabs[name].freq, dec_tabs[name].freq)
         np.testing.assert_array_equal(enc_tabs[name].cnt, dec_tabs[name].cnt)
+        np.testing.assert_array_equal(enc_tabs[name].cntsum, dec_tabs[name].cntsum)
     return blobs
 
 
@@ -109,10 +109,6 @@ def test_rescale_bounds_hold():
     for _ in range(200):
         syms = rng.integers(0, 4, 64)
         t.update_batch([(0, int(s)) for s in syms])
-        assert t.freq[0].sum() <= PROB_SCALE
-        assert (t.freq[0] >= 1).all()
+        assert t.cnt[0].sum() <= PROB_SCALE
         assert (t.cnt[0] >= 1).all()
-        # cum consistent with freq
-        np.testing.assert_array_equal(
-            t.cum[0], np.concatenate(([0], np.cumsum(t.freq[0])[:-1]))
-        )
+        assert t.cntsum[0] == t.cnt[0].sum()
