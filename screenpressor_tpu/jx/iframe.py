@@ -83,8 +83,8 @@ def parse_i_header(data: bytes, pos: int, cfg: CodecConfig):
     t_rec = jc._pad_steps(-(-n_rec // k_rec)) if n_rec else 1
     t_col = jc._pad_steps(-(-n_lit // k_col)) if n_lit else 1
     return (
-        jnp.asarray(_pad_payload(rec_blobs, k_rec)),
-        jnp.asarray(_pad_payload(col_blobs, k_col)),
+        _pad_payload(rec_blobs, k_rec),
+        _pad_payload(col_blobs, k_col),
         n_rec, n_lit, k_rec, t_rec, k_col, t_col,
     )
 

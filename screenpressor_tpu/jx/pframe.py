@@ -694,8 +694,8 @@ def parse_p_header(data: bytes, pos: int, cfg: CodecConfig):
         pay = np.zeros((k, next_pow2(max_len)), np.uint8)
         for i, b in enumerate(blobs):
             pay[i, : len(b)] = np.frombuffer(b, np.uint8)
-        payloads[name] = jnp.asarray(pay)
-        ns[name] = jnp.int32(n)
+        payloads[name] = pay
+        ns[name] = n
     return payloads, ns, tuple(kts), tuple(caps), (xx1, xx2, n_mv, n_data)
 
 

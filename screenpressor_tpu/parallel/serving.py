@@ -522,3 +522,249 @@ class BatchedEncoder:
             out[i] = (data, FTYPE_P)
         self.prev = frames.copy()
         return out
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-stream decoding (VERDICT round-1 missing #3)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "k", "t_rec", "t_col"))
+def _batched_decode_i(pay_rec, pay_col, n_rec_b, n_lit_b, skip, tables_b,
+                      h, w, k, t_rec, t_col):
+    from screenpressor_tpu.jx.iframe import decode_i_device
+
+    def one(pr, pc, n_rec, n_lit, sk, tables):
+        n_rec = jnp.where(sk, 0, n_rec)
+        n_lit = jnp.where(sk, 0, n_lit)
+        frame, total, tables = decode_i_device(
+            pr, pc, n_rec, n_lit, tables, h, w, k, t_rec, k, t_col
+        )
+        ok = sk | (total == h * w)
+        return frame, ok, tables
+
+    return jax.vmap(one)(pay_rec, pay_col, n_rec_b, n_lit_b, skip, tables_b)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "nbx", "nby", "kts", "caps", "mcap", "bcap")
+)
+def _batched_decode_p(payloads_b, ns_b, xx1_b, xx2_b, n_data_b, prevs, tables_b,
+                      h, w, nbx, nby, kts, caps, mcap, bcap):
+    from screenpressor_tpu.jx.pframe import decode_p_device
+
+    def one(payloads, ns, xx1, xx2, n_data, prev, tables):
+        return decode_p_device(
+            payloads, ns, xx1, xx2, n_data, prev, tables,
+            h, w, nbx, nby, kts, caps, mcap, bcap,
+        )
+
+    return jax.vmap(one)(payloads_b, ns_b, xx1_b, xx2_b, n_data_b, prevs, tables_b)
+
+
+class BatchedDecoder:
+    """Decode a batch of SPTC streams per call with device-resident per-stream
+    state ([S] previous frames + [S] table sets in HBM).
+
+    The batch may mix frame kinds (flat / raw / no-change / coded I / coded
+    P); coded I and coded P streams are decoded in two vmapped device calls
+    with per-stream skip masks, everything else is composed host-side.
+    Counterpart of BatchedEncoder; accepts its streams (same k_fixed policy).
+    """
+
+    def __init__(self, n_streams: int, cfg: CodecConfig):
+        if cfg.k_fixed is None:
+            cfg = dataclasses.replace(cfg, k_fixed=min(cfg.k_max, 256))
+        self.cfg = cfg
+        self.s = n_streams
+        t = renew_tables()
+        self.tables_b = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (n_streams,) + a.shape).copy(), t
+        )
+        self.prev = None  # device [S, H, W, 3] uint8
+        self.last_flat = np.zeros(n_streams, bool)
+        self.flat_color = np.zeros((n_streams, 3), np.uint8)
+
+    def _renew_streams(self, mask: np.ndarray):
+        if not mask.any():
+            return
+        fresh = renew_tables()
+        sel = jnp.asarray(mask)
+
+        def mix(batched, new):
+            return jnp.where(sel.reshape((-1,) + (1,) * new.ndim), new[None], batched)
+
+        self.tables_b = jax.tree.map(mix, self.tables_b, fresh)
+
+    def decode(self, payloads, device_out: bool = False):
+        """payloads: list of S frame byte strings -> [S, H, W, 3] frames."""
+        from screenpressor_tpu.config import ALG_P, ALG_RAW, next_pow2
+        from screenpressor_tpu.jx.iframe import parse_i_header
+        from screenpressor_tpu.jx.pframe import (
+            _SECTION_NAMES,
+            parse_p_header,
+            raise_p_error,
+        )
+
+        cfg = self.cfg
+        s, h, w = self.s, cfg.height, cfg.width
+        assert len(payloads) == s
+        k = cfg.k_fixed
+
+        renew_mask = np.zeros(s, bool)
+        override = np.zeros(s, bool)       # frame comes from host/flat/prev
+        override_val = np.zeros((s, h, w, 3), np.uint8)
+        use_prev = np.zeros(s, bool)       # no-change P streams
+        i_parse = [None] * s
+        p_parse = [None] * s
+        for i, data in enumerate(payloads):
+            if not data:
+                raise bs.CorruptStreamError(f"stream {i}: empty frame")
+            alg = bs.parse_header_byte(data[0])
+            if alg == ALG_FLAT:
+                if len(data) < 4:
+                    raise bs.CorruptStreamError(f"stream {i}: truncated flat")
+                color = np.frombuffer(data[1:4], np.uint8)
+                if not (self.last_flat[i] and (self.flat_color[i] == color).all()):
+                    renew_mask[i] = True
+                    self.flat_color[i] = color
+                self.last_flat[i] = True
+                override[i] = True
+                override_val[i] = color
+                continue
+            self.last_flat[i] = False
+            if alg == ALG_RAW:
+                npix = h * w * 3
+                if len(data) < 1 + npix:
+                    raise bs.CorruptStreamError(f"stream {i}: truncated raw")
+                override[i] = True
+                override_val[i] = np.frombuffer(data, np.uint8, npix, 1).reshape(h, w, 3)
+                renew_mask[i] = True
+                continue
+            if alg == ALG_I:
+                renew_mask[i] = True
+                i_parse[i] = parse_i_header(data, 1, cfg)
+                continue
+            if alg != ALG_P:
+                raise bs.CorruptStreamError(f"stream {i}: unknown algorithm {alg}")
+            if self.prev is None:
+                raise bs.CorruptStreamError(f"stream {i}: P-frame before keyframe")
+            parsed = parse_p_header(data, 1, cfg)
+            if parsed is None:
+                use_prev[i] = True
+            else:
+                p_parse[i] = parsed
+
+        self._renew_streams(renew_mask)
+        if self.prev is None:
+            self.prev = jnp.zeros((s, h, w, 3), jnp.uint8)
+        frames = None
+        checks = []
+
+        # ---- coded I streams (one vmapped call, skip-masked) ----
+        if any(x is not None for x in i_parse):
+            t_rec = t_col = 1
+            lr = lc = 4
+            for x in i_parse:
+                if x is None:
+                    continue
+                pay_rec, pay_col, n_rec, n_lit = x[0], x[1], x[2], x[3]
+                t_rec = max(t_rec, jc._pad_steps(-(-max(n_rec, 1) // k)))
+                t_col = max(t_col, jc._pad_steps(-(-max(n_lit, 1) // k)))
+                lr = max(lr, pay_rec.shape[1])
+                lc = max(lc, pay_col.shape[1])
+            lr, lc = next_pow2(lr), next_pow2(lc)
+            pr = np.zeros((s, k, lr), np.uint8)
+            pc = np.zeros((s, k, lc), np.uint8)
+            n_rec_b = np.zeros(s, np.int32)
+            n_lit_b = np.zeros(s, np.int32)
+            skip = np.ones(s, bool)
+            for i, x in enumerate(i_parse):
+                if x is None:
+                    continue
+                skip[i] = False
+                pr[i, :, : x[0].shape[1]] = np.asarray(x[0])
+                pc[i, :, : x[1].shape[1]] = np.asarray(x[1])
+                n_rec_b[i], n_lit_b[i] = x[2], x[3]
+            dec_frames, ok, self.tables_b = _batched_decode_i(
+                jnp.asarray(pr), jnp.asarray(pc), jnp.asarray(n_rec_b),
+                jnp.asarray(n_lit_b), jnp.asarray(skip), self.tables_b,
+                h, w, k, t_rec, t_col,
+            )
+            checks.append((~ok).astype(jnp.int32) * jnp.asarray(~skip, jnp.int32))
+            frames = dec_frames
+            i_mask = ~skip
+        else:
+            i_mask = np.zeros(s, bool)
+
+        # ---- coded P streams (one vmapped call, skip-masked) ----
+        if any(x is not None for x in p_parse):
+            maxn = {name: 1 for name in _SECTION_NAMES}
+            maxl = {name: 4 for name in _SECTION_NAMES}
+            max_mv = max_data = 1
+            for x in p_parse:
+                if x is None:
+                    continue
+                pl, ns, kts, caps, (xx1, xx2, n_mv, n_data) = x
+                for j, name in enumerate(_SECTION_NAMES):
+                    maxn[name] = max(maxn[name], int(ns[name]))
+                    maxl[name] = max(maxl[name], pl[name].shape[1])
+                max_mv = max(max_mv, n_mv)
+                max_data = max(max_data, n_data)
+            kts = tuple(
+                (name, k, jc._pad_steps(-(-maxn[name] // k))) for name in _SECTION_NAMES
+            )
+            caps = tuple(next_pow2(maxn[name]) for name in _SECTION_NAMES)
+            mcap, bcap = next_pow2(max_mv), next_pow2(max_data)
+            pay_b = {
+                name: np.zeros((s, k, next_pow2(maxl[name])), np.uint8)
+                for name in _SECTION_NAMES
+            }
+            ns_b = {name: np.zeros(s, np.int32) for name in _SECTION_NAMES}
+            xx1_b = np.zeros(s, np.int32)
+            xx2_b = np.full(s, -1, np.int32)  # skip streams: empty xx range
+            nd_b = np.zeros(s, np.int32)
+            p_mask = np.zeros(s, bool)
+            for i, x in enumerate(p_parse):
+                if x is None:
+                    continue
+                p_mask[i] = True
+                pl, ns, _kts, _caps, (xx1, xx2, n_mv, n_data) = x
+                for name in _SECTION_NAMES:
+                    a = np.asarray(pl[name])
+                    pay_b[name][i, :, : a.shape[1]] = a
+                    ns_b[name][i] = int(ns[name])
+                xx1_b[i], xx2_b[i], nd_b[i] = xx1, xx2, n_data
+            p_frames, err, self.tables_b = _batched_decode_p(
+                {n: jnp.asarray(v) for n, v in pay_b.items()},
+                {n: jnp.asarray(v) for n, v in ns_b.items()},
+                jnp.asarray(xx1_b), jnp.asarray(xx2_b), jnp.asarray(nd_b),
+                self.prev, self.tables_b,
+                h, w, cfg.nbx, cfg.nby, kts, caps, mcap, bcap,
+            )
+            checks.append(err * jnp.asarray(p_mask, jnp.int32))
+            pm = jnp.asarray(p_mask).reshape(s, 1, 1, 1)
+            frames = p_frames if frames is None else jnp.where(pm, p_frames, frames)
+        else:
+            p_mask = np.zeros(s, bool)
+
+        # ---- compose overrides / no-change streams ----
+        if frames is None:
+            frames = self.prev
+        sel_prev = jnp.asarray(use_prev).reshape(s, 1, 1, 1)
+        frames = jnp.where(sel_prev, self.prev, frames)
+        if override.any():
+            ov = jnp.asarray(override).reshape(s, 1, 1, 1)
+            frames = jnp.where(ov, jnp.asarray(override_val), frames)
+
+        if checks:
+            errs = np.asarray(jnp.stack([jnp.max(c) for c in checks]))
+            if errs.any():
+                bad = int(np.max(errs))
+                if bad == 1 and not p_mask.any():
+                    raise bs.CorruptStreamError("records do not tile frame")
+                raise_p_error(bad)
+        self.prev = frames
+        if device_out:
+            return frames
+        return np.asarray(frames)

@@ -68,3 +68,55 @@ def test_batched_second_keyframe_keeps_table_lockstep():
         b, _ = enc.encode(f1[i])
         assert outs0[i][0] == a
         assert outs1[i][0] == b
+
+
+def test_batched_decoder_roundtrip():
+    """BatchedDecoder must losslessly decode BatchedEncoder streams across
+    I, P, flat, and no-change frames with device-resident state."""
+    from screenpressor_tpu.parallel.serving import BatchedDecoder
+
+    s, h, w = 4, 32, 48
+    cfg = CodecConfig(width=w, height=h, kf_interval=3, k_fixed=4)
+    enc = BatchedEncoder(s, cfg)
+    dec = BatchedDecoder(s, cfg)
+    rng = np.random.default_rng(9)
+    prev = np.stack([synth_desktop(h, w, seed=i) for i in range(s)])
+    for step in range(6):
+        frames = prev.copy()
+        if step == 1:
+            for i in range(s):
+                frames[i] = np.roll(frames[i], 4, axis=0)
+        elif step == 2:
+            frames[0, 5:9, 7:12] = (200, 30, 30)  # typing on stream 0 only
+        elif step == 3:
+            frames[1] = (7, 8, 9)  # flat stream amid P streams
+        elif step == 4:
+            frames[2] = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = dec.decode([p for p, _ in enc.encode(frames)])
+        assert out.shape == (s, h, w, 3)
+        for i in range(s):
+            np.testing.assert_array_equal(out[i], frames[i], err_msg=f"step {step} stream {i}")
+        prev = frames
+
+
+def test_batched_decoder_matches_single_stream():
+    """Batched streams decode identically through the per-stream jax backend."""
+    from screenpressor_tpu.jx.codec import JaxDecoder
+    from screenpressor_tpu.parallel.serving import BatchedDecoder
+
+    s, h, w = 3, 32, 48
+    cfg = CodecConfig(width=w, height=h, kf_interval=4, k_fixed=4)
+    enc = BatchedEncoder(s, cfg)
+    dec_b = BatchedDecoder(s, cfg)
+    dec_1 = [JaxDecoder(cfg) for _ in range(s)]
+    prev = np.stack([synth_desktop(h, w, seed=10 + i) for i in range(s)])
+    for step in range(5):
+        frames = prev.copy()
+        if step % 2 == 1:
+            for i in range(s):
+                frames[i] = np.roll(frames[i], 3 + i, axis=1)
+        payloads = [p for p, _ in enc.encode(frames)]
+        out_b = dec_b.decode(payloads)
+        for i in range(s):
+            np.testing.assert_array_equal(out_b[i], dec_1[i].decode(payloads[i]))
+        prev = frames
