@@ -63,7 +63,7 @@ def main():
     from screenpressor_tpu.api import Decoder, Encoder
     from screenpressor_tpu.config import CodecConfig
 
-    cfg = CodecConfig(width=w, height=h, msr_x=32, msr_y=32)
+    cfg = CodecConfig(width=w, height=h)  # reference-strength motion (±256)
     frames_np = synth_screencast(h, w, n)
     frames = [jax.block_until_ready(jnp.asarray(f)) for f in frames_np]
 

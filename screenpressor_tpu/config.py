@@ -129,9 +129,10 @@ class CodecConfig:
     kf_interval: int = 500
     # bit-truncation loss 0..5 (reference `screencap.cpp:127-139`)
     loss: int = 0
-    # motion search ranges (reference: ±256 axis scans / ±8 dense window)
-    msr_x: int = 64
-    msr_y: int = 64
+    # motion search ranges (reference: ±256 axis scans / ±8 dense window,
+    # `screenpressor.cpp:377-378`)
+    msr_x: int = 256
+    msr_y: int = 256
     msr_low_x: int = 8
     msr_low_y: int = 8
     # lane policy overrides (must match between encoder and decoder)

@@ -162,8 +162,15 @@ def motion_search_pruned(frame, prev, rects, in_sub, changed, probes, cands,
     nb = nby * nbx
     x1, y1, x2, y2 = rects[..., 0], rects[..., 1], rects[..., 2], rects[..., 3]
 
-    fr_flat = frame.reshape(-1, 3).astype(jnp.int16)
-    pv_flat = prev.reshape(-1, 3).astype(jnp.int16)
+    # channel-packed pixels: one gather for the whole probe matrix
+    f32p = frame.astype(jnp.int32)
+    p32p = prev.astype(jnp.int32)
+    fr_pack = (
+        f32p[..., 0] | (f32p[..., 1] << 8) | (f32p[..., 2] << 16)
+    ).reshape(-1)
+    pv_pack = (
+        p32p[..., 0] | (p32p[..., 1] << 8) | (p32p[..., 2] << 16)
+    ).reshape(-1)
     pflat = probes.reshape(nb)
     inb = (
         (x1.reshape(nb)[None, :] + cands[:, 0:1] >= 0)
@@ -173,7 +180,7 @@ def motion_search_pruned(frame, prev, rects, in_sub, changed, probes, cands,
     )  # [C, nb]
     shift = cands[:, 1:2] * w + cands[:, 0:1]  # [C, 1]
     src = jnp.clip(pflat[None, :] + shift, 0, h * w - 1)  # [C, nb]
-    probe_ok = jnp.all(pv_flat[src] == fr_flat[pflat][None, :], axis=-1)
+    probe_ok = pv_pack[src] == fr_pack[pflat][None, :]
     plausible = (probe_ok & inb & changed.reshape(nb)[None, :]).reshape(
         c_count, nby, nbx
     )
@@ -186,6 +193,17 @@ def motion_search_pruned(frame, prev, rects, in_sub, changed, probes, cands,
     fr = frame.astype(jnp.int16)
     mask_pad = jnp.zeros((nby * BLOCK, nbx * BLOCK), bool).at[:h, :w].set(in_sub)
 
+    # jump table: next candidate index >= c with ANY plausible block, so the
+    # verify loop iterates plausible candidates only (a typing frame with no
+    # match runs ~0 iterations instead of len(cands))
+    anyp = jnp.any(plausible.reshape(c_count, nb), axis=1)
+    idxc = jnp.arange(c_count + 1, dtype=jnp.int32)
+    nxt = jax.lax.cummin(
+        jnp.concatenate([jnp.where(anyp, idxc[:c_count], c_count),
+                         jnp.array([c_count], jnp.int32)]),
+        axis=0, reverse=True,
+    )  # [c_count + 1]
+
     def verify(best, ci):
         mx, my = cands[ci, 0], cands[ci, 1]
         win = jax.lax.dynamic_slice(prev_pad, (rmax + my, rmax + mx, 0), (h, w, 3))
@@ -197,16 +215,15 @@ def motion_search_pruned(frame, prev, rects, in_sub, changed, probes, cands,
 
     def body(carry):
         best, ci = carry
-        useful = jnp.any(plausible[ci] & (best == c_count))
-        best = jax.lax.cond(useful, verify, lambda b, _: b, best, ci)
-        return best, ci + 1
+        best = verify(best, ci)
+        return best, nxt[jnp.minimum(ci + 1, c_count)]
 
     def cond(carry):
         best, ci = carry
         return (ci < c_count) & jnp.any(changed & (best == c_count))
 
     best0 = jnp.full((nby, nbx), c_count, jnp.int32)
-    best, _ = jax.lax.while_loop(cond, body, (best0, jnp.int32(0)))
+    best, _ = jax.lax.while_loop(cond, body, (best0, nxt[0]))
     return best
 
 
@@ -238,19 +255,28 @@ def analyze_compact(frame, prev, cands, h: int, w: int, nby: int, nbx: int,
     rects_f = rects.reshape(nb, 4)
     valid = changed.reshape(nb)
 
-    # one changed probe pixel per block (min flat index inside the block)
-    diff = jnp.any(frame != prev, axis=-1)
-    flat_idx = jnp.where(diff, jnp.arange(h * w).reshape(h, w), h * w)
-    fpad = jnp.full((nby * BLOCK, nbx * BLOCK), h * w, jnp.int32).at[:h, :w].set(
-        flat_idx
-    )
-    probes = fpad.reshape(nby, BLOCK, nbx, BLOCK).min(axis=(1, 3))
-    probes = jnp.clip(probes, 0, h * w - 1)
-
-    choice = motion_search_pruned(
-        frame, prev, rects, in_sub, changed, probes, cands, h, w, nby, nbx, rmax
-    ).reshape(nb)
     c_count = cands.shape[0]
+
+    def run_search():
+        # one changed probe pixel per block (min flat index inside the block)
+        diff = jnp.any(frame != prev, axis=-1)
+        flat_idx = jnp.where(diff, jnp.arange(h * w).reshape(h, w), h * w)
+        fpad = jnp.full((nby * BLOCK, nbx * BLOCK), h * w, jnp.int32).at[
+            :h, :w
+        ].set(flat_idx)
+        probes = fpad.reshape(nby, BLOCK, nbx, BLOCK).min(axis=(1, 3))
+        probes = jnp.clip(probes, 0, h * w - 1)
+        return motion_search_pruned(
+            frame, prev, rects, in_sub, changed, probes, cands, h, w, nby, nbx,
+            rmax,
+        ).reshape(nb)
+
+    # idle frames skip the probe matrix and the search entirely
+    choice = jax.lax.cond(
+        valid.any(),
+        run_search,
+        lambda: jnp.full((nb,), c_count, jnp.int32),
+    )
     found = valid & (choice < c_count)
     mvs = cands[jnp.clip(choice, 0, c_count - 1)]
 

@@ -206,11 +206,15 @@ def gather_order(n: int, k: int):
 
 
 def _pad_steps(t_steps: int) -> int:
-    """Bucket scan lengths to powers of two to bound jit recompilation;
-    masked extra steps are no-ops and do not affect the stream."""
+    """Bucket scan lengths (pow2 below 128, 128-multiples above) to bound jit
+    recompilation; masked extra steps are no-ops and do not affect the
+    stream. 128-granularity matches the kernels' staging blocks and wastes
+    at most 128 steps (pow2 wasted up to 2x on large sections)."""
     if t_steps <= 1:
         return t_steps
-    return 1 << (t_steps - 1).bit_length()
+    if t_steps <= 128:
+        return 1 << (t_steps - 1).bit_length()
+    return -(-t_steps // 128) * 128
 
 
 # ---------------------------------------------------------------------------

@@ -117,9 +117,10 @@ def decode_i_device(pay_rec, pay_col, n_rec, n_lit, tables, h, w, k_rec, t_rec, 
     recs_scan, tables = jc.decode_section_auto(pay_rec, lens_rec, tables, "rec", k_rec, t_rec)
     lens_col = jc.lane_lens_device(n_lit, k_col)
     lits_scan, tables = jc.decode_section_auto(pay_col, lens_col, tables, "col", k_col, t_col)
-    n = h * w
-    records = jc.undeal_device(recs_scan, n_rec, k_rec, n)
-    lits = jc.undeal_device(lits_scan, n_lit, k_col, n)
+    # tight record capacities (k*t >= n always): pixel-count-sized caps made
+    # the downstream expand/reconstruct gathers 20x larger than needed
+    records = jc.undeal_device(recs_scan, n_rec, k_rec, k_rec * t_rec)
+    lits = jc.undeal_device(lits_scan, n_lit, k_col, k_col * t_col)
     total = records[:, 1].sum()
     frame = reconstruct_i(records, lits, h, w)
     return frame, total, tables

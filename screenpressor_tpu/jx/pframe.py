@@ -320,32 +320,88 @@ def rebuild_frame_device(prev, mo_rects, mo_mvs, d_rects, d_pt, d_rl, d_lt,
     return out
 
 
+MOTION_DISTINCT_CAP = 12  # shifted-select iterations before gather fallback
+
+
 @functools.partial(jax.jit, static_argnames=("h", "w", "mcap"))
 def apply_motion(frame, prev, rects, mvs, h: int, w: int, mcap: int):
     """Copy motion blocks from prev (shifted) into frame.
-    rects [mcap,4]; mvs [mcap,2]; padded rows must have x2<=x1."""
-    # pad bottom/right so fixed 16x16 slices never get start-clamped
-    prev32 = jnp.pad(prev.astype(jnp.int32), ((0, BLOCK), (0, BLOCK), (0, 0)))
+    rects [mcap,4]; mvs [mcap,2]; padded rows must have x2<=x1.
 
-    def per_block(rect, mv):
-        x1, y1 = rect[0], rect[1]
-        sx, sy = x1 + mv[0], y1 + mv[1]
-        return jax.lax.dynamic_slice(
-            prev32, (jnp.maximum(sy, 0), jnp.maximum(sx, 0), 0), (BLOCK, BLOCK, 3)
+    Screen motion is dominated by a handful of distinct MVs (scroll = 1), so
+    the hot path iterates distinct MVs applying one whole-frame shifted
+    SLICE + masked select each (a [mcap,16,16,3] gather lowers to ~100 ms on
+    TPU; slices+selects are ~1 ms). Blocks beyond MOTION_DISTINCT_CAP
+    distinct MVs fall back to the gather path inside a lax.cond."""
+    rpad = 256 + BLOCK  # covers the reference's msr; larger MVs use fallback
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    valid_b = rects[:, 2] > rects[:, 0]
+    sel_b = (
+        valid_b
+        & (jnp.abs(mvs[:, 0]) <= rpad) & (jnp.abs(mvs[:, 1]) <= rpad)
+    )
+    # scatter compacted blocks onto the block grid; expand to pixels by
+    # broadcast-reshape (no pixel-granularity gathers — they lower poorly)
+    nbx = -(-w // BLOCK)
+    nby = -(-h // BLOCK)
+    nb = nbx * nby
+    bi = (rects[:, 1] // BLOCK) * nbx + (rects[:, 0] // BLOCK)
+    bi = jnp.where(valid_b, bi, nb)
+    grid_mv = jnp.zeros((nb + 1, 2), jnp.int32).at[bi].set(mvs, mode="drop")
+    grid_rect = jnp.zeros((nb + 1, 4), jnp.int32).at[bi].set(rects, mode="drop")
+    grid_is = jnp.zeros((nb + 1,), bool).at[bi].set(valid_b, mode="drop")
+
+    def expand(grid):  # [nb] -> [h, w] per-pixel block value
+        g = grid[:nb].reshape(nby, 1, nbx, 1)
+        g = jnp.broadcast_to(g, (nby, BLOCK, nbx, BLOCK))
+        return g.reshape(nby * BLOCK, nbx * BLOCK)[:h, :w]
+
+    rpix = [expand(grid_rect[:, j]) for j in range(4)]
+    in_rect = (
+        expand(grid_is.astype(jnp.int32)) > 0
+    ) & (xs >= rpix[0]) & (xs < rpix[2]) & (ys >= rpix[1]) & (ys < rpix[3])
+    mvx_pix = expand(grid_mv[:, 0])
+    mvy_pix = expand(grid_mv[:, 1])
+
+    prev_pad = jnp.pad(prev, ((rpad, rpad), (rpad, rpad), (0, 0)))
+    lin = jnp.arange(mcap)
+
+    def select_body(carry):
+        out, resolved, it = carry
+        unres = sel_b & ~resolved
+        first = jnp.argmin(jnp.where(unres, lin, mcap))
+        mv = mvs[first]
+        win = jax.lax.dynamic_slice(
+            prev_pad, (rpad + mv[1], rpad + mv[0], 0), (h, w, 3)
         )
+        same = (mvs[:, 0] == mv[0]) & (mvs[:, 1] == mv[1]) & sel_b
+        pixm = in_rect & (mvx_pix == mv[0]) & (mvy_pix == mv[1])
+        out = jnp.where(pixm[..., None], win, out)
+        return out, resolved | same, it + 1
 
-    wins = jax.vmap(per_block)(rects, mvs)
-    ry = jnp.arange(BLOCK)[None, :, None]
-    rx = jnp.arange(BLOCK)[None, None, :]
-    bw = (rects[:, 2] - rects[:, 0])[:, None, None]
-    bh = (rects[:, 3] - rects[:, 1])[:, None, None]
-    ys = rects[:, 1][:, None, None] + ry
-    xs = rects[:, 0][:, None, None] + rx
-    valid = (ry < bh) & (rx < bw)
-    flat_idx = jnp.where(valid, ys * w + xs, h * w)
-    out = frame.astype(jnp.int32).reshape(h * w, 3)
-    out = out.at[flat_idx.reshape(-1)].set(wins.reshape(-1, 3), mode="drop")
-    return out.reshape(h, w, 3).astype(jnp.uint8)
+    def select_cond(carry):
+        out, resolved, it = carry
+        return (it < MOTION_DISTINCT_CAP) & jnp.any(sel_b & ~resolved)
+
+    out, resolved, _ = jax.lax.while_loop(
+        select_cond, select_body,
+        (frame, jnp.zeros((mcap,), bool), jnp.int32(0)),
+    )
+
+    def gather_rest(out):
+        # rare fallback: per-pixel gather for uncommon or very large MVs
+        left_b = valid_b & ~resolved
+        leftg = jnp.zeros((nb + 1,), bool).at[bi].set(left_b, mode="drop")
+        pixm = in_rect & (expand(leftg.astype(jnp.int32)) > 0)
+        src = jnp.clip((ys + mvy_pix) * w + xs + mvx_pix, 0, h * w - 1)
+        vals = prev.reshape(h * w, 3)[src.reshape(-1)].reshape(h, w, 3)
+        return jnp.where(pixm[..., None], vals, out)
+
+    out = jax.lax.cond(
+        jnp.any(valid_b & ~resolved), gather_rest, lambda o: o, out
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------

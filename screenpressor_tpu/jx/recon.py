@@ -27,18 +27,32 @@ from screenpressor_tpu.config import (
 def expand_records(records, lits, n: int):
     """records [R, 2] (ptype, n) + lits [L, 3] -> per-pixel ptype [n] and
     literal value [n, 3] (literal of the covering record; arbitrary for
-    non-literal pixels). R, L are capacity-padded; padded rows have n = 0."""
+    non-literal pixels). R, L are capacity-padded; padded rows have n = 0.
+
+    Values are propagated across runs as scatter(delta-at-start) + cumsum —
+    pixel-granularity random gathers (2M rows at 1080p) lowered poorly on
+    TPU (~100 ms); the delta form needs only record-granularity gathers."""
     rec_pt = records[:, 0]
     rec_n = records[:, 1]
     starts = jnp.cumsum(rec_n) - rec_n  # [R]
-    # per-pixel record id via scatter+cumsum (padded records scatter to n -> drop)
-    marks = jnp.zeros((n,), jnp.int32).at[jnp.where(rec_n > 0, starts, n)].add(
-        1, mode="drop"
-    )
-    rec_id = jnp.cumsum(marks) - 1
-    pt_pix = rec_pt[rec_id]
+    valid = rec_n > 0
+    tgt = jnp.where(valid, starts, n)
+
+    def spread(vals):
+        """vals [R, C] per-record -> [n, C] per-pixel (value of the covering
+        record) via delta scatter + cumsum."""
+        prev = jnp.concatenate([jnp.zeros_like(vals[:1]), vals[:-1]], axis=0)
+        delta = jnp.where(valid[:, None], vals - jnp.where(
+            jnp.arange(vals.shape[0])[:, None] == 0, 0, prev), 0)
+        out = jnp.zeros((n, vals.shape[1]), vals.dtype).at[tgt].add(
+            delta, mode="drop"
+        )
+        return jnp.cumsum(out, axis=0)
+
+    pt_pix = spread(rec_pt[:, None].astype(jnp.int32))[:, 0]
     lit_idx = jnp.cumsum((rec_pt == PT_LITERAL).astype(jnp.int32)) - 1
-    lit_pix = lits[jnp.clip(lit_idx[rec_id], 0, lits.shape[0] - 1)]
+    lit_rec = lits[jnp.clip(lit_idx, 0, lits.shape[0] - 1)]  # [R, 3]
+    lit_pix = spread(lit_rec.astype(jnp.int32))
     return pt_pix, lit_pix
 
 

@@ -253,9 +253,13 @@ static void reconstruct_block_p(uint8_t* out, const uint8_t* prev, int w, int h,
 
 static std::vector<std::pair<int, int>> mv_candidates(const Config& cfg) {
   std::vector<std::pair<int, int>> c;
-  for (int d = 1; d <= cfg.msr_y; d++) { c.push_back({0, -d}); c.push_back({0, d}); }
+  // negative reach -msr, positive stop at msr-1 (spec/blocks.py)
+  for (int d = 1; d <= cfg.msr_y; d++) {
+    c.push_back({0, -d});
+    if (d < cfg.msr_y) c.push_back({0, d});
+  }
   for (int d = 1; d <= cfg.msr_x; d++) c.push_back({-d, 0});
-  for (int d = 1; d <= cfg.msr_x; d++) c.push_back({d, 0});
+  for (int d = 1; d < cfg.msr_x; d++) c.push_back({d, 0});
   std::map<std::pair<int, int>, bool> seen;
   seen[{0, 0}] = true;
   for (auto& p : c) seen[p] = true;

@@ -50,13 +50,17 @@ def subrect(diff: np.ndarray, bx: int, by: int, w: int, h: int):
 
 def mv_candidates(cfg: CodecConfig):
     """Static prioritized candidate list (FORMAT.md 'Motion search')."""
+    # negative displacements reach -msr, positive stop at msr-1 (the
+    # reference's scan bounds, `screencap.cpp:684-814`; also keeps mv+256
+    # inside the 512-symbol alphabet at msr=256)
     cands = []
     for d in range(1, cfg.msr_y + 1):
         cands.append((0, -d))
-        cands.append((0, d))
+        if d < cfg.msr_y:
+            cands.append((0, d))
     for d in range(1, cfg.msr_x + 1):
         cands.append((-d, 0))
-    for d in range(1, cfg.msr_x + 1):
+    for d in range(1, cfg.msr_x):
         cands.append((d, 0))
     seen = {(0, 0)} | set(cands)
     for dy in range(-cfg.msr_low_y, cfg.msr_low_y + 1):

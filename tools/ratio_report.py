@@ -1,4 +1,4 @@
-"""Compression-ratio report: SPTC1 vs reference-format v2 vs zlib.
+"""Compression-ratio report: SPTC vs reference-format v2/v4 vs zlib.
 
 Runs the synthetic screencast corpus through (a) this framework's SPTC1
 codec, (b) the SCPR v2 legacy encoder (the reference's bitstream format,
@@ -17,6 +17,7 @@ sys.path.insert(0, ".")
 from screenpressor_tpu.config import CodecConfig
 from screenpressor_tpu.spec.codec import SpecDecoder, SpecEncoder
 from screenpressor_tpu.native.legacy import LegacyV2Decoder, LegacyV2Encoder
+from screenpressor_tpu.native.legacy_ans import ScprAnsDecoder, ScprAnsEncoder
 
 
 def synth(kind, h, w, n, seed=0):
@@ -61,27 +62,34 @@ def run(kind, h, w, n):
         assert (vd.decode(d) == f).all()
         v2 += len(d)
 
+    e4, d4 = ScprAnsEncoder(4, w, h, msr_x=16, msr_y=16), ScprAnsDecoder(4, w, h, msr_x=16, msr_y=16)
+    v4 = 0
+    for f in frames:
+        d, _ = e4.encode(f)
+        assert (d4.decode(d) == f).all()
+        v4 += len(d)
+
     z = sum(len(zlib.compress(f.tobytes(), 6)) for f in frames)
     print(
-        f"{kind:>7}: raw {raw:>9}B | SPTC1 {sptc:>8}B ({raw/sptc:7.1f}x) | "
-        f"v2 {v2:>8}B ({raw/v2:7.1f}x) | zlib {z:>8}B ({raw/z:6.1f}x) | "
-        f"SPTC1/v2 size {sptc/v2:5.2f}"
+        f"{kind:>7}: raw {raw:>9}B | SPTC {sptc:>8}B ({raw/sptc:7.1f}x) | "
+        f"v2 {v2:>8}B ({raw/v2:7.1f}x) | v4 {v4:>8}B ({raw/v4:7.1f}x) | "
+        f"zlib {z:>8}B ({raw/z:6.1f}x) | SPTC/v4 size {sptc/v4:5.2f}"
     )
-    return raw, sptc, v2, z
+    return raw, sptc, v2, v4, z
 
 
 def main():
     dims = sys.argv[1] if len(sys.argv) > 1 else "288x512"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     h, w = (int(v) for v in dims.split("x"))
-    tot = np.zeros(4, np.int64)
+    tot = np.zeros(5, np.int64)
     for kind in ("idle", "typing", "scroll", "photo"):
         tot += np.asarray(run(kind, h, w, n), np.int64)
-    raw, sptc, v2, z = tot
+    raw, sptc, v2, v4, z = tot
     print(
-        f"{'TOTAL':>7}: raw {raw:>9}B | SPTC1 {sptc:>8}B ({raw/sptc:7.1f}x) | "
-        f"v2 {v2:>8}B ({raw/v2:7.1f}x) | zlib {z:>8}B ({raw/z:6.1f}x) | "
-        f"SPTC1/v2 size {sptc/v2:5.2f}"
+        f"{'TOTAL':>7}: raw {raw:>9}B | SPTC {sptc:>8}B ({raw/sptc:7.1f}x) | "
+        f"v2 {v2:>8}B ({raw/v2:7.1f}x) | v4 {v4:>8}B ({raw/v4:7.1f}x) | "
+        f"zlib {z:>8}B ({raw/z:6.1f}x) | SPTC/v4 size {sptc/v4:5.2f}"
     )
 
 
