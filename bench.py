@@ -103,6 +103,8 @@ def main():
         f"Mpix/s, ratio {raw / total_bytes:.1f}x ({total_bytes} B)",
         file=sys.stderr,
     )
+    # the driver's JSON line goes out FIRST (the serving diagnostic below
+    # can cost minutes of one-time jit compiles on a cold cache)
     print(
         json.dumps(
             {
@@ -111,7 +113,55 @@ def main():
                 "unit": "Mpix/s",
                 "vs_baseline": round(mpix / 1000.0, 5),
             }
-        )
+        ),
+        flush=True,
+    )
+
+    if os.environ.get("BENCH_SERVING", "1") != "0":
+        try:
+            serving_diag()
+        except Exception as e:  # diagnostic only — never fail the bench
+            print(f"bench-serving: skipped ({e})", file=sys.stderr)
+
+
+def serving_diag():
+    """Multi-stream serving diagnostic (stderr only): S concurrent 360p
+    streams through BatchedEncoder/BatchedDecoder with HBM-resident state
+    (BASELINE.md serving target: 64 x 30fps streams/chip)."""
+    import jax
+
+    from screenpressor_tpu.config import CodecConfig
+    from screenpressor_tpu.parallel.serving import BatchedDecoder, BatchedEncoder
+
+    s, h, w, steps = (
+        int(os.environ.get("BENCH_STREAMS", 16)), 360, 640,
+        int(os.environ.get("BENCH_SERVE_STEPS", 4)),
+    )
+    cfg = CodecConfig(width=w, height=h, kf_interval=500, k_fixed=64,
+                      msr_x=32, msr_y=32)
+    base = synth_screencast(h, w, steps + 1, seed=3)
+    batches = [
+        np.stack([np.roll(base[t], i * 3, axis=1) for i in range(s)])
+        for t in range(steps + 1)
+    ]
+    enc = BatchedEncoder(s, cfg)
+    dec = BatchedDecoder(s, cfg)
+    for b in batches:  # warm (compile)
+        outs = dec.decode([p for p, _ in enc.encode(b)], device_out=True)
+    jax.block_until_ready(outs)
+    enc = BatchedEncoder(s, cfg)
+    dec = BatchedDecoder(s, cfg)
+    t0 = time.perf_counter()
+    for b in batches:
+        outs = dec.decode([p for p, _ in enc.encode(b)], device_out=True)
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    pix = s * h * w * (steps + 1)
+    fps = s * (steps + 1) / dt
+    print(
+        f"bench-serving: {s} streams 360p: {pix / dt / 1e6:.1f} Mpix/s "
+        f"aggregate enc+dec ({fps:.0f} stream-frames/s)",
+        file=sys.stderr,
     )
 
 

@@ -146,44 +146,76 @@ def motion_search_windowed(frame, prev, rects, valid, masks, cands, h, w, bcap, 
 
 
 def motion_search_pruned(frame, prev, rects, in_sub, changed, probes, cands,
-                         h: int, w: int, nby: int, nbx: int, rmax: int):
+                         h: int, w: int, nby: int, nbx: int, rmax: int,
+                         cand_cols, msr_x: int, msr_y: int, mlow: int):
     """First-match motion search with a probe pre-screen.
 
     For each (candidate, block) a single changed probe pixel is compared
-    first (one gather for the full matrix); the expensive whole-frame shifted
-    compare runs only for candidates some unresolved block could still match
-    (lax.cond skips the rest). Identical choice to `motion_search` /
-    spec.find_mv (same order, full verification before acceptance).
+    first; the expensive whole-frame shifted compare runs only for
+    candidates some unresolved block could still match. The probe matrix is
+    built from three contiguous windows per block (a prev-frame column for
+    vertical candidates, a row for horizontal ones, a dense patch for the
+    low window) — contiguous slices lower ~30x better than a [C, nb]
+    random gather on TPU. Identical choice to spec.find_mv (same order,
+    full verification before acceptance).
 
-    probes: [nby, nbx] flat index of one changed pixel per block (garbage for
-    unchanged blocks). Returns choice [nby, nbx] int32 (C = no match).
+    probes: [nby, nbx] flat index of one changed pixel per block (garbage
+    for unchanged blocks). cand_cols: [C] static column of each candidate in
+    the concatenated [vert | horz | window] ok-matrix (host-computed).
+    Returns choice [nby, nbx] int32 (C = no match).
     """
     c_count = cands.shape[0]
     nb = nby * nbx
     x1, y1, x2, y2 = rects[..., 0], rects[..., 1], rects[..., 2], rects[..., 3]
 
-    # channel-packed pixels: one gather for the whole probe matrix
+    # channel-packed pixels (packed value >= 0; pad sentinel -1 never matches)
     f32p = frame.astype(jnp.int32)
     p32p = prev.astype(jnp.int32)
     fr_pack = (
         f32p[..., 0] | (f32p[..., 1] << 8) | (f32p[..., 2] << 16)
     ).reshape(-1)
-    pv_pack = (
-        p32p[..., 0] | (p32p[..., 1] << 8) | (p32p[..., 2] << 16)
-    ).reshape(-1)
+    pv2d = (p32p[..., 0] | (p32p[..., 1] << 8) | (p32p[..., 2] << 16))
     pflat = probes.reshape(nb)
-    inb = (
-        (x1.reshape(nb)[None, :] + cands[:, 0:1] >= 0)
-        & (x2.reshape(nb)[None, :] + cands[:, 0:1] <= w)
-        & (y1.reshape(nb)[None, :] + cands[:, 1:2] >= 0)
-        & (y2.reshape(nb)[None, :] + cands[:, 1:2] <= h)
-    )  # [C, nb]
-    shift = cands[:, 1:2] * w + cands[:, 0:1]  # [C, 1]
-    src = jnp.clip(pflat[None, :] + shift, 0, h * w - 1)  # [C, nb]
-    probe_ok = pv_pack[src] == fr_pack[pflat][None, :]
-    plausible = (probe_ok & inb & changed.reshape(nb)[None, :]).reshape(
-        c_count, nby, nbx
-    )
+    px = pflat % w
+    py = pflat // w
+    fr_probe = fr_pack[pflat]  # [nb]
+
+    pvT = jnp.pad(pv2d.T, ((0, 0), (msr_y, msr_y)), constant_values=-1)
+    col = jax.vmap(
+        lambda xx, yy: jax.lax.dynamic_slice(pvT, (xx, yy), (1, 2 * msr_y))[0]
+    )(px, py)  # [nb, 2*msr_y]: dy in [-msr_y, msr_y-1]
+    pvH = jnp.pad(pv2d, ((0, 0), (msr_x, msr_x)), constant_values=-1)
+    row = jax.vmap(
+        lambda xx, yy: jax.lax.dynamic_slice(pvH, (yy, xx), (1, 2 * msr_x))[0]
+    )(px, py)  # [nb, 2*msr_x]: dx in [-msr_x, msr_x-1]
+    wsz = 2 * mlow + 1
+    pvW = jnp.pad(pv2d, ((mlow, mlow), (mlow, mlow)), constant_values=-1)
+    win = jax.vmap(
+        lambda xx, yy: jax.lax.dynamic_slice(pvW, (yy, xx), (wsz, wsz))
+    )(px, py)  # [nb, wsz, wsz]: (dy, dx) in [-mlow, mlow]
+    ok_all = jnp.concatenate(
+        [col, row, win.reshape(nb, wsz * wsz)], axis=1
+    ) == fr_probe[:, None]
+
+    chb = changed.reshape(nb)
+    ok_all = ok_all & chb[:, None]
+
+    def plausible_of(ci):
+        """probe & bounds & changed mask [nby, nbx] for one candidate."""
+        mx, my = cands[ci, 0], cands[ci, 1]
+        colidx = jnp.where(
+            mx == 0, my + msr_y,
+            jnp.where(
+                my == 0, 2 * msr_y + mx + msr_x,
+                2 * msr_y + 2 * msr_x + (my + mlow) * wsz + mx + mlow,
+            ),
+        )
+        pok = jax.lax.dynamic_slice(ok_all, (0, colidx), (nb, 1))[:, 0]
+        inb = (
+            (x1.reshape(nb) + mx >= 0) & (x2.reshape(nb) + mx <= w)
+            & (y1.reshape(nb) + my >= 0) & (y2.reshape(nb) + my <= h)
+        )
+        return (pok & inb).reshape(nby, nbx)
 
     prev_pad = jnp.pad(
         prev.astype(jnp.int16),
@@ -193,10 +225,12 @@ def motion_search_pruned(frame, prev, rects, in_sub, changed, probes, cands,
     fr = frame.astype(jnp.int16)
     mask_pad = jnp.zeros((nby * BLOCK, nbx * BLOCK), bool).at[:h, :w].set(in_sub)
 
-    # jump table: next candidate index >= c with ANY plausible block, so the
-    # verify loop iterates plausible candidates only (a typing frame with no
-    # match runs ~0 iterations instead of len(cands))
-    anyp = jnp.any(plausible.reshape(c_count, nb), axis=1)
+    # jump table: next candidate index >= c with ANY probe-plausible block,
+    # so the verify loop iterates plausible candidates only (a typing frame
+    # with no match runs ~0 iterations instead of len(cands)). Conservative
+    # (ignores rect bounds): a visited candidate that only bounds-fails
+    # verifies to no match, harmlessly.
+    anyp = jnp.any(ok_all, axis=0)[cand_cols]  # [C]
     idxc = jnp.arange(c_count + 1, dtype=jnp.int32)
     nxt = jax.lax.cummin(
         jnp.concatenate([jnp.where(anyp, idxc[:c_count], c_count),
@@ -210,7 +244,7 @@ def motion_search_pruned(frame, prev, rects, in_sub, changed, probes, cands,
         neq = jnp.any(win != fr, axis=-1)
         neq_pad = jnp.ones((nby * BLOCK, nbx * BLOCK), bool).at[:h, :w].set(neq)
         bad = (neq_pad & mask_pad).reshape(nby, BLOCK, nbx, BLOCK).any(axis=(1, 3))
-        match = plausible[ci] & ~bad
+        match = plausible_of(ci) & ~bad
         return jnp.where(match & (best == c_count), ci, best)
 
     def body(carry):
@@ -227,9 +261,26 @@ def motion_search_pruned(frame, prev, rects, in_sub, changed, probes, cands,
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "nby", "nbx", "rmax", "nbp"))
-def analyze_compact(frame, prev, cands, h: int, w: int, nby: int, nbx: int,
-                    rmax: int, nbp: int):
+def mv_cand_cols(cands_np, msr_x: int, msr_y: int, mlow: int):
+    """Static column index of each candidate in the concatenated
+    [vertical | horizontal | window] probe ok-matrix (motion_search_pruned)."""
+    wsz = 2 * mlow + 1
+    cols = []
+    for mx, my in cands_np:
+        if mx == 0:
+            cols.append(my + msr_y)
+        elif my == 0:
+            cols.append(2 * msr_y + mx + msr_x)
+        else:
+            cols.append(2 * msr_y + 2 * msr_x + (my + mlow) * wsz + mx + mlow)
+    return np.asarray(cols, np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "h", "w", "nby", "nbx", "rmax", "nbp", "msr_x", "msr_y", "mlow"))
+def analyze_compact(frame, prev, cands, cand_cols, h: int, w: int, nby: int,
+                    nbx: int, rmax: int, nbp: int, msr_x: int, msr_y: int,
+                    mlow: int):
     """Full P-frame analysis + record compaction, one device call.
 
     Replaces the host loop of `analyze_p` (VERDICT round-1 weak #2): change
@@ -268,7 +319,7 @@ def analyze_compact(frame, prev, cands, h: int, w: int, nby: int, nbx: int,
         probes = jnp.clip(probes, 0, h * w - 1)
         return motion_search_pruned(
             frame, prev, rects, in_sub, changed, probes, cands, h, w, nby, nbx,
-            rmax,
+            rmax, cand_cols, msr_x, msr_y, mlow,
         ).reshape(nb)
 
     # idle frames skip the probe matrix and the search entirely

@@ -201,102 +201,132 @@ class JaxEncoder:
             meta = dict(enumerate(pieces))
 
         # ---- payload gather: one tight pull for the whole batch ----
-        plan = SegmentPlan()
+        # Per-lane layout is fully vectorized (numpy); a section's lanes are
+        # contiguous in the tight stream so its payload is ONE slice.
+        seg_src, seg_len = [], []
         flat_parts = []
         flat_base = 0
         layouts: list = [None] * n
         piece_idx = 0
+
+        def add_section(buf, starts_h, lens_h, k):
+            nonlocal flat_base
+            cap = buf.shape[1]
+            sizes = np.where(lens_h > 0, cap - starts_h, 0).astype(np.int64)
+            seg_src.append(flat_base + np.arange(k, dtype=np.int64) * cap + starts_h)
+            seg_len.append(sizes)
+            flat_parts.append(buf.reshape(-1))
+            flat_base += k * cap
+            return sizes
+
         for i, hnd in enumerate(handles):
             if hnd is None:
                 continue
             if hnd[0] == "I":
                 _, out, (n_rec, n_lit, k_rec, t_rec, k_col, t_col) = hnd
-                start_rec = meta[piece_idx]; lens_rec = meta[piece_idx + 1]
-                start_col = meta[piece_idx + 2]; lens_col = meta[piece_idx + 3]
                 stats = meta[piece_idx + 4]
-                piece_idx += 5
                 total, is_raw = int(stats[0]), bool(stats[1])
-                sections = []
-                for buf, starts_h, lens_h, k, t, nsub in (
-                    (out[0], start_rec, lens_rec, k_rec, t_rec, 2),
-                    (out[3], start_col, lens_col, k_col, t_col, 3),
-                ):
-                    cap = buf.shape[1]
-                    lanes = []
-                    for li in range(k):
-                        ln = int(cap - starts_h[li]) if lens_h[li] > 0 else 0
-                        lanes.append((plan.add(flat_base + li * cap + int(starts_h[li]), ln), ln))
-                    flat_parts.append(buf.reshape(-1))
-                    flat_base += k * cap
-                    sections.append(lanes)
+                sections = [
+                    add_section(out[0], meta[piece_idx], meta[piece_idx + 1], k_rec),
+                    add_section(out[3], meta[piece_idx + 2], meta[piece_idx + 3], k_col),
+                ]
+                piece_idx += 5
                 layouts[i] = ("I", total, is_raw, (n_rec, n_lit), sections)
             else:
                 _, handle = hnd
                 kts = handle[0]
-                bufs, starts, lens_l = handle[3], handle[4], handle[5]
-                sec_meta = {}
+                bufs = handle[3]
+                sections = []
                 for name, k, t in kts:
-                    sec_meta[name] = (meta[piece_idx], meta[piece_idx + 1])
+                    sections.append(
+                        add_section(bufs[name], meta[piece_idx], meta[piece_idx + 1], k)
+                    )
                     piece_idx += 2
                 stats = meta[piece_idx]
                 piece_idx += 1
                 total, is_raw = int(stats[0]), bool(stats[1])
-                sections = []
-                for name, k, t in kts:
-                    cap = bufs[name].shape[1]
-                    starts_h, lens_h = sec_meta[name]
-                    lanes = []
-                    for li in range(k):
-                        ln = int(cap - starts_h[li]) if lens_h[li] > 0 else 0
-                        lanes.append((plan.add(flat_base + li * cap + int(starts_h[li]), ln), ln))
-                    flat_parts.append(bufs[name].reshape(-1))
-                    flat_base += k * cap
-                    sections.append(lanes)
                 layouts[i] = ("P", total, is_raw, handle, sections)
             # raw frames need the (lossy) frame bytes
             if layouts[i][2]:
                 fb = devs[i].reshape(-1)
-                off = plan.add(flat_base, fb.shape[0])
+                seg_src.append(np.asarray([flat_base], np.int64))
+                seg_len.append(np.asarray([fb.shape[0]], np.int64))
                 flat_parts.append(fb)
                 flat_base += fb.shape[0]
-                layouts[i] = layouts[i] + ((off, fb.shape[0]),)
 
         tight = None
         if flat_parts:
-            tight = plan.run(jnp.concatenate(flat_parts))
+            from screenpressor_tpu.jx.transfer import gather_segments, pow2_bucket
 
-        # ---- container assembly ----
+            srcs = np.concatenate(seg_src)
+            lens_all = np.concatenate(seg_len)
+            dsts = np.concatenate([[0], np.cumsum(lens_all)[:-1]]).astype(np.int64)
+            total_sz = int(lens_all.sum())
+            segs = np.stack([srcs, dsts, lens_all], axis=1).astype(np.int32)
+            scap = pow2_bucket(max(len(segs), 1))
+            segs_p = np.zeros((scap, 3), np.int32)
+            segs_p[: len(segs)] = segs
+            tight = np.asarray(
+                gather_segments(
+                    jnp.concatenate(flat_parts), jnp.asarray(segs_p),
+                    pow2_bucket(max(total_sz, 1)),
+                )
+            )[:total_sz]
+            # per-segment tight offsets, consumed in add_section order
+            seg_cursor = 0
+
+        # ---- container assembly (numpy-vectorized lane tables) ----
+        def take_section(sizes, k):
+            nonlocal seg_cursor
+            off = int(dsts[seg_cursor])
+            seg_cursor += k
+            klog = max(0, (k - 1).bit_length())
+            hdr = bytes([klog]) + sizes.astype("<u4").tobytes()
+            end = off + int(sizes.sum())
+            return hdr + tight[off:end].tobytes()
+
+        seg_idx = 0
         for i, lay in enumerate(layouts):
             if lay is None:
                 continue
+            is_raw = lay[2]
             if lay[0] == "I":
-                kind, total, is_raw, (n_rec, n_lit), sections = lay[:5]
+                kind, total, _, (n_rec, n_lit), sections = lay[:5]
                 if is_raw:
-                    off, ln = lay[5]
-                    data = bytes([bs.header_byte(ALG_RAW)]) + bytes(
-                        tight[off : off + ln].tobytes()
-                    )
+                    seg_cursor += len(sections[0]) + len(sections[1])
+                    off = int(dsts[seg_cursor])
+                    ln = int(lens_all[seg_cursor])
+                    seg_cursor += 1
+                    data = bytes([bs.header_byte(ALG_RAW)]) + tight[off : off + ln].tobytes()
                 else:
-                    parts = [bytes([bs.header_byte(ALG_I)]), bs.pack_u32(n_rec, n_lit)]
-                    for lanes in sections:
-                        parts.append(bs.pack_section(_blobs_from_tight(tight, lanes)))
-                    data = b"".join(parts)
+                    data = b"".join(
+                        [bytes([bs.header_byte(ALG_I)]), bs.pack_u32(n_rec, n_lit)]
+                        + [take_section(sz, len(sz)) for sz in sections]
+                    )
                     assert len(data) == total, (len(data), total)
                 results[i] = (data, FTYPE_I)
             else:
-                kind, total, is_raw, handle, sections = lay[:5]
+                kind, total, _, handle, sections = lay[:5]
                 if is_raw:
-                    off, ln = lay[5]
-                    data = bytes([bs.header_byte(ALG_RAW)]) + bytes(
-                        tight[off : off + ln].tobytes()
-                    )
+                    seg_cursor += sum(len(sz) for sz in sections)
+                    off = int(dsts[seg_cursor])
+                    ln = int(lens_all[seg_cursor])
+                    seg_cursor += 1
+                    data = bytes([bs.header_byte(ALG_RAW)]) + tight[off : off + ln].tobytes()
                     results[i] = (data, FTYPE_I)
                 else:
-                    blobs = {
-                        name: _blobs_from_tight(tight, lanes)
-                        for (name, k, t), lanes in zip(handle[0], sections)
-                    }
-                    data = _assemble_p(handle, blobs)
+                    kts, nums, (xx1, xx2, n_data) = handle[0], handle[1], handle[2]
+                    data = b"".join(
+                        [
+                            bytes([bs.header_byte(ALG_P)]),
+                            bytes([1]),
+                            bs.pack_u32(
+                                xx1, xx2, nums["bt"], nums["sxy"], nums["mv"],
+                                nums["rec"], nums["col"], n_data,
+                            ),
+                        ]
+                        + [take_section(sz, len(sz)) for sz in sections]
+                    )
                     assert len(data) == total, (len(data), total)
                     results[i] = (data, FTYPE_P)
 

@@ -589,18 +589,21 @@ def raise_p_error(err: int):
 
 
 def _cands_rmax(cfg: CodecConfig):
-    cands = jnp.asarray(np.asarray(jb.mv_candidates(cfg), np.int32))
+    cands_np = np.asarray(jb.mv_candidates(cfg), np.int32)
+    mlow = int(max(cfg.msr_low_x, cfg.msr_low_y))
+    cols = jb.mv_cand_cols(cands_np, cfg.msr_x, cfg.msr_y, mlow)
     rmax = int(max(cfg.msr_x, cfg.msr_y, cfg.msr_low_x, cfg.msr_low_y)) + BLOCK
-    return cands, rmax
+    return jnp.asarray(cands_np), jnp.asarray(cols), rmax, mlow
 
 
 def encode_p_dispatch(frame, prev, cfg: CodecConfig):
     """Phase A: device analysis + compaction. Returns (arrs, counts_dev)."""
     h, w = cfg.height, cfg.width
-    cands, rmax = _cands_rmax(cfg)
+    cands, cols, rmax, mlow = _cands_rmax(cfg)
     nbp = next_pow2(cfg.nbx * cfg.nby)
     arrs, counts, flat = jb.analyze_compact(
-        frame, prev, cands, h, w, cfg.nby, cfg.nbx, rmax, nbp
+        frame, prev, cands, cols, h, w, cfg.nby, cfg.nbx, rmax, nbp,
+        cfg.msr_x, cfg.msr_y, mlow,
     )
     return arrs, counts, flat
 
