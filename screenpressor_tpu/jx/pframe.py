@@ -588,12 +588,20 @@ def raise_p_error(err: int):
 # ---------------------------------------------------------------------------
 
 
+_CANDS_CACHE: dict = {}
+
+
 def _cands_rmax(cfg: CodecConfig):
-    cands_np = np.asarray(jb.mv_candidates(cfg), np.int32)
-    mlow = int(max(cfg.msr_low_x, cfg.msr_low_y))
-    cols = jb.mv_cand_cols(cands_np, cfg.msr_x, cfg.msr_y, mlow)
-    rmax = int(max(cfg.msr_x, cfg.msr_y, cfg.msr_low_x, cfg.msr_low_y)) + BLOCK
-    return jnp.asarray(cands_np), jnp.asarray(cols), rmax, mlow
+    key = (cfg.msr_x, cfg.msr_y, cfg.msr_low_x, cfg.msr_low_y)
+    hit = _CANDS_CACHE.get(key)
+    if hit is None:
+        cands_np = np.asarray(jb.mv_candidates(cfg), np.int32)
+        mlow = int(max(cfg.msr_low_x, cfg.msr_low_y))
+        cols = jb.mv_cand_cols(cands_np, cfg.msr_x, cfg.msr_y, mlow)
+        rmax = int(max(cfg.msr_x, cfg.msr_y, cfg.msr_low_x, cfg.msr_low_y)) + BLOCK
+        hit = (jnp.asarray(cands_np), jnp.asarray(cols), rmax, mlow)
+        _CANDS_CACHE[key] = hit
+    return hit
 
 
 def encode_p_dispatch(frame, prev, cfg: CodecConfig):

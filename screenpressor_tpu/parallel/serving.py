@@ -50,12 +50,14 @@ def _batched_encode_i(records_b, n_rec_b, lits_b, n_lit_b, skip, tables_b, k, t_
         n_lit = jnp.where(sk, 0, n_lit)
         rec_dealt = jc.deal_device(records, n_rec, k, t_rec)
         lens_rec = jc.lane_lens_device(n_rec, k)
-        cum, freq, act, tables = jc.model_scan(rec_dealt, lens_rec, tables, "rec", k, t_rec)
-        buf_rec, start_rec = jc.rans_pack(cum, freq, act, 2 * t_rec * 2 + 8)
+        buf_rec, start_rec, tables = jc.encode_section_auto(
+            rec_dealt, lens_rec, tables, "rec", k, t_rec
+        )
         col_dealt = jc.deal_device(lits, n_lit, k, t_col)
         lens_col = jc.lane_lens_device(n_lit, k)
-        cum, freq, act, tables = jc.model_scan(col_dealt, lens_col, tables, "col", k, t_col)
-        buf_col, start_col = jc.rans_pack(cum, freq, act, 2 * t_col * 3 + 8)
+        buf_col, start_col, tables = jc.encode_section_auto(
+            col_dealt, lens_col, tables, "col", k, t_col
+        )
         return (buf_rec, start_rec, lens_rec, buf_col, start_col, lens_col), tables
 
     return jax.vmap(one)(records_b, n_rec_b, lits_b, n_lit_b, skip, tables_b)
@@ -190,6 +192,108 @@ def _batched_encode_sections(recs_cap, ns, tables_b, kts):
     return jax.vmap(one)(recs_cap, ns, tables_b)
 
 
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "h", "w", "nby", "nbx", "rmax", "nbp", "msr_x", "msr_y", "mlow"))
+def _batched_analyze(frames, prevs, cands, cols, h, w, nby, nbx, rmax, nbp,
+                     msr_x, msr_y, mlow):
+    from screenpressor_tpu.jx import blocks as jb2
+
+    def one(f, pv):
+        arrs, counts, flat = jb2.analyze_compact(
+            f, pv, cands, cols, h, w, nby, nbx, rmax, nbp, msr_x, msr_y, mlow
+        )
+        return arrs, counts, flat
+
+    return jax.vmap(one)(frames, prevs)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "bcap"))
+def _batched_classify_assemble(frames, prevs, rects_b, n_data_b, h, w, bcap):
+    from screenpressor_tpu.jx.pframe import classify_assemble
+
+    def one(f, pv, rects, nd):
+        return classify_assemble(f, pv, rects[:bcap], nd, h, w, bcap)
+
+    return jax.vmap(one)(frames, prevs, rects_b, n_data_b)
+
+
+@functools.partial(jax.jit, static_argnames=("kts", "extra", "thr"))
+def _batched_sections_raw(recs_cap, ns, tables_b, kts, extra, thr):
+    from screenpressor_tpu.jx.pframe import encode_sections_raw
+
+    def one(rc, n, t):
+        return encode_sections_raw(rc, n, t, kts, extra, thr)
+
+    return jax.vmap(one)(recs_cap, ns, tables_b)
+
+
+def _tight_pull(buf_list, starts_list, lens_list, extra_parts=()):
+    """Pull only the used bytes of capacity-padded lane buffers.
+
+    buf_list: device arrays [S, K, cap] (section-major); starts/lens: host
+    numpy [S, K] each. extra_parts: (device_flat_uint8, length) tuples
+    appended verbatim (e.g. raw frames). Returns (tight np.uint8,
+    offs: list of [S, K] destination offsets per section,
+    sizes: list of [S, K] per-lane byte sizes, extra_offs)."""
+    from screenpressor_tpu.jx.transfer import gather_segments, pow2_bucket
+
+    seg_src, seg_len = [], []
+    flat_parts = []
+    base = 0
+    sizes_out = []
+    for buf, starts, lens in zip(buf_list, starts_list, lens_list):
+        s_, k_, cap = buf.shape
+        sizes = np.where(lens > 0, cap - starts, 0).astype(np.int64)
+        src = base + (np.arange(s_ * k_, dtype=np.int64) * cap).reshape(s_, k_) + starts
+        seg_src.append(src.reshape(-1))
+        seg_len.append(sizes.reshape(-1))
+        sizes_out.append(sizes)
+        flat_parts.append(buf.reshape(-1))
+        base += s_ * k_ * cap
+    extra_offs = []
+    for part, ln in extra_parts:
+        seg_src.append(np.asarray([base], np.int64))
+        seg_len.append(np.asarray([ln], np.int64))
+        flat_parts.append(part)
+        base += part.shape[0]
+    srcs = np.concatenate(seg_src)
+    lens_all = np.concatenate(seg_len)
+    dsts = np.concatenate([[0], np.cumsum(lens_all)[:-1]]).astype(np.int64)
+    total = int(lens_all.sum())
+    segs = np.stack([srcs, dsts, lens_all], axis=1).astype(np.int32)
+    scap = pow2_bucket(max(len(segs), 1))
+    segs_p = np.zeros((scap, 3), np.int32)
+    segs_p[: len(segs)] = segs
+    tight = np.asarray(
+        gather_segments(
+            jnp.concatenate(flat_parts), jnp.asarray(segs_p),
+            pow2_bucket(max(total, 1)),
+        )
+    )[:total]
+    # split dst offsets back per section
+    offs = []
+    pos = 0
+    for sizes in sizes_out:
+        cnt = sizes.size
+        offs.append(dsts[pos : pos + cnt].reshape(sizes.shape))
+        pos += cnt
+    for part, ln in extra_parts:
+        extra_offs.append(int(dsts[pos]))
+        pos += 1
+    return tight, offs, sizes_out, extra_offs
+
+
+def _section_bytes(tight, offs, sizes, i):
+    """Container section payload for stream i: klog + size table + lanes."""
+    k = sizes.shape[1]
+    klog = max(0, (k - 1).bit_length())
+    off = int(offs[i, 0])
+    end = off + int(sizes[i].sum())
+    return bytes([klog]) + sizes[i].astype("<u4").tobytes() + tight[off:end].tobytes()
+
+
 class BatchedEncoder:
     """Encode a batch of streams in lockstep (keyframes synchronized by the
     shared config; flat/no-change shortcuts applied per stream).
@@ -271,24 +375,22 @@ class BatchedEncoder:
                 records_b, n_rec_d, lits_b, n_lit_d, jnp.asarray(flat),
                 self.tables_b, k, t_rec, t_col,
             )
-            buf_rec, start_rec, lens_rec, buf_col, start_col, lens_col = jax.device_get(res)
+            buf_rec, start_rec_d, lens_rec_d, buf_col, start_col_d, lens_col_d = res
+            start_rec, lens_rec, start_col, lens_col = jax.device_get(
+                (start_rec_d, lens_rec_d, start_col_d, lens_col_d)
+            )
+            tight, offs, sizes, _ = _tight_pull(
+                [buf_rec, buf_col], [start_rec, start_col], [lens_rec, lens_col]
+            )
             for i in range(s):
                 if flat[i]:
                     continue
-                rb = [
-                    bytes(buf_rec[i, j, start_rec[i, j]:].tobytes()) if lens_rec[i, j] > 0 else b""
-                    for j in range(k)
-                ]
-                cb = [
-                    bytes(buf_col[i, j, start_col[i, j]:].tobytes()) if lens_col[i, j] > 0 else b""
-                    for j in range(k)
-                ]
                 data = b"".join(
                     [
                         bytes([bs.header_byte(ALG_I)]),
                         bs.pack_u32(int(n_rec[i]), int(n_lit[i])),
-                        bs.pack_section(rb),
-                        bs.pack_section(cb),
+                        _section_bytes(tight, offs[0], sizes[0], i),
+                        _section_bytes(tight, offs[1], sizes[1], i),
                     ]
                 )
                 out[i] = (data, FTYPE_I)
@@ -297,228 +399,153 @@ class BatchedEncoder:
 
     # ------------------------------------------------------------------ P --
     def _encode_p_batch(self, frames: np.ndarray):
-        from screenpressor_tpu.config import (
-            ALG_P,
-            BLOCK,
-            BT_FULL_DATA,
-            BT_FULL_MOTION,
-            BT_PARTIAL_DATA,
-            BT_PARTIAL_MOTION,
-            PT_LITERAL,
+        """Vmapped phase pipeline over streams (same architecture as the
+        single-stream batch path in jx.codec): analysis+compaction, data-
+        block classification, section encode with device-side raw select,
+        then ONE tight byte pull for every stream's payload."""
+        from screenpressor_tpu.config import ALG_P, ALG_RAW
+        from screenpressor_tpu.jx.pframe import (
+            _SECTION_NAMES,
+            _cands_rmax,
+            classify_assemble,
+            encode_sections_raw,
         )
-        from screenpressor_tpu.spec.blocks import mv_candidates, rle_blocks
+        from screenpressor_tpu.jx import blocks as jb2
 
         cfg = self.cfg
         s, h, w = self.s, cfg.height, cfg.width
         nby, nbx = cfg.nby, cfg.nbx
+        nbp = next_pow2(nbx * nby)
+        k = cfg.k_fixed
         dev_frames = jnp.asarray(frames)
         dev_prevs = jnp.asarray(self.prev)
-        changed_b, rects_b, flat_b = jax.device_get(
-            _batched_analysis(dev_frames, dev_prevs, h, w, nby, nbx)
+        cands, cols, rmax, mlow = _cands_rmax(cfg)
+
+        arrs, counts, flat4 = _batched_analyze(
+            dev_frames, dev_prevs, cands, cols, h, w, nby, nbx, rmax, nbp,
+            cfg.msr_x, cfg.msr_y, mlow,
         )
-        cands = np.asarray(mv_candidates(cfg), np.int32)
-        rmax = int(max(cfg.msr_x, cfg.msr_y, cfg.msr_low_x, cfg.msr_low_y)) + BLOCK
+        ch = np.asarray(jnp.concatenate([counts, flat4], axis=1))  # [S, 11]
 
         out: list = [None] * s
         renew_mask = np.zeros(s, bool)
-        hdr = bytes([bs.header_byte(ALG_P)])
-
-        # flat streams emit flat frames (session semantics); unchanged
-        # streams emit the 2-byte no-change frame
         active = np.zeros(s, bool)
+        hdr = bytes([bs.header_byte(ALG_P)])
         for i in range(s):
-            if flat_b[i]:
-                color = tuple(int(v) for v in frames[i].reshape(-1, 3)[0])
-                if not (self.last_flat[i] and (self.flat_color[i] == color).all()):
+            if ch[i, 7]:  # flat
+                color = tuple(int(v) for v in ch[i, 8:11])
+                if not (self.last_flat[i] and (self.flat_color[i] == np.asarray(color, np.uint8)).all()):
                     renew_mask[i] = True
                     self.flat_color[i] = color
                 self.last_flat[i] = True
                 out[i] = (bytes([bs.header_byte(ALG_FLAT), *color]), FTYPE_I)
                 continue
             self.last_flat[i] = False
-            if not changed_b[i].any():
+            if not ch[i, 0]:
                 out[i] = (hdr + bytes([0]), FTYPE_P)
                 continue
             active[i] = True
         self._renew_streams(jnp.asarray(renew_mask))
-
-        # cross-stream changed-block list -> batched motion search
-        blk_sid, blk_rect, blk_pos = [], [], []
-        for i in range(s):
-            if not active[i]:
-                continue
-            bys, bxs = np.nonzero(changed_b[i])
-            for by, bx in zip(bys, bxs):
-                blk_sid.append(i)
-                blk_rect.append(rects_b[i, by, bx])
-                blk_pos.append((i, int(by) * nbx + int(bx)))
-        if not blk_sid:
+        if not active.any():
             self.prev = frames.copy()
             return out
-        nblk = len(blk_sid)
-        if nblk <= 1024:
-            # sparse: per-block windowed search
-            bcap = next_pow2(nblk)
-            r = np.zeros((bcap, 4), np.int32)
-            r[:nblk] = np.asarray(blk_rect)
-            sids = np.zeros(bcap, np.int32)
-            sids[:nblk] = blk_sid
-            valid = np.zeros(bcap, bool)
-            valid[:nblk] = True
-            bw = (r[:, 2] - r[:, 0])[:, None, None]
-            bh = (r[:, 3] - r[:, 1])[:, None, None]
-            masks = (np.arange(BLOCK)[None, :, None] < bh) & (
-                np.arange(BLOCK)[None, None, :] < bw
+
+        # phase B: classify data blocks (shared bcap; inactive streams n=0)
+        n_data = np.where(active, ch[:, 6], 0).astype(np.int32)
+        n_pix = np.zeros(s, np.int64)
+        n_lit = np.zeros(s, np.int64)
+        if n_data.any():
+            bcap = next_pow2(int(n_data.max()))
+            pix_cap, lit_cap, plc = _batched_classify_assemble(
+                dev_frames, dev_prevs, arrs["data_rects"], jnp.asarray(n_data),
+                h, w, bcap,
             )
-            best = np.asarray(
-                _batched_motion(
-                    dev_frames, dev_prevs, jnp.asarray(r), jnp.asarray(sids),
-                    jnp.asarray(valid), jnp.asarray(masks), jnp.asarray(cands),
-                    h, w, bcap, rmax,
-                )
-            )
+            plc = np.asarray(plc)
+            n_pix, n_lit = plc[:, 0], plc[:, 1]
         else:
-            # dense: whole-frame shifted compares per stream
-            choice_full = np.asarray(
-                _batched_motion_full(
-                    dev_frames, dev_prevs, jnp.asarray(rects_b),
-                    jnp.asarray(changed_b), jnp.asarray(cands), h, w, nby, nbx, rmax,
-                )
-            )
-            best = np.asarray(
-                [choice_full[i, bi // nbx, bi % nbx] for i, bi in blk_pos], np.int32
-            )
+            pix_cap = jnp.zeros((s, 1, 2), jnp.int32)
+            lit_cap = jnp.zeros((s, 1, 3), jnp.int32)
 
-        # per-stream block typing
-        bts_s = {i: np.zeros(nby * nbx, np.int32) for i in range(s) if active[i]}
-        rect_s = {i: {} for i in range(s) if active[i]}
-        mv_s = {i: {} for i in range(s) if active[i]}
-        c_count = len(cands)
-        data_blocks = []  # (stream, bi, rect) in stream-then-raster order
-        for j in range(nblk):
-            i, bi = blk_pos[j]
-            x1, y1, x2, y2 = (int(v) for v in blk_rect[j])
-            bx, by = bi % nbx, bi // nbx
-            x_lo, y_lo = bx * BLOCK, by * BLOCK
-            x_hi, y_hi = min(x_lo + BLOCK, w), min(y_lo + BLOCK, h)
-            partial = (x1, y1, x2, y2) != (x_lo, y_lo, x_hi, y_hi)
-            bt = BT_PARTIAL_DATA if partial else BT_FULL_DATA
-            if best[j] < c_count:
-                bt += 2
-                mv_s[i][bi] = (int(cands[best[j], 0]), int(cands[best[j], 1]))
-            else:
-                data_blocks.append((i, bi, (x1, y1, x2, y2)))
-            bts_s[i][bi] = bt
-            rect_s[i][bi] = (x1, y1, x2, y2)
+        # phase C: sections with per-stream skip (ns=0) + raw select
+        nums = {
+            "bt": np.where(active, ch[:, 3], 0),
+            "sxy": np.where(active, ch[:, 4], 0),
+            "mv": np.where(active, ch[:, 5], 0),
+            "rec": np.where(active, n_pix, 0),
+            "col": np.where(active, n_lit, 0),
+        }
+        sources = {
+            "bt": arrs["bt"], "sxy": arrs["sxy"], "mv": arrs["mv"],
+            "rec": pix_cap, "col": lit_cap,
+        }
+        kts, recs_cap, ns_d = [], {}, {}
+        for name in _SECTION_NAMES:
+            nmax = int(nums[name].max())
+            t = jc._pad_steps(-(-max(nmax, 1) // k)) if nmax else 1
+            kts.append((name, k, t))
+            cap = next_pow2(max(nmax, 1))
+            recs_cap[name] = sources[name][:, :cap]
+            ns_d[name] = jnp.asarray(nums[name].astype(np.int32))
+        raw_threshold = 1 + w * h * 3
+        bufs, starts, lens_l, stats, self.tables_b = _batched_sections_raw(
+            recs_cap, ns_d, self.tables_b, tuple(kts), 1 + 1 + 8 * 4,
+            raw_threshold,
+        )
 
-        # batched classification of all data blocks
-        pix_by_stream = {i: [] for i in range(s) if active[i]}
-        lit_by_stream = {i: [] for i in range(s) if active[i]}
-        if data_blocks:
-            dcap = next_pow2(len(data_blocks))
-            dr = np.zeros((dcap, 4), np.int32)
-            dsid = np.zeros(dcap, np.int32)
-            for j, (i, bi, rect) in enumerate(data_blocks):
-                dr[j] = rect
-                dsid[j] = i
-            ptypes, rlens, n_recs, lits, is_lit = jax.device_get(
-                _batched_classify_blocks(
-                    dev_frames, dev_prevs, jnp.asarray(dr), jnp.asarray(dsid), h, w, dcap
-                )
+        small = jax.device_get(
+            jnp.concatenate(
+                [jnp.concatenate([starts[nm].reshape(s, -1), lens_l[nm].reshape(s, -1)], axis=1)
+                 for nm, _, _ in kts] + [stats], axis=1
             )
-            for j, (i, bi, rect) in enumerate(data_blocks):
-                nr = int(n_recs[j])
-                pix_by_stream[i].append(np.stack([ptypes[j, :nr], rlens[j, :nr]], axis=1))
-                lit_by_stream[i].append(lits[j][is_lit[j]])
+        )
+        pos = 0
+        starts_h, lens_h = {}, {}
+        for nm, kk, _ in kts:
+            starts_h[nm] = small[:, pos : pos + kk]; pos += kk
+            lens_h[nm] = small[:, pos : pos + kk]; pos += kk
+        stats_h = small[:, pos : pos + 2]
+        is_raw = (stats_h[:, 1] != 0) & active
 
-        # per-stream section record arrays
-        names = ("bt", "sxy", "mv", "rec", "col")
-        widths = {"bt": 2, "sxy": 4, "mv": 2, "rec": 2, "col": 3}
-        per_stream = {}
-        maxn = {n: 1 for n in names}
+        extra = []
+        raw_ids = np.nonzero(is_raw)[0]
+        for i in raw_ids:
+            extra.append((dev_frames[i].reshape(-1), h * w * 3))
+        tight, offs, sizes, extra_offs = _tight_pull(
+            [bufs[nm] for nm, _, _ in kts],
+            [starts_h[nm] for nm, _, _ in kts],
+            [lens_h[nm] for nm, _, _ in kts],
+            extra,
+        )
+
+        raw_pos = {int(i): j for j, i in enumerate(raw_ids)}
         for i in range(s):
             if not active[i]:
                 continue
-            bts = bts_s[i]
-            changed_idx = np.nonzero(bts)[0]
-            xx1, xx2 = int(changed_idx[0]), int(changed_idx[-1])
-            bt_recs = rle_blocks(bts, xx1, xx2)
-            sxy_recs, mv_recs = [], []
-            for bi in changed_idx:
-                bi = int(bi)
-                bt = int(bts[bi])
-                x1, y1, x2, y2 = rect_s[i][bi]
-                bx, by = bi % nbx, bi // nbx
-                if bt in (BT_PARTIAL_DATA, BT_PARTIAL_MOTION):
-                    sxy_recs.append(
-                        (x1 - bx * BLOCK, y1 - by * BLOCK, x2 - 1 - bx * BLOCK, y2 - 1 - by * BLOCK)
-                    )
-                if bt in (BT_FULL_MOTION, BT_PARTIAL_MOTION):
-                    mv_recs.append(mv_s[i][bi])
-            pix = (
-                np.concatenate(pix_by_stream[i], axis=0)
-                if pix_by_stream[i]
-                else np.zeros((0, 2), np.int32)
-            )
-            lit = (
-                np.concatenate(lit_by_stream[i], axis=0)
-                if lit_by_stream[i]
-                else np.zeros((0, 3), np.int32)
-            )
-            arrs = {
-                "bt": np.asarray([list(x) for x in bt_recs], np.int32).reshape(-1, 2),
-                "sxy": np.asarray([list(x) for x in sxy_recs], np.int32).reshape(-1, 4),
-                "mv": np.asarray([list(x) for x in mv_recs], np.int32).reshape(-1, 2),
-                "rec": pix,
-                "col": lit,
-            }
-            n_data = int(np.sum((bts == BT_FULL_DATA) | (bts == BT_PARTIAL_DATA)))
-            per_stream[i] = (xx1, xx2, n_data, arrs)
-            for n in names:
-                maxn[n] = max(maxn[n], len(arrs[n]))
-
-        # batched fused sections (inactive streams carry zero counts -> no-op)
-        k = cfg.k_fixed
-        kts = tuple(
-            (n, k, jc._pad_steps(-(-maxn[n] // k))) for n in names
-        )
-        recs_cap = {
-            n: np.zeros((s, next_pow2(maxn[n]), widths[n]), np.int32) for n in names
-        }
-        ns = {n: np.zeros(s, np.int32) for n in names}
-        for i, (xx1, xx2, n_data, arrs) in per_stream.items():
-            for n in names:
-                ns[n][i] = len(arrs[n])
-                recs_cap[n][i, : len(arrs[n])] = arrs[n]
-        (bufs, starts, lens_l), self.tables_b = _batched_encode_sections(
-            {n: jnp.asarray(v) for n, v in recs_cap.items()},
-            {n: jnp.asarray(v) for n, v in ns.items()},
-            self.tables_b,
-            kts,
-        )
-        bufs, starts, lens_l = jax.device_get((bufs, starts, lens_l))
-
-        for i, (xx1, xx2, n_data, arrs) in per_stream.items():
-            sections = []
-            for n in names:
-                blobs = [
-                    bytes(bufs[n][i, j, starts[n][i, j]:].tobytes())
-                    if lens_l[n][i, j] > 0
-                    else b""
-                    for j in range(k)
-                ]
-                sections.append(bs.pack_section(blobs))
+            if is_raw[i]:
+                off = extra_offs[raw_pos[i]]
+                out[i] = (
+                    bytes([bs.header_byte(ALG_RAW)])
+                    + tight[off : off + h * w * 3].tobytes(),
+                    FTYPE_I,
+                )
+                continue
             data = b"".join(
                 [
                     hdr,
                     bytes([1]),
                     bs.pack_u32(
-                        xx1, xx2, len(arrs["bt"]), len(arrs["sxy"]),
-                        len(arrs["mv"]), len(arrs["rec"]), len(arrs["col"]), n_data,
+                        int(ch[i, 1]), int(ch[i, 2]), int(nums["bt"][i]),
+                        int(nums["sxy"][i]), int(nums["mv"][i]),
+                        int(nums["rec"][i]), int(nums["col"][i]),
+                        int(n_data[i]),
                     ),
                 ]
-                + sections
+                + [
+                    _section_bytes(tight, offs[j], sizes[j], i)
+                    for j in range(len(kts))
+                ]
             )
+            assert len(data) == int(stats_h[i, 0]), (len(data), stats_h[i, 0])
             out[i] = (data, FTYPE_P)
         self.prev = frames.copy()
         return out
