@@ -18,6 +18,11 @@ import numpy as np
 from screenpressor_tpu.config import BLOCK, CodecConfig
 from screenpressor_tpu.spec.blocks import mv_candidates  # shared encoder policy
 
+# Motion probe small-edit tier: frames with at most this many changed blocks
+# probe only those blocks (see motion_search_pruned). Perf knob only — the
+# coded bitstream is identical either way.
+_PROBE_SMALL_CAP = 512
+
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "nby", "nbx"))
 def change_analysis(frame, prev, h: int, w: int, nby: int, nbx: int):
@@ -159,10 +164,21 @@ def motion_search_pruned(frame, prev, rects, in_sub, changed, probes, cands,
     random gather on TPU. Identical choice to spec.find_mv (same order,
     full verification before acceptance).
 
-    probes: [nby, nbx] flat index of one changed pixel per block (garbage
-    for unchanged blocks). cand_cols: [C] static column of each candidate in
-    the concatenated [vert | horz | window] ok-matrix (host-computed).
+    probes: pair of [nby, nbx] flat indices of changed pixels per block
+    (first and last changed pixel). Probe pruning is bitstream-neutral:
+    a block that truly matches a candidate MV matches at every changed
+    pixel, so a probe can only remove candidates the full verify would
+    reject anyway — single vs dual probes changes speed, never the choice.
+    cand_cols: [C] static column of each candidate in the concatenated
+    [vert | horz | window] ok-matrix (host-computed).
     Returns choice [nby, nbx] int32 (C = no match).
+
+    Perf: the probe matrix is built from three contiguous windows per
+    probed block (vmapped dynamic_slice = TPU gather, ~30 ms at [nb, ~3k]
+    scale for 1080p). Two tiers keep that off the critical path for small
+    edits: when <= _PROBE_SMALL_CAP blocks changed, only those blocks are
+    gathered (dual probe, ~n_ch/nb of the cost) and scattered back; dense
+    frames (scroll) fall back to a single full-scale probe pass.
     """
     c_count = cands.shape[0]
     nb = nby * nbx
@@ -175,30 +191,53 @@ def motion_search_pruned(frame, prev, rects, in_sub, changed, probes, cands,
         f32p[..., 0] | (f32p[..., 1] << 8) | (f32p[..., 2] << 16)
     ).reshape(-1)
     pv2d = (p32p[..., 0] | (p32p[..., 1] << 8) | (p32p[..., 2] << 16))
-    pflat = probes.reshape(nb)
-    px = pflat % w
-    py = pflat // w
-    fr_probe = fr_pack[pflat]  # [nb]
-
-    pvT = jnp.pad(pv2d.T, ((0, 0), (msr_y, msr_y)), constant_values=-1)
-    col = jax.vmap(
-        lambda xx, yy: jax.lax.dynamic_slice(pvT, (xx, yy), (1, 2 * msr_y))[0]
-    )(px, py)  # [nb, 2*msr_y]: dy in [-msr_y, msr_y-1]
-    pvH = jnp.pad(pv2d, ((0, 0), (msr_x, msr_x)), constant_values=-1)
-    row = jax.vmap(
-        lambda xx, yy: jax.lax.dynamic_slice(pvH, (yy, xx), (1, 2 * msr_x))[0]
-    )(px, py)  # [nb, 2*msr_x]: dx in [-msr_x, msr_x-1]
     wsz = 2 * mlow + 1
+    ncol = 2 * msr_y + 2 * msr_x + wsz * wsz
+    pvT = jnp.pad(pv2d.T, ((0, 0), (msr_y, msr_y)), constant_values=-1)
+    pvH = jnp.pad(pv2d, ((0, 0), (msr_x, msr_x)), constant_values=-1)
     pvW = jnp.pad(pv2d, ((mlow, mlow), (mlow, mlow)), constant_values=-1)
-    win = jax.vmap(
-        lambda xx, yy: jax.lax.dynamic_slice(pvW, (yy, xx), (wsz, wsz))
-    )(px, py)  # [nb, wsz, wsz]: (dy, dx) in [-mlow, mlow]
-    ok_all = jnp.concatenate(
-        [col, row, win.reshape(nb, wsz * wsz)], axis=1
-    ) == fr_probe[:, None]
+
+    def probe_rows(pflat):
+        """[m] flat probe indices -> [m, ncol] plausibility rows."""
+        px = pflat % w
+        py = pflat // w
+        fr_probe = fr_pack[pflat]  # [m]
+        col = jax.vmap(
+            lambda xx, yy: jax.lax.dynamic_slice(pvT, (xx, yy), (1, 2 * msr_y))[0]
+        )(px, py)  # [m, 2*msr_y]: dy in [-msr_y, msr_y-1]
+        row = jax.vmap(
+            lambda xx, yy: jax.lax.dynamic_slice(pvH, (yy, xx), (1, 2 * msr_x))[0]
+        )(px, py)  # [m, 2*msr_x]: dx in [-msr_x, msr_x-1]
+        win = jax.vmap(
+            lambda xx, yy: jax.lax.dynamic_slice(pvW, (yy, xx), (wsz, wsz))
+        )(px, py)  # [m, wsz, wsz]: (dy, dx) in [-mlow, mlow]
+        return jnp.concatenate(
+            [col, row, win.reshape(pflat.shape[0], wsz * wsz)], axis=1
+        ) == fr_probe[:, None]
 
     chb = changed.reshape(nb)
-    ok_all = ok_all & chb[:, None]
+    pcap = min(_PROBE_SMALL_CAP, nb)
+
+    def small_probe():
+        idx = jnp.cumsum(chb) - 1
+        sel = jnp.full((pcap,), nb, jnp.int32).at[
+            jnp.where(chb, idx, pcap)
+        ].set(jnp.arange(nb, dtype=jnp.int32), mode="drop")
+        ok_rows_valid = sel < nb
+        selc = jnp.clip(sel, 0, nb - 1)
+        oks = (
+            probe_rows(probes[0].reshape(nb)[selc])
+            & probe_rows(probes[1].reshape(nb)[selc])
+            & ok_rows_valid[:, None]
+        )
+        return jnp.zeros((nb, ncol), bool).at[
+            jnp.where(ok_rows_valid, selc, nb)
+        ].set(oks, mode="drop")
+
+    def full_probe():
+        return probe_rows(probes[0].reshape(nb)) & chb[:, None]
+
+    ok_all = jax.lax.cond(chb.sum() <= pcap, small_probe, full_probe)
 
     def plausible_of(ci):
         """probe & bounds & changed mask [nby, nbx] for one candidate."""
@@ -309,17 +348,24 @@ def analyze_compact(frame, prev, cands, cand_cols, h: int, w: int, nby: int,
     c_count = cands.shape[0]
 
     def run_search():
-        # one changed probe pixel per block (min flat index inside the block)
+        # two changed probe pixels per block (min and max flat index)
         diff = jnp.any(frame != prev, axis=-1)
         flat_idx = jnp.where(diff, jnp.arange(h * w).reshape(h, w), h * w)
         fpad = jnp.full((nby * BLOCK, nbx * BLOCK), h * w, jnp.int32).at[
             :h, :w
         ].set(flat_idx)
-        probes = fpad.reshape(nby, BLOCK, nbx, BLOCK).min(axis=(1, 3))
-        probes = jnp.clip(probes, 0, h * w - 1)
+        blocks4 = fpad.reshape(nby, BLOCK, nbx, BLOCK)
+        p1 = jnp.clip(blocks4.min(axis=(1, 3)), 0, h * w - 1)
+        flat_idx2 = jnp.where(diff, jnp.arange(h * w).reshape(h, w), -1)
+        fpad2 = jnp.full((nby * BLOCK, nbx * BLOCK), -1, jnp.int32).at[
+            :h, :w
+        ].set(flat_idx2)
+        p2 = jnp.clip(
+            fpad2.reshape(nby, BLOCK, nbx, BLOCK).max(axis=(1, 3)), 0, h * w - 1
+        )
         return motion_search_pruned(
-            frame, prev, rects, in_sub, changed, probes, cands, h, w, nby, nbx,
-            rmax, cand_cols, msr_x, msr_y, mlow,
+            frame, prev, rects, in_sub, changed, (p1, p2), cands, h, w, nby,
+            nbx, rmax, cand_cols, msr_x, msr_y, mlow,
         ).reshape(nb)
 
     # idle frames skip the probe matrix and the search entirely

@@ -131,11 +131,8 @@ def _run_walk(fits_bits, st, n: int):
     return out.T.reshape(tp * SEG_TILE)[:n] != 0
 
 
-def segment(frame):
-    """frame -> (starts [n] int32 with sentinel n, ptypes [n], runs [n],
-    n_records scalar). Slot i of the output is record i (padded with
-    sentinels past n_records). Runs break at SEG_TILE boundaries (shared
-    encoder policy; decoders accept any valid segmentation)."""
+def _segment_pixels(frame):
+    """frame -> per-pixel (is_start [n] bool, st [n] start types)."""
     h, w, _ = frame.shape
     n = h * w
     fits = fits_planes_i(frame)
@@ -143,7 +140,17 @@ def segment(frame):
     bits = jnp.zeros((n,), jnp.int32)
     for t in range(NUM_PTYPES):
         bits = bits | (fits[:, t].astype(jnp.int32) << t)
-    is_start = _run_walk(bits, st, n)
+    return _run_walk(bits, st, n), st
+
+
+def segment(frame):
+    """frame -> (starts [n] int32 with sentinel n, ptypes [n], runs [n],
+    n_records scalar). Slot i of the output is record i (padded with
+    sentinels past n_records). Runs break at SEG_TILE boundaries (shared
+    encoder policy; decoders accept any valid segmentation)."""
+    h, w, _ = frame.shape
+    n = h * w
+    is_start, st = _segment_pixels(frame)
 
     idx = jnp.arange(n, dtype=jnp.int32)
     # next record start strictly after i (or n)
@@ -154,12 +161,15 @@ def segment(frame):
     )
     runlen = jnp.where(is_start, nxt - idx, 0)
     n_records = jnp.sum(is_start).astype(jnp.int32)
-    # compact starts into record slots
+    # compact starts into record slots. Sort-based compaction: record i's
+    # rank is its key (non-starts key to n and carry their own pad
+    # sentinels to the tail). One multi-payload sort is ~5x cheaper than
+    # three 2M-element scatters on TPU (scatter serializes; sort doesn't).
     pos = jnp.cumsum(is_start.astype(jnp.int32)) - 1
-    tgt = jnp.where(is_start, pos, n)
-    path = jnp.full((n,), n, jnp.int32).at[tgt].set(idx, mode="drop")
-    ptypes = jnp.full((n,), 0, jnp.int32).at[tgt].set(st, mode="drop")
-    rlens = jnp.zeros((n,), jnp.int32).at[tgt].set(runlen, mode="drop")
+    key = jnp.where(is_start, pos, n)
+    _, path, ptypes, rlens = jax.lax.sort(
+        (key, starts_at, jnp.where(is_start, st, 0), runlen), num_keys=1
+    )
     return path, ptypes, rlens, n_records
 
 
@@ -170,15 +180,33 @@ def classify_i(frame, h: int, w: int):
     records[i] = (ptype, n); literal triples compacted to lit[i] with
     lit_count; callers slice by n_records on the host.
     """
-    starts, ptypes, rlens, n_records = segment(frame)
     n = h * w
-    pix = frame.reshape(n, 3)
-    is_lit = (ptypes == PT_LITERAL) & (starts < n)
+    is_start, st = _segment_pixels(frame)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    starts_at = jnp.where(is_start, idx, n)
+    nxt = jax.lax.cummin(
+        jnp.concatenate([starts_at[1:], jnp.array([n], jnp.int32)]),
+        axis=0, reverse=True,
+    )
+    runlen = jnp.where(is_start, nxt - idx, 0)
+    n_records = jnp.sum(is_start).astype(jnp.int32)
+    pos = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    key = jnp.where(is_start, pos, n)
+    _, ptypes, rlens = jax.lax.sort(
+        (key, jnp.where(is_start, st, 0), runlen), num_keys=1
+    )
+    # literal colors compact straight from the pixel plane (elementwise +
+    # one sort: record i's start pixel IS pixel i when is_start[i]), so no
+    # 2M-row gather/scatter is needed.
+    is_lit = is_start & (st == PT_LITERAL)
     lit_pos = jnp.cumsum(is_lit.astype(jnp.int32)) - 1
-    src = pix[jnp.minimum(starts, n - 1)].astype(jnp.int32)
-    # compact literals; non-literal slots scatter out of bounds and drop
-    tgt = jnp.where(is_lit, lit_pos, n)
-    lits = jnp.zeros((n, 3), jnp.int32).at[tgt].set(src, mode="drop")
+    lkey = jnp.where(is_lit, lit_pos, n)
+    pix = frame.reshape(n, 3).astype(jnp.int32)
+    masked = jnp.where(is_lit[:, None], pix, 0)
+    _, lr, lg, lb = jax.lax.sort(
+        (lkey, masked[:, 0], masked[:, 1], masked[:, 2]), num_keys=1
+    )
+    lits = jnp.stack([lr, lg, lb], axis=1)
     n_literals = jnp.sum(is_lit).astype(jnp.int32)
     records = jnp.stack([ptypes, rlens], axis=1)
     return records, n_records, lits, n_literals

@@ -44,6 +44,7 @@ from screenpressor_tpu.jx.pframe import (
     decode_p_device,
     encode_p_classify,
     encode_p_dispatch,
+    encode_p_dispatch_batch,
     encode_p_sections,
     parse_p_header,
     raise_p_error,
@@ -104,8 +105,10 @@ class JaxEncoder:
         prev_chain = [self.prev] + devs[:-1]
 
         # ---- phase A: analysis dispatch for every frame ----
-        plans = []
-        for i, d in enumerate(devs):
+        # All P frames run in ONE device program (lax.map over the stacked
+        # pairs); I frames (usually just the first) dispatch individually.
+        kinds = []
+        for i in range(n):
             fn = self.fn + i
             keyframe = (
                 (force_key and i == 0)
@@ -113,12 +116,22 @@ class JaxEncoder:
                 or fn == 0
                 or (cfg.kf_interval > 0 and fn % cfg.kf_interval == 0)
             )
-            if keyframe:
+            kinds.append("I" if keyframe else "P")
+        p_idx = [i for i, k in enumerate(kinds) if k == "P"]
+        if p_idx:
+            p_arrs, p_counts = encode_p_dispatch_batch(
+                [(devs[i], prev_chain[i]) for i in p_idx], cfg
+            )
+        plans = []
+        row_of = {i: j for j, i in enumerate(p_idx)}
+        for i, d in enumerate(devs):
+            if kinds[i] == "I":
                 records, lits, counts = i_phase(d, h, w)
                 plans.append(("I", (records, lits), counts))
             else:
-                arrs, counts, flat = encode_p_dispatch(d, prev_chain[i], cfg)
-                plans.append(("P", arrs, jnp.concatenate([counts, flat])))
+                j = row_of[i]
+                arrs = jax.tree.map(lambda a, j=j: a[j], p_arrs)
+                plans.append(("P", arrs, p_counts[j]))
         counts_host = jax.device_get(jnp.concatenate([p[2] for p in plans]))
         offs = np.cumsum([0] + [p[2].shape[0] for p in plans])
         counts_host = [counts_host[offs[i] : offs[i + 1]] for i in range(n)]

@@ -616,6 +616,51 @@ def encode_p_dispatch(frame, prev, cfg: CodecConfig):
     return arrs, counts, flat
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "h", "w", "nby", "nbx", "rmax", "nbp", "msr_x", "msr_y", "mlow"))
+def _p_dispatch_map(frames, prevs, cands, cols, h, w, nby, nbx, rmax, nbp,
+                    msr_x, msr_y, mlow):
+    def one(fp):
+        f, p = fp
+        arrs, counts, flat = jb.analyze_compact(
+            f, p, cands, cols, h, w, nby, nbx, rmax, nbp, msr_x, msr_y, mlow
+        )
+        return arrs, jnp.concatenate([counts, flat])
+
+    return jax.lax.map(one, (frames, prevs))
+
+
+def encode_p_dispatch_batch(pairs, cfg: CodecConfig):
+    """Phase A for many P frames in ONE device program.
+
+    `pairs`: list of (frame, prev) device arrays. Returns (arrs_stacked,
+    counts_stacked) with a leading batch axis of len(pairs).
+
+    lax.map (scan) keeps analyze_compact's idle/small/full probe tiers as
+    real runtime branches per frame (vmap would flatten them to selects and
+    pay the dense path for idle frames), and a single program sidesteps the
+    per-program completion round-trips that a deep queue of small programs
+    costs on a thin host<->device link. The batch axis is padded to a pow2
+    bucket with (last, last) idle pairs (near-zero marginal device time) so
+    batch sizes don't multiply compile cache entries.
+    """
+    from screenpressor_tpu.jx.transfer import pow2_bucket
+
+    h, w = cfg.height, cfg.width
+    cands, cols, rmax, mlow = _cands_rmax(cfg)
+    nbp = next_pow2(cfg.nbx * cfg.nby)
+    m = len(pairs)
+    cap = pow2_bucket(m)
+    pad = [(pairs[-1][0], pairs[-1][0])] * (cap - m)
+    frames = jnp.stack([f for f, _ in pairs] + [f for f, _ in pad])
+    prevs = jnp.stack([p for _, p in pairs] + [p for _, p in pad])
+    arrs, counts = _p_dispatch_map(
+        frames, prevs, cands, cols, h, w, cfg.nby, cfg.nbx, rmax, nbp,
+        cfg.msr_x, cfg.msr_y, mlow,
+    )
+    return arrs, counts
+
+
 @functools.partial(jax.jit, static_argnames=("kts", "extra_bytes", "raw_threshold"))
 def encode_sections_raw(recs_cap, ns, tables, kts, extra_bytes: int,
                         raw_threshold: int):
