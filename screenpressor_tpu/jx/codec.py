@@ -54,6 +54,29 @@ from screenpressor_tpu.jx.transfer import SegmentPlan
 from screenpressor_tpu.spec.codec import FTYPE_I, FTYPE_P
 
 
+def _phase_timer():
+    """Opt-in batch phase timing (SPTC_TIMING=1): returns mark(label).
+    Diagnostics go to stderr; a no-op lambda otherwise."""
+    import os
+
+    if not os.environ.get("SPTC_TIMING"):
+        return lambda label: None
+    import sys
+    import time
+
+    state = {"t": time.perf_counter()}
+
+    def mark(label):
+        now = time.perf_counter()
+        print(
+            f"sptc-timing: {label}: {(now - state['t']) * 1000:.0f} ms",
+            file=sys.stderr, flush=True,
+        )
+        state["t"] = now
+
+    return mark
+
+
 @functools.partial(jax.jit, static_argnames=("loss",))
 def apply_loss_device(frame, loss: int):
     """Bit-truncation loss on device (spec.codec.apply_loss semantics)."""
@@ -101,6 +124,7 @@ class JaxEncoder:
         n = len(frames)
         if n == 0:
             return []
+        mark = _phase_timer()
         devs = [apply_loss_device(_to_device(f), cfg.loss) for f in frames]
         prev_chain = [self.prev] + devs[:-1]
 
@@ -132,7 +156,9 @@ class JaxEncoder:
                 j = row_of[i]
                 arrs = jax.tree.map(lambda a, j=j: a[j], p_arrs)
                 plans.append(("P", arrs, p_counts[j]))
+        mark("A dispatch")
         counts_host = jax.device_get(jnp.concatenate([p[2] for p in plans]))
+        mark("A pull")
         offs = np.cumsum([0] + [p[2].shape[0] for p in plans])
         counts_host = [counts_host[offs[i] : offs[i + 1]] for i in range(n)]
 
@@ -150,6 +176,7 @@ class JaxEncoder:
                 phase_b[i] = encode_p_classify(devs[i], prev_chain[i], payload, ch, cfg)
                 if phase_b[i] is not None:
                     pb_counts.append((i, phase_b[i][2]))
+        mark("B dispatch")
         pl_host = {}
         if pb_counts:
             pulled = jax.device_get(jnp.concatenate([c for _, c in pb_counts]))
@@ -202,6 +229,7 @@ class JaxEncoder:
                     small_pull.extend([starts[name], lens_l[name]])
                 small_pull.append(stats)
 
+        mark("B pull + C dispatch")
         # ---- sync: pull all starts/lens/stats at once ----
         meta = {}
         if small_pull:
@@ -213,6 +241,7 @@ class JaxEncoder:
                 pos += a.shape[0]
             meta = dict(enumerate(pieces))
 
+        mark("C small pull")
         # ---- payload gather: one tight pull for the whole batch ----
         # Per-lane layout is fully vectorized (numpy); a section's lanes are
         # contiguous in the tight stream so its payload is ONE slice.
@@ -288,6 +317,7 @@ class JaxEncoder:
             # per-segment tight offsets, consumed in add_section order
             seg_cursor = 0
 
+        mark("D tight pull")
         # ---- container assembly (numpy-vectorized lane tables) ----
         def take_section(sizes, k):
             nonlocal seg_cursor
@@ -343,6 +373,7 @@ class JaxEncoder:
                     assert len(data) == total, (len(data), total)
                     results[i] = (data, FTYPE_P)
 
+        mark("E assembly")
         # ---- commit session state ----
         self.tables = tables
         self.prev = devs[-1]

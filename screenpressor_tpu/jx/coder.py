@@ -239,15 +239,23 @@ def lane_lens_device(n, k: int):
 
 
 def deal_device(records_cap, n, k: int, t: int):
-    """records_cap: [N, W] with the first n rows valid -> [t, k, W]."""
+    """records_cap: [N, W] with the first n rows valid -> [t, k, W].
+
+    Destination-sized gather (record for (step, lane) is lane_start + step,
+    the inverse of `_geometry`): a [t*k] gather instead of a scatter over
+    the full source capacity, which for I-frames is h*w rows and dominated
+    the whole encode dispatch before."""
     cap, wdt = records_cap.shape
-    g = jnp.arange(cap)
-    lane, step = _geometry(g, n, k)
-    out = jnp.zeros((t, k, wdt), records_cap.dtype)
-    valid = g < n
-    return out.at[jnp.where(valid, step, t), jnp.where(valid, lane, 0)].set(
-        records_cap, mode="drop"
-    )
+    base = n // k
+    rem = n % k
+    lane = jnp.arange(k, dtype=jnp.int32)
+    start = lane * base + jnp.minimum(lane, rem)  # [k] lane range starts
+    lens = base + (lane < rem)
+    step = jnp.arange(t, dtype=jnp.int32)
+    src = start[None, :] + step[:, None]  # [t, k]
+    valid = step[:, None] < lens[None, :]
+    rows = records_cap[jnp.clip(src, 0, cap - 1)]
+    return jnp.where(valid[..., None], rows, 0)
 
 
 def undeal_device(scan_out, n, k: int, cap: int):
