@@ -491,6 +491,25 @@ def encode_section_auto(recs, lens, tables, codec_name: str, k: int, t_steps: in
     return buf, start, tables
 
 
+def encode_sections_auto(dealt_list, lens_list, tables, kts):
+    """Encode several sections in order with chained tables.
+
+    kts: tuple of (codec_name, k, t_steps). On the kernel path consecutive
+    sections are fused into as few Pallas launches as VMEM allows (each
+    launch has ~3 ms fixed cost on tunnel-attached rigs); bytes are
+    identical to sequential encode_section_auto calls either way."""
+    if use_kernels():
+        from screenpressor_tpu.jx import kernels as kx
+
+        return kx.encode_sections_fused(dealt_list, lens_list, tables, kts)
+    bufs, starts = [], []
+    for (name, k, t), recs, lens in zip(kts, dealt_list, lens_list):
+        buf, start, tables = encode_section_auto(recs, lens, tables, name, k, t)
+        bufs.append(buf)
+        starts.append(start)
+    return bufs, starts, tables
+
+
 def encode_section(records: np.ndarray, k: int, tables, codec_name: str):
     """Host wrapper. records: [n, W] int array. Returns (blobs, tables')."""
     codec = CODECS[codec_name]

@@ -97,16 +97,13 @@ def encode_i_from_records(records, n_rec, lits, n_lit, tables, k_rec, t_rec, k_c
     once in classify_counts; its arrays stay on device)."""
     rec_dealt = jc.deal_device(records, n_rec, k_rec, t_rec)
     lens_rec = jc.lane_lens_device(n_rec, k_rec)
-    buf_rec, start_rec, tables = jc.encode_section_auto(
-        rec_dealt, lens_rec, tables, "rec", k_rec, t_rec
-    )
-
     col_dealt = jc.deal_device(lits, n_lit, k_col, t_col)
     lens_col = jc.lane_lens_device(n_lit, k_col)
-    buf_col, start_col, tables = jc.encode_section_auto(
-        col_dealt, lens_col, tables, "col", k_col, t_col
+    bufs, starts, tables = jc.encode_sections_auto(
+        [rec_dealt, col_dealt], [lens_rec, lens_col], tables,
+        (("rec", k_rec, t_rec), ("col", k_col, t_col)),
     )
-    return buf_rec, start_rec, lens_rec, buf_col, start_col, lens_col, tables
+    return bufs[0], starts[0], lens_rec, bufs[1], starts[1], lens_col, tables
 
 
 @functools.partial(

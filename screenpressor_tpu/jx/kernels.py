@@ -558,26 +558,19 @@ def decode_section_kernel(payload, lens, tables, codec_name: str, k: int,
 # ---------------------------------------------------------------------------
 
 
-def _build_encode_kernel(codec_name: str, k: int, t_steps: int, cap: int):
+def _emit_encode_section(codec_name: str, k: int, t_steps: int, cap: int,
+                         recs_ref, lens_ref, buf_ref, start_ref, iv_ref,
+                         cnts, prefix_m):
+    """Emit one section's encode (forward model pass + reverse rANS pack)
+    into the surrounding kernel. `cnts` are the live table refs — sections
+    emitted in sequence chain table state exactly like separate kernel
+    launches do."""
     codec = KCODECS[codec_name]
-    kinds = _unique_kinds(codec)
-    w = codec.rec_width
     s_sub = len(codec.kinds)
     ts = t_steps * s_sub
-    tsp = -(-ts // PAYBLK) * PAYBLK
-    tp = -(-t_steps // PAYBLK) * PAYBLK
+    w = codec.rec_width
     ncapb = cap // PAYBLK
-
-    def kernel(recs_ref, lens_ref, *refs):
-        # refs = (cnt_in..., buf_out, start_out, cnt_out...), cnt aliased;
-        # scratch: ivals [3, K, TSp] (cum, freq, act per substep)
-        buf_ref = refs[len(kinds)]
-        start_ref = refs[len(kinds) + 1]
-        cnts = dict(zip(kinds, refs[len(kinds) + 2 : len(kinds) + 2 + len(kinds)]))
-        iv_ref = refs[-1]  # scratch
-        for i, kd in enumerate(kinds):
-            cnts[kd][:, :] = refs[i][:, :]
-        prefix_m = {a: _prefix_matrix(a) for a in {TABLE_KINDS[kd][1] for kd in kinds}}
+    if True:
         lens = lens_ref[:, :]  # [K, 1]
 
         # ---- phase 1: forward model pass ----
@@ -739,7 +732,149 @@ def _build_encode_kernel(codec_name: str, k: int, t_steps: int, cap: int):
             wstage, wbase = flush_low(wstage, wbase, ones)
         start_ref[:, :] = pos
 
-    return kernel, kinds, w, tsp
+
+def _union_kinds(section_codecs):
+    seen = []
+    for cn in section_codecs:
+        for kd in _unique_kinds(KCODECS[cn]):
+            if kd not in seen:
+                seen.append(kd)
+    return tuple(seen)
+
+
+def _enc_geometry(codec_name: str, k: int, t_steps: int):
+    codec = KCODECS[codec_name]
+    s_sub = len(codec.kinds)
+    cap0 = 2 * t_steps * s_sub + 8
+    cap = -(-cap0 // (2 * PAYBLK)) * (2 * PAYBLK)
+    kp = max(k, 8)
+    tp = -(-t_steps // PAYBLK) * PAYBLK
+    tsp = -(-(t_steps * s_sub) // PAYBLK) * PAYBLK
+    return codec.rec_width, s_sub, cap, kp, tp, tsp
+
+
+def _build_encode_multi(sections):
+    """Kernel running several sections back to back, chaining table state in
+    VMEM. sections: tuple of (codec_name, k_padded, t_steps, cap)."""
+    kinds = _union_kinds([s[0] for s in sections])
+    ns = len(sections)
+
+    def kernel(*refs):
+        # refs = (recs_0, lens_0, ..., cnt_in...,
+        #         buf_0, start_0, ..., cnt_out..., iv_0...iv_{ns-1})
+        pos = 2 * ns
+        cnt_in = refs[pos : pos + len(kinds)]
+        pos += len(kinds)
+        outs = refs[pos : pos + 2 * ns]
+        pos += 2 * ns
+        cnts = dict(zip(kinds, refs[pos : pos + len(kinds)]))
+        ivs = refs[pos + len(kinds) :]
+        for i, kd in enumerate(kinds):
+            cnts[kd][:, :] = cnt_in[i][:, :]
+        alphabets = {TABLE_KINDS[kd][1] for kd in kinds}
+        prefix_m = {a: _prefix_matrix(a) for a in alphabets}
+        for si, (cn, kp, t_steps, cap) in enumerate(sections):
+            _emit_encode_section(
+                cn, kp, t_steps, cap,
+                refs[2 * si], refs[2 * si + 1],
+                outs[2 * si], outs[2 * si + 1], ivs[si],
+                cnts, prefix_m,
+            )
+
+    return kernel, kinds
+
+
+def _encode_sections_pallas(dealt_list, lens_list, tables, kts):
+    """Shared driver: run the given sections in ONE pallas_call.
+
+    dealt_list/lens_list: per-section [T, K, W] records and [K] lens;
+    kts: tuple of (codec_name, k, t_steps). Returns (bufs, starts, tables')
+    as lists aligned with kts."""
+    geo = [_enc_geometry(cn, k, t) for cn, k, t in kts]
+    sections = tuple(
+        (cn, g[3], t, g[2]) for (cn, k, t), g in zip(kts, geo)
+    )
+    kernel, kinds = _build_encode_multi(sections)
+
+    ins = []
+    for (cn, k, t), g, recs, lens in zip(kts, geo, dealt_list, lens_list):
+        w, s_sub, cap, kp, tp, tsp = g
+        recs_t = jnp.zeros((w, kp, tp), I32).at[:, :k, :t].set(
+            jnp.transpose(recs, (2, 1, 0))
+        )
+        lens2 = jnp.zeros((kp, 1), I32).at[:k, 0].set(lens.astype(I32))
+        ins.extend([recs_t, lens2])
+    cnt_f32 = [tables[kd]["cnt"].astype(F32) for kd in kinds]
+
+    out_shapes = []
+    for (cn, k, t), g in zip(kts, geo):
+        w, s_sub, cap, kp, tp, tsp = g
+        out_shapes.append(jax.ShapeDtypeStruct((kp, cap), I32))
+        out_shapes.append(jax.ShapeDtypeStruct((kp, 1), I32))
+    out_shapes += [
+        jax.ShapeDtypeStruct(tables[kd]["cnt"].shape, F32) for kd in kinds
+    ]
+    n_in = 2 * len(kts)
+    aliases = {n_in + i: 2 * len(kts) + i for i in range(len(kinds))}
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        * (n_in + len(kinds)),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        * (2 * len(kts) + len(kinds)),
+        input_output_aliases=aliases,
+        scratch_shapes=[pltpu.VMEM((g[3], g[5]), I32) for g in geo],
+        interpret=jax.default_backend() == "cpu",
+    )(*ins, *cnt_f32)
+    bufs, starts = [], []
+    for i, ((cn, k, t), g) in enumerate(zip(kts, geo)):
+        bufs.append(outs[2 * i][:k].astype(jnp.uint8))
+        starts.append(outs[2 * i + 1][:k, 0])
+    tables = dict(tables)
+    for kd, cnew in zip(kinds, outs[2 * len(kts) :]):
+        cnt = cnew.astype(jnp.int32)
+        tables[kd] = {"cnt": cnt, "cntsum": cnt.sum(axis=1)}
+    return bufs, starts, tables
+
+
+def _enc_vmem_estimate(kts):
+    """Rough VMEM bytes for a fused encode of these sections (records +
+    payload buffers + interval scratch + per-step temporaries)."""
+    total = 2 * 1024 * 1024  # tables + fixed temporaries headroom
+    for cn, k, t in kts:
+        w, s_sub, cap, kp, tp, tsp = _enc_geometry(cn, k, t)
+        per_lane = w * tp + cap + tsp + 16 * PAYBLK
+        a_max = max(TABLE_KINDS[kd][1] for kd in _unique_kinds(KCODECS[cn]))
+        total += 4 * kp * (per_lane + 6 * a_max) + 4 * a_max * a_max
+    return total
+
+
+# fuse sections into one kernel only while the estimate stays well inside
+# the ~16M VMEM budget; larger sections fall back to one kernel each
+_FUSE_VMEM_LIMIT = 9 * 1024 * 1024
+
+
+def encode_sections_fused(dealt_list, lens_list, tables, kts):
+    """Encode several sections with as few kernel launches as possible
+    (~3 ms fixed cost per launch on tunnel-attached TPUs). Greedily packs
+    consecutive sections into fused kernels under a VMEM budget; falls back
+    to per-section kernels for oversized groups. Bytes and table chaining
+    are identical to sequential encode_section_kernel calls."""
+    bufs, starts = [], []
+    i = 0
+    while i < len(kts):
+        j = i + 1
+        while j <= len(kts) and _enc_vmem_estimate(kts[i:j]) <= _FUSE_VMEM_LIMIT:
+            j += 1
+        j = max(j - 1, i + 1)
+        b, s, tables = _encode_sections_pallas(
+            dealt_list[i:j], lens_list[i:j], tables, tuple(kts[i:j])
+        )
+        bufs.extend(b)
+        starts.extend(s)
+        i = j
+    return bufs, starts, tables
 
 
 @functools.partial(jax.jit, static_argnames=("codec_name", "k", "t_steps"))
@@ -749,41 +884,7 @@ def encode_section_kernel(recs, lens, tables, codec_name: str, k: int,
 
     recs: [T, K, W] int32 dealt records; lens [K].
     Returns (buf [K, cap] uint8, start [K] int32, tables')."""
-    codec = KCODECS[codec_name]
-    kinds = _unique_kinds(codec)
-    s_sub = len(codec.kinds)
-    cap0 = 2 * t_steps * s_sub + 8
-    cap = -(-cap0 // (2 * PAYBLK)) * (2 * PAYBLK)
-
-    kp = max(k, 8)
-    tp = -(-t_steps // PAYBLK) * PAYBLK
-    w = codec.rec_width
-    recs_t = jnp.zeros((w, kp, tp), I32).at[:, :k, :t_steps].set(
-        jnp.transpose(recs, (2, 1, 0))
+    bufs, starts, tables = _encode_sections_pallas(
+        [recs], [lens], tables, ((codec_name, k, t_steps),)
     )
-    lens2 = jnp.zeros((kp, 1), I32).at[:k, 0].set(lens.astype(I32))
-    cnt_f32 = [tables[kd]["cnt"].astype(F32) for kd in kinds]
-
-    kernel, kinds, w, tsp = _build_encode_kernel(codec_name, kp, t_steps, cap)
-    out_shapes = [
-        jax.ShapeDtypeStruct((kp, cap), I32),
-        jax.ShapeDtypeStruct((kp, 1), I32),
-    ] + [jax.ShapeDtypeStruct(tables[kd]["cnt"].shape, F32) for kd in kinds]
-    n_in = 2
-    aliases = {n_in + i: 2 + i for i in range(len(kinds))}
-    outs = pl.pallas_call(
-        kernel,
-        out_shape=out_shapes,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_in + len(kinds)),
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + len(kinds)),
-        input_output_aliases=aliases,
-        scratch_shapes=[pltpu.VMEM((kp, tsp), I32)],
-        interpret=jax.default_backend() == "cpu",
-    )(recs_t, lens2, *cnt_f32)
-    buf = outs[0][:k].astype(jnp.uint8)
-    start = outs[1][:k, 0]
-    tables = dict(tables)
-    for kd, cnew in zip(kinds, outs[2:]):
-        cnt = cnew.astype(jnp.int32)
-        tables[kd] = {"cnt": cnt, "cntsum": cnt.sum(axis=1)}
-    return buf, start, tables
+    return bufs[0], starts[0], tables

@@ -289,13 +289,17 @@ def encode_sections_device(recs_cap, ns, tables, kts):
     recs_cap: dict name -> [cap, W] capacity record arrays; ns: dict of traced
     counts; kts: tuple of (name, k, t) statics. Returns (bufs, starts, lens
     dicts, tables)."""
-    bufs, starts, lens_out = {}, {}, {}
+    dealt_l, lens_l = [], []
     for name, k, t in kts:
         n = ns[name]
-        dealt = jc.deal_device(recs_cap[name], n, k, t)
-        lens = jc.lane_lens_device(n, k)
-        buf, start, tables = jc.encode_section_auto(dealt, lens, tables, name, k, t)
-        bufs[name], starts[name], lens_out[name] = buf, start, lens
+        dealt_l.append(jc.deal_device(recs_cap[name], n, k, t))
+        lens_l.append(jc.lane_lens_device(n, k))
+    bufs_l, starts_l, tables = jc.encode_sections_auto(
+        dealt_l, lens_l, tables, kts
+    )
+    bufs = {name: b for (name, _, _), b in zip(kts, bufs_l)}
+    starts = {name: s for (name, _, _), s in zip(kts, starts_l)}
+    lens_out = {name: ln for (name, _, _), ln in zip(kts, lens_l)}
     return bufs, starts, lens_out, tables
 
 
