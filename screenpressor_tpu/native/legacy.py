@@ -73,6 +73,23 @@ def _u8ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
+def to_dib(frame: np.ndarray) -> np.ndarray:
+    """RGB top-down [H,W,3] -> reference frame buffer (bottom-up BGR DIB).
+
+    The reference is a VfW codec: its pixel buffers are Windows DIBs with
+    biHeight>0, i.e. bottom-up rows with B,G,R byte order.  The stream walk
+    (`screencap.cpp:319-498`) runs over that buffer, so conforming streams
+    carry bottom-up BGR content.  Confirmed against FFmpeg's independent
+    scpr decoder (libavcodec), which un-flips on output.
+    """
+    return np.ascontiguousarray(frame[::-1, :, ::-1])
+
+
+def from_dib(buf: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`to_dib` (involution)."""
+    return np.ascontiguousarray(buf[::-1, :, ::-1])
+
+
 class LegacyV2Encoder:
     """Produces reference-format v2 streams. msr must match the decoder's
     session parameters (the reference carries it out of band via VfW)."""
@@ -84,8 +101,9 @@ class LegacyV2Encoder:
         self._h = _lib().scpr2_new(width, height, msr_x, msr_y)
 
     def encode(self, frame: np.ndarray, force_key: bool = False):
-        frame = np.ascontiguousarray(frame, np.uint8)
+        frame = np.asarray(frame, np.uint8)
         assert frame.shape == (self.height, self.width, 3)
+        frame = to_dib(frame)
         cap = self.width * self.height * 6 + 4096
         out = np.empty(cap, np.uint8)
         ftype = ctypes.c_int(0)
@@ -117,7 +135,7 @@ class LegacyV2Decoder:
         rc = _lib().scpr2_decode(self._h, _u8ptr(buf), len(data), ftype, _u8ptr(out))
         if rc != 0:
             raise RuntimeError("v2 decode failed")
-        return out
+        return from_dib(out)
 
     def __del__(self):
         try:

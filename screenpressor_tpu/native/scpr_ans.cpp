@@ -36,6 +36,25 @@
 #include <cstring>
 #include <stdexcept>
 #include <vector>
+#include <cstdio>
+#include <cstdlib>
+
+// Debug symbol tracing (SCPR_ANS_TRACE=/path): dumps every decoded symbol
+// with its context kind, for oracle-divergence debugging.
+static FILE* scpr_ans_trace_file() {
+  static FILE* f = [] {
+    const char* p = getenv("SCPR_ANS_TRACE");
+    return p ? fopen(p, "w") : (FILE*)nullptr;
+  }();
+  return f;
+}
+#define SCPR_ANS_TRACE(...)                      \
+  do {                                           \
+    if (FILE* tf_ = scpr_ans_trace_file()) {     \
+      fprintf(tf_, __VA_ARGS__);                 \
+    }                                            \
+  } while (0)
+
 
 namespace scpr34 {
 
@@ -262,7 +281,11 @@ struct Context {
     while (pos < ssym.size() && ssym[pos] < c) pos++;
     ssym.insert(ssym.begin() + pos, c);
     sfreq.insert(sfreq.begin() + pos, (u16)STEP_CX5);
-    if (maxpos >= (int)pos) maxpos++;
+    // The reference's Cx5::create(Cx4&) copies into a value-initialized
+    // SmallContext and never assigns maxpos, leaving it 0
+    // (ans_contexts.h:350-369); the bonus then goes to slot 0 until a
+    // later encode moves it.  Bit-exactness requires replicating that.
+    maxpos = 0;
     int totFr = 0;
     for (u16 f : sfreq) totFr += f;
     if (totFr > PROB_SCALE) small_rescale(totFr);
@@ -611,8 +634,14 @@ struct Codec {
   FixedCtx nrun[6], ptab[6], xx, btn, bt, sxy[4], mvx, mvy;
   std::vector<u8> prev;
   bool last_flat = false;
+  // FFmpeg's scpr decoder does not renew model state on flat frames (the
+  // reference does: screencap.cpp:1490-1493,1547-1550 — verified against the
+  // compiled reference).  Forcing an I-frame after a new-color flat keeps our
+  // streams decodable by BOTH ecosystems at negligible cost.
+  bool force_i_next = false;
   u8 flat_clr[3] = {0, 0, 0};
   long fn = 0;
+  std::vector<int> mv_xs, mv_ys;  // per-block MVs, persistent across frames
   u32 cx = 0, cx1 = 0;
 
   // entropy state
@@ -663,13 +692,17 @@ struct Codec {
   u8 dec_c(Context& ctx) {
     u8 c;
     Freq fr;
+    const int kind_before = ctx.kind;
     if (ctx.can_decode()) {
       ctx.decode((int)rdec.get(), c, fr);
       rdec.advance(fr.cumFreq, fr.freq);
+      SCPR_ANS_TRACE("C k=%d c=%d fr=%d cum=%d\n", kind_before, c, fr.freq,
+                     fr.cumFreq);
     } else {
       if (rdec.p >= rdec.end) throw StreamError("v3/v4 bypass exhausted");
       c = *rdec.p++;
       ctx.update(c, f0val);
+      SCPR_ANS_TRACE("B k=%d c=%d\n", kind_before, c);
     }
     count_dec();
     return c;
@@ -683,6 +716,7 @@ struct Codec {
     Freq fr;
     const int c = cx_.decode((int)rdec.get(), fr);
     rdec.advance(fr.cumFreq, fr.freq);
+    SCPR_ANS_TRACE("F c=%d fr=%d cum=%d\n", c, fr.freq, fr.cumFreq);
     count_dec();
     return c;
   }
@@ -726,9 +760,13 @@ struct Codec {
       case 2: return eq3(c, c + off + 3);
       case 5: return eq3(c, c + off);
       case 4:
-        return c[0] == (u8)(buf[lasti] + c[off + 3] - c[off]) &&
-               c[1] == (u8)(buf[lasti + 1] + c[off + 4] - c[off + 1]) &&
-               c[2] == (u8)(buf[lasti + 2] + c[off + 5] - c[off + 2]);
+        // unwrapped int compare (`screencap.cpp:515-518,567-569`): the
+        // reference only picks the gradient when left+above-aboveleft is
+        // already in 0..255 (its decoder truncates on store, but its
+        // encoder-side fit test does int math with no wraparound)
+        return (int)c[0] == (int)buf[lasti] + c[off + 3] - c[off] &&
+               (int)c[1] == (int)buf[lasti + 1] + c[off + 4] - c[off + 1] &&
+               (int)c[2] == (int)buf[lasti + 2] + c[off + 5] - c[off + 2];
     }
     return false;
   }
@@ -901,9 +939,10 @@ struct Codec {
       case 3: return eq3(c, prev.data() + i);
       case 5: return eq3(c, c + off);
       case 4:
-        return c[0] == (u8)(c[-3] + c[off + 3] - c[off]) &&
-               c[1] == (u8)(c[-2] + c[off + 4] - c[off + 1]) &&
-               c[2] == (u8)(c[-1] + c[off + 5] - c[off + 2]);
+        // unwrapped int compare (`screencap.cpp:586-588`)
+        return (int)c[0] == (int)c[-3] + c[off + 3] - c[off] &&
+               (int)c[1] == (int)c[-2] + c[off + 4] - c[off + 1] &&
+               (int)c[2] == (int)c[-1] + c[off + 5] - c[off + 2];
     }
     return false;
   }
@@ -952,7 +991,15 @@ struct Codec {
     const int nbx = (X + 15) / 16, nby = (Y + 15) / 16;
     std::vector<int> bts(nbx * nby, 0);
     std::vector<int> sx1v(nbx * nby), sy1v(nbx * nby), sx2v(nbx * nby), sy2v(nbx * nby);
-    std::vector<int> mxs(nbx * nby, 0), mys(nbx * nby, 0);
+    // persistent across frames: the reference's mvs[] arrays are allocated
+    // once at Init and never cleared (screencap.cpp:95-97), so stale MVs
+    // from earlier frames serve as upper-block candidates (:726-735).
+    if ((int)mv_xs.size() != nbx * nby) {
+      mv_xs.assign(nbx * nby, 0);
+      mv_ys.assign(nbx * nby, 0);
+    }
+    std::vector<int>& mxs = mv_xs;
+    std::vector<int>& mys = mv_ys;
     std::vector<std::vector<PRec>> brecs(nbx * nby);
     bool any = false;
     int lmx = 0, lmy = 0;
@@ -982,11 +1029,13 @@ struct Codec {
         const bool can_up = by > 0;
         const int ubi = bi - nbx;
         int omx, omy;
-        if (find_mv(buf, sx1, sy1, sx2, sy2, lmx, lmy, can_up && bts[ubi] >= 3,
+        // upper candidate: any block above, with whatever (possibly stale)
+        // MV its array slot holds; scans update last_mv inside find_mv, but
+        // last-MV / upper-MV hits leave it untouched (:718-735).
+        if (find_mv(buf, sx1, sy1, sx2, sy2, lmx, lmy, can_up,
                     can_up ? mxs[ubi] : 0, can_up ? mys[ubi] : 0, omx, omy)) {
           t += 2;
           mxs[bi] = omx; mys[bi] = omy;
-          lmx = omx; lmy = omy;
         } else {
           classify_block(buf, sx1, sy1, sx2, sy2, brecs[bi]);
         }
@@ -998,9 +1047,17 @@ struct Codec {
       return 0;
     }
     hdr.push_back(1);
-    int xx1 = 0, xx2 = nbx * nby - 1;
-    while (!bts[xx1]) xx1++;
-    while (!bts[xx2]) xx2--;
+    // xx1/xx2 are corner indices of the block-space bounding RECTANGLE of
+    // changed blocks (min/max column x min/max row, screencap.cpp:1132-1150),
+    // not the min/max linear indices.
+    int bcx1 = nbx, bcx2 = -1, bcy1 = nby, bcy2 = -1;
+    for (int by = 0; by < nby; by++)
+      for (int bx = 0; bx < nbx; bx++)
+        if (bts[by * nbx + bx]) {
+          bcx1 = std::min(bcx1, bx); bcx2 = std::max(bcx2, bx);
+          bcy1 = std::min(bcy1, by); bcy2 = std::max(bcy2, by);
+        }
+    const int xx1 = bcy1 * nbx + bcx1, xx2 = bcy2 * nbx + bcx2;
     enc_f(xx, xx1 & 255);
     enc_f(xx, (xx1 >> 8) & 255);
     enc_f(xx, xx2 & 255);
@@ -1176,6 +1233,7 @@ struct Codec {
         prev = buf;
         renew();
         memcpy(flat_clr, buf.data(), 3);
+        force_i_next = true;
       }
       last_flat = true;
       fn++;
@@ -1183,8 +1241,9 @@ struct Codec {
       return 0;
     }
     last_flat = false;
-    const bool key =
-        force_key || fn == 0 || (kf_interval > 0 && fn % kf_interval == 0);
+    const bool key = force_key || fn == 0 || force_i_next ||
+                     (kf_interval > 0 && fn % kf_interval == 0);
+    force_i_next = false;
     fn++;
     out.clear();
     if (key) {

@@ -14,9 +14,28 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <stdexcept>
 #include <vector>
+
+// Debug record tracing (SCPR_TRACE=/path/file): dumps the decoded record
+// stream for oracle-divergence debugging; no effect when unset.
+static FILE* scpr_trace_file() {
+  static FILE* f = [] {
+    const char* p = getenv("SCPR_TRACE");
+    return p ? fopen(p, "w") : (FILE*)nullptr;
+  }();
+  return f;
+}
+#define SCPR_TRACE_REC(...)                       \
+  do {                                            \
+    if (FILE* tf_ = scpr_trace_file()) {          \
+      fprintf(tf_, __VA_ARGS__);                  \
+      fflush(tf_);                                \
+    }                                             \
+  } while (0)
 
 namespace scpr2 {
 
@@ -167,8 +186,14 @@ struct Codec {
   Counts nrun[6], ptab[6], xx, btn, bt, sxy[4], mvx, mvy;
   std::vector<u8> prev;
   bool last_flat = false;
+  // FFmpeg's scpr decoder does not renew model state on flat frames (the
+  // reference does: screencap.cpp:1490-1493,1547-1550 — verified against the
+  // compiled reference).  Forcing an I-frame after a new-color flat keeps our
+  // streams decodable by BOTH ecosystems at negligible cost.
+  bool force_i_next = false;
   u8 flat_clr[3] = {0, 0, 0};
   long fn = 0;
+  std::vector<int> mv_xs, mv_ys;  // per-block MVs, persistent across frames
   u32 cx = 0, cx1 = 0;
 
   Codec(int x, int y, int mx, int my)
@@ -219,9 +244,13 @@ struct Codec {
       case 2: return eq3(c, c + off + 3);
       case 5: return eq3(c, c + off);
       case 4:
-        return c[0] == (u8)(buf[lasti] + c[off + 3] - c[off]) &&
-               c[1] == (u8)(buf[lasti + 1] + c[off + 4] - c[off + 1]) &&
-               c[2] == (u8)(buf[lasti + 2] + c[off + 5] - c[off + 2]);
+        // unwrapped int compare (`screencap.cpp:515-518,567-569`): the
+        // reference only picks the gradient when left+above-aboveleft is
+        // already in 0..255 (its decoder truncates on store, but its
+        // encoder-side fit test does int math with no wraparound)
+        return (int)c[0] == (int)buf[lasti] + c[off + 3] - c[off] &&
+               (int)c[1] == (int)buf[lasti + 1] + c[off + 4] - c[off + 1] &&
+               (int)c[2] == (int)buf[lasti + 2] + c[off + 5] - c[off + 2];
     }
     return false;
   }
@@ -304,6 +333,8 @@ struct Codec {
       ptype = ptab[lastptype].dec(rc, STEP_P);
       if (!ptype) dec_rgb(rc, r, g, b);
       int n = nrun[ptype].dec(rc, STEP_N);
+      SCPR_TRACE_REC("I y=%d x=%d ptype=%d n=%d rgb=%d,%d,%d\n", y, x, ptype,
+                     n, ptype ? -1 : r, ptype ? -1 : g, ptype ? -1 : b);
       i = y * stride + x * 3;
       while (n-- > 0) {
         switch (ptype) {
@@ -396,9 +427,10 @@ struct Codec {
       case 3: return eq3(c, prev.data() + i);
       case 5: return eq3(c, c + off);
       case 4:
-        return c[0] == (u8)(c[-3] + c[off + 3] - c[off]) &&
-               c[1] == (u8)(c[-2] + c[off + 4] - c[off + 1]) &&
-               c[2] == (u8)(c[-1] + c[off + 5] - c[off + 2]);
+        // unwrapped int compare (`screencap.cpp:586-588`)
+        return (int)c[0] == (int)c[-3] + c[off + 3] - c[off] &&
+               (int)c[1] == (int)c[-2] + c[off + 4] - c[off + 1] &&
+               (int)c[2] == (int)c[-1] + c[off + 5] - c[off + 2];
     }
     return false;
   }
@@ -449,7 +481,15 @@ struct Codec {
     // block analysis (single-worker deterministic order)
     std::vector<int> bts(nbx * nby, 0);
     std::vector<int> sx1v(nbx * nby), sy1v(nbx * nby), sx2v(nbx * nby), sy2v(nbx * nby);
-    std::vector<int> mxs(nbx * nby, 0), mys(nbx * nby, 0);
+    // persistent across frames: the reference's mvs[] arrays are allocated
+    // once at Init and never cleared (screencap.cpp:95-97), so stale MVs
+    // from earlier frames serve as upper-block candidates (:726-735).
+    if ((int)mv_xs.size() != nbx * nby) {
+      mv_xs.assign(nbx * nby, 0);
+      mv_ys.assign(nbx * nby, 0);
+    }
+    std::vector<int>& mxs = mv_xs;
+    std::vector<int>& mys = mv_ys;
     std::vector<std::vector<PRec>> brecs(nbx * nby);
     bool any = false;
     int lmx = 0, lmy = 0;
@@ -480,11 +520,13 @@ struct Codec {
         const bool can_up = by > 0;
         const int ubi = bi - nbx;
         int omx, omy;
-        if (find_mv(buf, sx1, sy1, sx2, sy2, lmx, lmy, can_up && bts[ubi] >= 3,
+        // upper candidate: any block above, with whatever (possibly stale)
+        // MV its array slot holds; scans update last_mv inside find_mv, but
+        // last-MV / upper-MV hits leave it untouched (:718-735).
+        if (find_mv(buf, sx1, sy1, sx2, sy2, lmx, lmy, can_up,
                     can_up ? mxs[ubi] : 0, can_up ? mys[ubi] : 0, omx, omy)) {
           t += 2;
           mxs[bi] = omx; mys[bi] = omy;
-          lmx = omx; lmy = omy;
         } else {
           classify_block(buf, sx1, sy1, sx2, sy2, brecs[bi]);
         }
@@ -497,9 +539,17 @@ struct Codec {
       return 0;  // no RC payload
     }
     hdr.push_back(1);
-    int xx1 = 0, xx2 = nbx * nby - 1;
-    while (!bts[xx1]) xx1++;
-    while (!bts[xx2]) xx2--;
+    // xx1/xx2 are corner indices of the block-space bounding RECTANGLE of
+    // changed blocks (min/max column x min/max row, screencap.cpp:1132-1150),
+    // not the min/max linear indices.
+    int bcx1 = nbx, bcx2 = -1, bcy1 = nby, bcy2 = -1;
+    for (int by = 0; by < nby; by++)
+      for (int bx = 0; bx < nbx; bx++)
+        if (bts[by * nbx + bx]) {
+          bcx1 = std::min(bcx1, bx); bcx2 = std::max(bcx2, bx);
+          bcy1 = std::min(bcy1, by); bcy2 = std::max(bcy2, by);
+        }
+    const int xx1 = bcy1 * nbx + bcx1, xx2 = bcy2 * nbx + bcx2;
     xx.enc(rc, xx1 & 255, STEP_XX);
     xx.enc(rc, (xx1 >> 8) & 255, STEP_XX);
     xx.enc(rc, xx2 & 255, STEP_XX);
@@ -562,12 +612,14 @@ struct Codec {
     const int xx1 = (t1 << 8) + t0;
     t0 = xx.dec(rc, STEP_XX); t1 = xx.dec(rc, STEP_XX);
     const int xx2 = (t1 << 8) + t0;
+    SCPR_TRACE_REC("P xx1=%d xx2=%d\n", xx1, xx2);
     std::vector<int> bts(nbx * nby, 0);
     {
       int x = xx1;
       while (x <= xx2) {
         const int c = bt.dec(rc, STEP_BT);
         const int n = btn.dec(rc, STEP_BTN);
+        SCPR_TRACE_REC("P bt=%d n=%d\n", c, n);
         for (int i = 0; i < n && x <= xx2; i++) bts[x++] = c;
       }
     }
@@ -592,6 +644,7 @@ struct Codec {
             const int i = y * stride + x1 * 3;
             memcpy(buf + i, prev.data() + i, (x2 - x1) * 3);
           }
+          SCPR_TRACE_REC("P sxy bi=%d\n", bi);
           x1 = sxy[0].dec(rc, STEP_SXY) + x_lo;
           y1 = sxy[1].dec(rc, STEP_SXY) + y_lo;
           x2 = sxy[2].dec(rc, STEP_SXY) + x_lo + 1;
@@ -602,6 +655,7 @@ struct Codec {
         if ((t - 1) & 2) {
           const int mx = mvx.dec(rc, STEP_MV) - msr_x;
           const int my = mvy.dec(rc, STEP_MV) - msr_y;
+          SCPR_TRACE_REC("P mv bi=%d mx=%d my=%d\n", bi, mx, my);
           if (x1 + mx < 0 || y1 + my < 0 || x2 + mx > X || y2 + my > Y)
             throw StreamError("v2 motion vector out of range");
           for (int y = y1; y < y2; y++)
@@ -615,6 +669,9 @@ struct Codec {
             ptype = ptab[lastptype].dec(rc, STEP_P);
             if (!ptype) dec_rgb(rc, r, g, b);
             int n = nrun[ptype].dec(rc, STEP_N);
+            SCPR_TRACE_REC("P rec bi=%d ptype=%d n=%d rgb=%d,%d,%d\n", bi,
+                           ptype, n, ptype ? -1 : r, ptype ? -1 : g,
+                           ptype ? -1 : b);
             int i = y * stride + x * 3;
             while (n-- > 0) {
               switch (ptype) {
@@ -659,6 +716,7 @@ struct Codec {
         prev = buf;
         renew();
         memcpy(flat_clr, buf.data(), 3);
+        force_i_next = true;
       }
       last_flat = true;
       fn++;
@@ -666,8 +724,9 @@ struct Codec {
       return 0;
     }
     last_flat = false;
-    const bool key =
-        force_key || fn == 0 || (kf_interval > 0 && fn % kf_interval == 0);
+    const bool key = force_key || fn == 0 || force_i_next ||
+                     (kf_interval > 0 && fn % kf_interval == 0);
+    force_i_next = false;
     fn++;
     out.clear();
     RC rc;
