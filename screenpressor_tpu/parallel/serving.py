@@ -301,19 +301,29 @@ class BatchedEncoder:
     All heavy state ([S] previous frames, [S] table sets) is device-resident.
     """
 
-    def __init__(self, n_streams: int, cfg: CodecConfig):
+    def __init__(self, n_streams: int, cfg: CodecConfig, sharding=None):
+        """sharding: optional jax.sharding.Sharding for the stream axis
+        (e.g. NamedSharding(mesh, P("dp"))) — every [S, ...] device array is
+        placed with it, so the vmapped phase jits compile SPMD across the
+        mesh with zero cross-stream collectives (streams are independent;
+        SURVEY.md §2.5)."""
         if cfg.k_fixed is None:
             cfg = dataclasses.replace(cfg, k_fixed=min(cfg.k_max, 256))
         self.cfg = cfg
         self.s = n_streams
+        self.sharding = sharding
         t = renew_tables()
         self.tables_b = jax.tree.map(
-            lambda a: jnp.broadcast_to(a, (n_streams,) + a.shape).copy(), t
+            lambda a: self._dput(jnp.broadcast_to(a, (n_streams,) + a.shape)), t
         )
         self.prev: np.ndarray | None = None
         self.fn = 0
         self.last_flat = np.zeros(n_streams, bool)
         self.flat_color = np.zeros((n_streams, 3), np.uint8)
+
+    def _dput(self, a):
+        x = jnp.asarray(a)
+        return x if self.sharding is None else jax.device_put(x, self.sharding)
 
     def _renew_streams(self, mask: np.ndarray):
         if not mask.any():
@@ -344,7 +354,7 @@ class BatchedEncoder:
         if not keyframe:
             return self._encode_p_batch(frames)
 
-        dev_frames = jnp.asarray(frames)
+        dev_frames = self._dput(frames)
         records_b, n_rec_d, lits_b, n_lit_d, flat_d = _batched_counts(dev_frames, h, w)
         n_rec, n_lit, flat = jax.device_get((n_rec_d, n_lit_d, flat_d))
         flat = np.asarray(flat)
@@ -417,8 +427,8 @@ class BatchedEncoder:
         nby, nbx = cfg.nby, cfg.nbx
         nbp = next_pow2(nbx * nby)
         k = cfg.k_fixed
-        dev_frames = jnp.asarray(frames)
-        dev_prevs = jnp.asarray(self.prev)
+        dev_frames = self._dput(frames)
+        dev_prevs = self._dput(self.prev)
         cands, cols, rmax, mlow = _cands_rmax(cfg)
 
         arrs, counts, flat4 = _batched_analyze(
@@ -599,18 +609,24 @@ class BatchedDecoder:
     Counterpart of BatchedEncoder; accepts its streams (same k_fixed policy).
     """
 
-    def __init__(self, n_streams: int, cfg: CodecConfig):
+    def __init__(self, n_streams: int, cfg: CodecConfig, sharding=None):
+        """sharding: optional stream-axis Sharding (see BatchedEncoder)."""
         if cfg.k_fixed is None:
             cfg = dataclasses.replace(cfg, k_fixed=min(cfg.k_max, 256))
         self.cfg = cfg
         self.s = n_streams
+        self.sharding = sharding
         t = renew_tables()
         self.tables_b = jax.tree.map(
-            lambda a: jnp.broadcast_to(a, (n_streams,) + a.shape).copy(), t
+            lambda a: self._dput(jnp.broadcast_to(a, (n_streams,) + a.shape)), t
         )
         self.prev = None  # device [S, H, W, 3] uint8
         self.last_flat = np.zeros(n_streams, bool)
         self.flat_color = np.zeros((n_streams, 3), np.uint8)
+
+    def _dput(self, a):
+        x = jnp.asarray(a)
+        return x if self.sharding is None else jax.device_put(x, self.sharding)
 
     def _renew_streams(self, mask: np.ndarray):
         if not mask.any():
@@ -684,7 +700,7 @@ class BatchedDecoder:
 
         self._renew_streams(renew_mask)
         if self.prev is None:
-            self.prev = jnp.zeros((s, h, w, 3), jnp.uint8)
+            self.prev = self._dput(jnp.zeros((s, h, w, 3), jnp.uint8))
         frames = None
         checks = []
 
@@ -714,8 +730,8 @@ class BatchedDecoder:
                 pc[i, :, : x[1].shape[1]] = np.asarray(x[1])
                 n_rec_b[i], n_lit_b[i] = x[2], x[3]
             dec_frames, ok, self.tables_b = _batched_decode_i(
-                jnp.asarray(pr), jnp.asarray(pc), jnp.asarray(n_rec_b),
-                jnp.asarray(n_lit_b), jnp.asarray(skip), self.tables_b,
+                self._dput(pr), self._dput(pc), self._dput(n_rec_b),
+                self._dput(n_lit_b), self._dput(skip), self.tables_b,
                 h, w, k, t_rec, t_col,
             )
             checks.append((~ok).astype(jnp.int32) * jnp.asarray(~skip, jnp.int32))
@@ -763,9 +779,9 @@ class BatchedDecoder:
                     ns_b[name][i] = int(ns[name])
                 xx1_b[i], xx2_b[i], nd_b[i] = xx1, xx2, n_data
             p_frames, err, self.tables_b = _batched_decode_p(
-                {n: jnp.asarray(v) for n, v in pay_b.items()},
-                {n: jnp.asarray(v) for n, v in ns_b.items()},
-                jnp.asarray(xx1_b), jnp.asarray(xx2_b), jnp.asarray(nd_b),
+                {n: self._dput(v) for n, v in pay_b.items()},
+                {n: self._dput(v) for n, v in ns_b.items()},
+                self._dput(xx1_b), self._dput(xx2_b), self._dput(nd_b),
                 self.prev, self.tables_b,
                 h, w, cfg.nbx, cfg.nby, kts, caps, mcap, bcap,
             )
@@ -785,12 +801,19 @@ class BatchedDecoder:
             frames = jnp.where(ov, jnp.asarray(override_val), frames)
 
         if checks:
-            errs = np.asarray(jnp.stack([jnp.max(c) for c in checks]))
+            # per-stream error words: report the FIRST failing stream by
+            # index instead of max-conflating the batch (round-2 weak #9)
+            errs = np.asarray(jnp.stack(checks))  # [n_checks, S]
             if errs.any():
-                bad = int(np.max(errs))
-                if bad == 1 and not p_mask.any():
-                    raise bs.CorruptStreamError("records do not tile frame")
-                raise_p_error(bad)
+                sidx = int(np.nonzero(errs.any(axis=0))[0][0])
+                bad = int(errs[:, sidx].max())
+                if bad == 1 and not p_mask[sidx]:
+                    raise bs.CorruptStreamError(
+                        f"stream {sidx}: records do not tile frame")
+                try:
+                    raise_p_error(bad)
+                except bs.CorruptStreamError as e:
+                    raise bs.CorruptStreamError(f"stream {sidx}: {e}") from None
         self.prev = frames
         if device_out:
             return frames
