@@ -24,6 +24,20 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sptc_jax_cache")
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent jit cache: on tunnel-attached TPU rigs every compile is a
+    ~44 s remote round-trip regardless of program size, so caching is the
+    difference between a 15-minute and a 1-minute bench. The env var alone
+    is not sufficient on this stack — the config keys must be set
+    explicitly."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+
 def synth_screencast(h, w, n_frames, seed=0):
     """Desktop-like content: window, text lines, scroll, typing, idle.
     Same pixel content as the round-1 bench generator."""
@@ -55,6 +69,7 @@ def main():
     w = int(os.environ.get("BENCH_W", 1920))
     n = int(os.environ.get("BENCH_FRAMES", 16))
 
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
 

@@ -39,13 +39,36 @@ class CorruptStreamError(Exception):
     pass
 
 
-def pack_section(blobs: list[bytes]) -> bytes:
-    k = len(blobs)
+_WIDTHS = (1, 2, 4)
+_WIDTH_FMT = {1: "B", 2: "H", 4: "I"}
+
+
+def size_width(max_size: int) -> int:
+    """Minimal stored width (1/2/4 bytes) for a lane size table."""
+    if max_size < 1 << 8:
+        return 1
+    if max_size < 1 << 16:
+        return 2
+    return 4
+
+
+def section_status_byte(k: int, width: int) -> int:
+    """Status byte: bits 0-3 klog, bits 4-5 width code (0/1/2 -> 1/2/4)."""
     klog = max(0, (k - 1).bit_length())
     if (1 << klog) != k:
         raise ValueError(f"lane count {k} not a power of two")
-    out = [bytes([klog])]
-    out.append(struct.pack(f"<{k}I", *(len(b) for b in blobs)))
+    return klog | (_WIDTHS.index(width) << 4)
+
+
+def pack_section(blobs: list[bytes]) -> bytes:
+    """Lane container: status byte + minimal-width size table + payloads.
+
+    The round-2 format spent 4 bytes/lane on sizes; typical small-frame
+    sections have single-digit sizes, so the width adapts (1/2/4 bytes)."""
+    k = len(blobs)
+    w = size_width(max((len(b) for b in blobs), default=0))
+    out = [bytes([section_status_byte(k, w)])]
+    out.append(struct.pack(f"<{k}{_WIDTH_FMT[w]}", *(len(b) for b in blobs)))
     out.extend(blobs)
     return b"".join(out)
 
@@ -53,14 +76,19 @@ def pack_section(blobs: list[bytes]) -> bytes:
 def unpack_section(data: bytes, pos: int, expected_k: int) -> tuple[list[bytes], int]:
     if pos >= len(data):
         raise CorruptStreamError("truncated section header")
-    k = 1 << data[pos]
+    status = data[pos]
+    k = 1 << (status & 0x0F)
+    wcode = (status >> 4) & 0x03
+    if wcode >= len(_WIDTHS):
+        raise CorruptStreamError(f"bad section width code {wcode}")
+    w = _WIDTHS[wcode]
     if k != expected_k:
         raise CorruptStreamError(f"lane count mismatch: stream {k}, policy {expected_k}")
     pos += 1
-    need = 4 * k
+    need = w * k
     if pos + need > len(data):
         raise CorruptStreamError("truncated lane size table")
-    sizes = struct.unpack_from(f"<{k}I", data, pos)
+    sizes = struct.unpack_from(f"<{k}{_WIDTH_FMT[w]}", data, pos)
     pos += need
     blobs = []
     for s in sizes:
@@ -69,6 +97,41 @@ def unpack_section(data: bytes, pos: int, expected_k: int) -> tuple[list[bytes],
         blobs.append(data[pos : pos + s])
         pos += s
     return blobs, pos
+
+
+def pack_varint(*vals: int) -> bytes:
+    """Unsigned LEB128 (7 bits per byte, high bit continues)."""
+    out = bytearray()
+    for v in vals:
+        if v < 0:
+            raise ValueError("varint values must be non-negative")
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            out.append(b | (0x80 if v else 0))
+            if not v:
+                break
+    return bytes(out)
+
+
+def read_varint(data: bytes, pos: int, n: int = 1):
+    vals = []
+    for _ in range(n):
+        v = 0
+        shift = 0
+        while True:
+            if pos >= len(data):
+                raise CorruptStreamError("truncated varint header")
+            b = data[pos]
+            pos += 1
+            v |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                break
+            shift += 7
+            if shift > 35:
+                raise CorruptStreamError("varint overflow")
+        vals.append(v)
+    return (vals[0] if n == 1 else tuple(vals)), pos
 
 
 def pack_u32(*vals: int) -> bytes:

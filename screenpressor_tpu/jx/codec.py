@@ -323,8 +323,9 @@ class JaxEncoder:
             nonlocal seg_cursor
             off = int(dsts[seg_cursor])
             seg_cursor += k
-            klog = max(0, (k - 1).bit_length())
-            hdr = bytes([klog]) + sizes.astype("<u4").tobytes()
+            w = bs.size_width(int(sizes.max(initial=0)))
+            hdr = bytes([bs.section_status_byte(k, w)]) + sizes.astype(
+                f"<u{w}").tobytes()
             end = off + int(sizes.sum())
             return hdr + tight[off:end].tobytes()
 
@@ -343,7 +344,7 @@ class JaxEncoder:
                     data = bytes([bs.header_byte(ALG_RAW)]) + tight[off : off + ln].tobytes()
                 else:
                     data = b"".join(
-                        [bytes([bs.header_byte(ALG_I)]), bs.pack_u32(n_rec, n_lit)]
+                        [bytes([bs.header_byte(ALG_I)]), bs.pack_varint(n_rec, n_lit)]
                         + [take_section(sz, len(sz)) for sz in sections]
                     )
                     assert len(data) == total, (len(data), total)
@@ -363,7 +364,7 @@ class JaxEncoder:
                         [
                             bytes([bs.header_byte(ALG_P)]),
                             bytes([1]),
-                            bs.pack_u32(
+                            bs.pack_varint(
                                 xx1, xx2, nums["bt"], nums["sxy"], nums["mv"],
                                 nums["rec"], nums["col"], n_data,
                             ),

@@ -58,13 +58,12 @@ def encode_i_raw(records, n_rec, lits, n_lit, tables,
         records, n_rec, lits, n_lit, tables, k_rec, t_rec, k_col, t_col
     )
     buf_rec, start_rec, lens_rec, buf_col, start_col, lens_col, tables2 = out
-    total = jnp.int32(1 + 8)  # header byte + 2 u32 counts
+    total = jnp.int32(1) + varint_len_device(n_rec) + varint_len_device(n_lit)
     for k, buf, starts, lens in (
         (k_rec, buf_rec, start_rec, lens_rec),
         (k_col, buf_col, start_col, lens_col),
     ):
-        cap = buf.shape[1]
-        total = total + 1 + 4 * k + jnp.where(lens > 0, cap - starts, 0).sum()
+        total = total + section_bytes_device(starts, lens, buf.shape[1], k)
     is_raw = total >= raw_threshold
     renewed = renew_tables()
     sel = jax.tree.map(lambda a, b: jnp.where(is_raw, a, b), renewed, tables2)
@@ -72,9 +71,26 @@ def encode_i_raw(records, n_rec, lits, n_lit, tables,
     return buf_rec, start_rec, lens_rec, buf_col, start_col, lens_col, stats, sel
 
 
+def varint_len_device(v):
+    """Encoded LEB128 length of a device int32 (matches bs.pack_varint)."""
+    v = jnp.asarray(v, jnp.int32)
+    return (1 + (v >= 1 << 7).astype(jnp.int32)
+            + (v >= 1 << 14).astype(jnp.int32)
+            + (v >= 1 << 21).astype(jnp.int32))
+
+
+def section_bytes_device(starts, lens, cap, k: int):
+    """Exact container bytes of one lane section (status byte +
+    minimal-width size table + payloads), matching bs.pack_section."""
+    sizes = jnp.where(lens > 0, cap - starts, 0)
+    m = sizes.max()
+    w = jnp.where(m < 1 << 8, 1, jnp.where(m < 1 << 16, 2, 4))
+    return 1 + k * w + sizes.sum()
+
+
 def parse_i_header(data: bytes, pos: int, cfg: CodecConfig):
     """Host-side I-frame container parse + sanity bounds."""
-    (n_rec, n_lit), pos = bs.read_u32(data, pos, 2)
+    (n_rec, n_lit), pos = bs.read_varint(data, pos, 2)
     if n_rec > cfg.width * cfg.height or n_lit > max(n_rec, 1):
         raise bs.CorruptStreamError("I-frame record counts out of bounds")
     k_rec, k_col = cfg.lanes(n_rec), cfg.lanes(n_lit)
@@ -157,7 +173,7 @@ def encode_i(frame, tables, cfg: CodecConfig):
     data = b"".join(
         [
             bytes([bs.header_byte(ALG_I)]),
-            bs.pack_u32(n_rec, n_lit),
+            bs.pack_varint(n_rec, n_lit),
             bs.pack_section(_blobs_from_buf(buf_rec, start_rec, lens_rec, k_rec)),
             bs.pack_section(_blobs_from_buf(buf_col, start_col, lens_col, k_col)),
         ]
@@ -167,7 +183,7 @@ def encode_i(frame, tables, cfg: CodecConfig):
 
 def decode_i(data: bytes, pos: int, tables, cfg: CodecConfig):
     """Returns (frame [H, W, 3] uint8 jax array, tables'). One device call."""
-    (n_rec, n_lit), pos = bs.read_u32(data, pos, 2)
+    (n_rec, n_lit), pos = bs.read_varint(data, pos, 2)
     k_rec, k_col = cfg.lanes(n_rec), cfg.lanes(n_lit)
     rec_blobs, pos = bs.unpack_section(data, pos, k_rec)
     col_blobs, pos = bs.unpack_section(data, pos, k_col)

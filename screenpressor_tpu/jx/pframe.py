@@ -665,21 +665,23 @@ def encode_p_dispatch_batch(pairs, cfg: CodecConfig):
     return arrs, counts
 
 
-@functools.partial(jax.jit, static_argnames=("kts", "extra_bytes", "raw_threshold"))
-def encode_sections_raw(recs_cap, ns, tables, kts, extra_bytes: int,
+@functools.partial(jax.jit, static_argnames=("kts", "raw_threshold"))
+def encode_sections_raw(recs_cap, ns, tables, kts, hdr_vals,
                         raw_threshold: int):
     """encode_sections_device + exact container size + raw-escape table
     select on device (the host applies the identical size rule when it
-    assembles the container, so the table chain never waits on a pull)."""
+    assembles the container, so the table chain never waits on a pull).
+    hdr_vals: [8] int32 device vector of the P header fields (varint-coded
+    in the container)."""
+    from screenpressor_tpu.jx.iframe import section_bytes_device, varint_len_device
     from screenpressor_tpu.jx.tables import renew_tables
 
     bufs, starts, lens_out, tables2 = encode_sections_device(recs_cap, ns, tables, kts)
-    total = jnp.int32(extra_bytes)
+    total = jnp.int32(2) + varint_len_device(hdr_vals).sum()
     for name, k, t in kts:
-        cap = bufs[name].shape[1]
-        total = total + 1 + 4 * k + jnp.where(
-            lens_out[name] > 0, cap - starts[name], 0
-        ).sum()
+        total = total + section_bytes_device(
+            starts[name], lens_out[name], bufs[name].shape[1], k
+        )
     is_raw = total >= raw_threshold
     renewed = renew_tables()
     sel = jax.tree.map(lambda a, b: jnp.where(is_raw, a, b), renewed, tables2)
@@ -730,8 +732,11 @@ def encode_p_sections(arrs, counts_host, phase_b, pl_counts_host, tables,
         recs_cap[name] = sources[name][:cap]
         ns[name] = jnp.int32(n)
     raw_threshold = 1 + cfg.width * cfg.height * 3
+    hdr_vals = jnp.asarray(
+        [xx1, xx2, n_bt, n_sxy, n_mv, n_pix, n_lit, n_data], jnp.int32
+    )
     bufs, starts, lens_l, stats, tables = encode_sections_raw(
-        recs_cap, ns, tables, tuple(kts), 1 + 1 + 8 * 4, raw_threshold
+        recs_cap, ns, tables, tuple(kts), hdr_vals, raw_threshold
     )
     handle = (kts, nums, (xx1, xx2, n_data), bufs, starts, lens_l, stats)
     return handle, tables
@@ -752,7 +757,7 @@ def assemble_p_container(handle, bufs_host, starts_host, lens_host):
         [
             bytes([bs.header_byte(ALG_P)]),
             bytes([1]),
-            bs.pack_u32(
+            bs.pack_varint(
                 xx1, xx2, nums["bt"], nums["sxy"], nums["mv"],
                 nums["rec"], nums["col"], n_data,
             ),
@@ -789,7 +794,7 @@ def parse_p_header(data: bytes, pos: int, cfg: CodecConfig):
     pos += 1
     if not flags & 1:
         return None
-    (xx1, xx2, n_bt, n_sxy, n_mv, n_pix, n_lit, n_data), pos = bs.read_u32(data, pos, 8)
+    (xx1, xx2, n_bt, n_sxy, n_mv, n_pix, n_lit, n_data), pos = bs.read_varint(data, pos, 8)
     nb = cfg.nbx * cfg.nby
     if not (xx1 <= xx2 < nb):
         raise bs.CorruptStreamError("xx block range out of bounds")

@@ -29,21 +29,54 @@ static uint32_t get_u32(const uint8_t* d, size_t n, size_t& pos) {
   pos += 4;
   return v;
 }
+static void put_varint(std::vector<uint8_t>& o, uint32_t v) {
+  // unsigned LEB128 (container rev 3: headers are varints)
+  do {
+    uint8_t b = v & 0x7F;
+    v >>= 7;
+    o.push_back(b | (v ? 0x80 : 0));
+  } while (v);
+}
+static uint32_t get_varint(const uint8_t* d, size_t n, size_t& pos) {
+  uint32_t v = 0;
+  int shift = 0;
+  while (true) {
+    if (pos >= n) throw StreamError("truncated varint header");
+    uint8_t b = d[pos++];
+    v |= (uint32_t)(b & 0x7F) << shift;
+    if (!(b & 0x80)) return v;
+    shift += 7;
+    if (shift > 35) throw StreamError("varint overflow");
+  }
+}
 static void pack_section(std::vector<uint8_t>& o,
                          const std::vector<std::vector<uint8_t>>& blobs) {
   int k = (int)blobs.size(), klog = 0;
   while ((1 << klog) < k) klog++;
-  o.push_back((uint8_t)klog);
-  for (auto& b : blobs) put_u32(o, (uint32_t)b.size());
+  size_t m = 0;
+  for (auto& b : blobs) m = std::max(m, b.size());
+  // status byte: bits 0-3 klog, bits 4-5 size-table width code (1/2/4 B)
+  const int w = m < (1u << 8) ? 1 : (m < (1u << 16) ? 2 : 4);
+  const int wcode = w == 1 ? 0 : (w == 2 ? 1 : 2);
+  o.push_back((uint8_t)(klog | (wcode << 4)));
+  for (auto& b : blobs)
+    for (int i = 0; i < w; i++) o.push_back((uint8_t)(b.size() >> (8 * i)));
   for (auto& b : blobs) o.insert(o.end(), b.begin(), b.end());
 }
 static std::vector<std::pair<const uint8_t*, size_t>> unpack_section(
     const uint8_t* d, size_t n, size_t& pos, int expect_k) {
   if (pos >= n) throw StreamError("truncated section");
-  int k = 1 << d[pos++];
+  const uint8_t status = d[pos++];
+  int k = 1 << (status & 0x0F);
+  const int wcode = (status >> 4) & 0x03;
+  if (wcode > 2) throw StreamError("bad section width code");
+  const int w = 1 << wcode;
   if (k != expect_k) throw StreamError("lane count mismatch");
-  std::vector<uint32_t> sizes(k);
-  for (int i = 0; i < k; i++) sizes[i] = get_u32(d, n, pos);
+  std::vector<uint32_t> sizes(k, 0);
+  for (int i = 0; i < k; i++) {
+    if (pos + w > n) throw StreamError("truncated lane size table");
+    for (int j = 0; j < w; j++) sizes[i] |= (uint32_t)d[pos++] << (8 * j);
+  }
   std::vector<std::pair<const uint8_t*, size_t>> out(k);
   for (int i = 0; i < k; i++) {
     if (pos + sizes[i] > n) throw StreamError("truncated lane payload");
@@ -346,8 +379,8 @@ struct Encoder {
     classify_i(f.data(), cfg.h, cfg.w, recs, lits);
     out.clear();
     out.push_back((VER_NIBBLE << 4) | ALG_I);
-    put_u32(out, (uint32_t)recs.size());
-    put_u32(out, (uint32_t)lits.size());
+    put_varint(out, (uint32_t)recs.size());
+    put_varint(out, (uint32_t)lits.size());
     pack_section(out, encode_section(recs, lane_count((int)recs.size()),
                                      SectionCodec(C_REC, T)));
     pack_section(out, encode_section(lits, lane_count((int)lits.size()),
@@ -436,10 +469,10 @@ struct Encoder {
     uint32_t ndata = 0;
     for (int bi = xx1; bi <= xx2; bi++)
       if (bts[bi] == 1 || bts[bi] == 2) ndata++;
-    put_u32(out, xx1); put_u32(out, xx2);
-    put_u32(out, (uint32_t)btr.size()); put_u32(out, (uint32_t)sxyr.size());
-    put_u32(out, (uint32_t)mvr.size()); put_u32(out, (uint32_t)pixr.size());
-    put_u32(out, (uint32_t)litr.size()); put_u32(out, ndata);
+    put_varint(out, xx1); put_varint(out, xx2);
+    put_varint(out, (uint32_t)btr.size()); put_varint(out, (uint32_t)sxyr.size());
+    put_varint(out, (uint32_t)mvr.size()); put_varint(out, (uint32_t)pixr.size());
+    put_varint(out, (uint32_t)litr.size()); put_varint(out, ndata);
     pack_section(out, encode_section(btr, lane_count((int)btr.size()), SectionCodec(C_BT, T)));
     pack_section(out, encode_section(sxyr, lane_count((int)sxyr.size()), SectionCodec(C_SXY, T)));
     pack_section(out, encode_section(mvr, lane_count((int)mvr.size()), SectionCodec(C_MV, T)));
@@ -477,7 +510,7 @@ struct Decoder {
     size_t pos = 1;
     if (alg == ALG_I) {
       T.renew();
-      uint32_t nrec = get_u32(d, len, pos), nlit = get_u32(d, len, pos);
+      uint32_t nrec = get_varint(d, len, pos), nlit = get_varint(d, len, pos);
       auto rb = unpack_section(d, len, pos, lane_count(nrec));
       auto cb = unpack_section(d, len, pos, lane_count(nlit));
       auto recs = decode_section(rb, nrec, lane_count(nrec), SectionCodec(C_REC, T));
@@ -504,10 +537,10 @@ struct Decoder {
       memcpy(out, prev.data(), (size_t)3 * n);
       return;
     }
-    uint32_t xx1 = get_u32(d, len, pos), xx2 = get_u32(d, len, pos);
-    uint32_t nbt = get_u32(d, len, pos), nsxy = get_u32(d, len, pos);
-    uint32_t nmv = get_u32(d, len, pos), npix = get_u32(d, len, pos);
-    uint32_t nlit = get_u32(d, len, pos), ndata = get_u32(d, len, pos);
+    uint32_t xx1 = get_varint(d, len, pos), xx2 = get_varint(d, len, pos);
+    uint32_t nbt = get_varint(d, len, pos), nsxy = get_varint(d, len, pos);
+    uint32_t nmv = get_varint(d, len, pos), npix = get_varint(d, len, pos);
+    uint32_t nlit = get_varint(d, len, pos), ndata = get_varint(d, len, pos);
     auto bb = unpack_section(d, len, pos, lane_count(nbt));
     auto sb = unpack_section(d, len, pos, lane_count(nsxy));
     auto mb = unpack_section(d, len, pos, lane_count(nmv));

@@ -219,14 +219,14 @@ def _batched_classify_assemble(frames, prevs, rects_b, n_data_b, h, w, bcap):
     return jax.vmap(one)(frames, prevs, rects_b, n_data_b)
 
 
-@functools.partial(jax.jit, static_argnames=("kts", "extra", "thr"))
-def _batched_sections_raw(recs_cap, ns, tables_b, kts, extra, thr):
+@functools.partial(jax.jit, static_argnames=("kts", "thr"))
+def _batched_sections_raw(recs_cap, ns, tables_b, kts, hdr_vals_b, thr):
     from screenpressor_tpu.jx.pframe import encode_sections_raw
 
-    def one(rc, n, t):
-        return encode_sections_raw(rc, n, t, kts, extra, thr)
+    def one(rc, n, t, hv):
+        return encode_sections_raw(rc, n, t, kts, hv, thr)
 
-    return jax.vmap(one)(recs_cap, ns, tables_b)
+    return jax.vmap(one)(recs_cap, ns, tables_b, hdr_vals_b)
 
 
 def _tight_pull(buf_list, starts_list, lens_list, extra_parts=()):
@@ -286,12 +286,14 @@ def _tight_pull(buf_list, starts_list, lens_list, extra_parts=()):
 
 
 def _section_bytes(tight, offs, sizes, i):
-    """Container section payload for stream i: klog + size table + lanes."""
+    """Container section payload for stream i: status byte + minimal-width
+    size table + lanes (bs.pack_section layout)."""
     k = sizes.shape[1]
-    klog = max(0, (k - 1).bit_length())
+    w = bs.size_width(int(sizes[i].max(initial=0)))
     off = int(offs[i, 0])
     end = off + int(sizes[i].sum())
-    return bytes([klog]) + sizes[i].astype("<u4").tobytes() + tight[off:end].tobytes()
+    return (bytes([bs.section_status_byte(k, w)])
+            + sizes[i].astype(f"<u{w}").tobytes() + tight[off:end].tobytes())
 
 
 class BatchedEncoder:
@@ -398,7 +400,7 @@ class BatchedEncoder:
                 data = b"".join(
                     [
                         bytes([bs.header_byte(ALG_I)]),
-                        bs.pack_u32(int(n_rec[i]), int(n_lit[i])),
+                        bs.pack_varint(int(n_rec[i]), int(n_lit[i])),
                         _section_bytes(tight, offs[0], sizes[0], i),
                         _section_bytes(tight, offs[1], sizes[1], i),
                     ]
@@ -497,8 +499,11 @@ class BatchedEncoder:
             recs_cap[name] = sources[name][:, :cap]
             ns_d[name] = jnp.asarray(nums[name].astype(np.int32))
         raw_threshold = 1 + w * h * 3
+        hdr_vals_b = self._dput(np.stack(
+            [ch[:, 1], ch[:, 2], nums["bt"], nums["sxy"], nums["mv"],
+             nums["rec"], nums["col"], n_data], axis=1).astype(np.int32))
         bufs, starts, lens_l, stats, self.tables_b = _batched_sections_raw(
-            recs_cap, ns_d, self.tables_b, tuple(kts), 1 + 1 + 8 * 4,
+            recs_cap, ns_d, self.tables_b, tuple(kts), hdr_vals_b,
             raw_threshold,
         )
 
@@ -543,7 +548,7 @@ class BatchedEncoder:
                 [
                     hdr,
                     bytes([1]),
-                    bs.pack_u32(
+                    bs.pack_varint(
                         int(ch[i, 1]), int(ch[i, 2]), int(nums["bt"][i]),
                         int(nums["sxy"][i]), int(nums["mv"][i]),
                         int(nums["rec"][i]), int(nums["col"][i]),

@@ -25,7 +25,7 @@ def encode_i(frame: np.ndarray, tables: TableSet, cfg: CodecConfig) -> bytes:
     return b"".join(
         [
             bytes([bs.header_byte(ALG_I)]),
-            bs.pack_u32(len(records), len(literals)),
+            bs.pack_varint(len(records), len(literals)),
             bs.pack_section(rec_blobs),
             bs.pack_section(col_blobs),
         ]
@@ -33,7 +33,7 @@ def encode_i(frame: np.ndarray, tables: TableSet, cfg: CodecConfig) -> bytes:
 
 
 def decode_i(data: bytes, pos: int, tables: TableSet, cfg: CodecConfig) -> np.ndarray:
-    (n_rec, n_lit), pos = bs.read_u32(data, pos, 2)
+    (n_rec, n_lit), pos = bs.read_varint(data, pos, 2)
     k_rec = cfg.lanes(n_rec)
     k_col = cfg.lanes(n_lit)
     rec_blobs, pos = bs.unpack_section(data, pos, k_rec)

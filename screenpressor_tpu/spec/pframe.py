@@ -239,7 +239,7 @@ def encode_p(frame: np.ndarray, prev: np.ndarray, tables: TableSet, cfg: CodecCo
         [
             hdr,
             bytes([1]),
-            bs.pack_u32(xx1, xx2, len(bt_recs), len(sxy_recs), len(mv_recs), len(pix_recs), len(lit_recs), n_data),
+            bs.pack_varint(xx1, xx2, len(bt_recs), len(sxy_recs), len(mv_recs), len(pix_recs), len(lit_recs), n_data),
         ]
         + sections
     )
@@ -252,7 +252,7 @@ def decode_p(data: bytes, pos: int, prev: np.ndarray, tables: TableSet, cfg: Cod
     pos += 1
     if not flags & 1:
         return prev.copy()
-    (xx1, xx2, n_bt, n_sxy, n_mv, n_pix, n_lit, n_data), pos = bs.read_u32(data, pos, 8)
+    (xx1, xx2, n_bt, n_sxy, n_mv, n_pix, n_lit, n_data), pos = bs.read_varint(data, pos, 8)
 
     recs_by = []
     for n_recs, codec in (

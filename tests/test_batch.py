@@ -106,7 +106,7 @@ def test_batch_decode_corrupt_p_frame_raises():
     payloads = [p for p, _ in JaxEncoder(cfg).encode_batch(frames)]
     # find a coded P frame and corrupt its payload tail
     for i, p in enumerate(payloads):
-        if (p[0] & 0x0F) == 3 and len(p) > 60:
+        if (p[0] & 0x0F) == 3 and len(p) > 30:
             bad = bytearray(p)
             for j in range(len(bad) - 8, len(bad)):
                 bad[j] ^= 0xA5
