@@ -8,6 +8,8 @@ RANS_L `rans_byte.h:47`, STEP ~ STEP_FX `ans_contexts.h:59`.
 
 from __future__ import annotations
 
+import os
+
 import dataclasses
 
 # ---------------------------------------------------------------------------
@@ -23,8 +25,10 @@ RESCALE_SHIFT = 13  # fixed-point shift of the scale-to-fill rescale factor
 # (8-bit context; the reference uses 12-bit (>>2), `screencap.h:35-36` — 8 bits
 # costs ~12% on photo-like content, 0% on screen content, and keeps the color
 # tables small enough to live in VMEM for the Pallas section kernels)
-COLOR_CTX_SHIFT = 4
-COLOR_CTX_HALF_BITS = 4
+# SPTC_COLOR_CTX_HALF_BITS overrides for format experiments (spec path only;
+# the Pallas kernels are compiled for the default)
+COLOR_CTX_HALF_BITS = int(os.environ.get("SPTC_COLOR_CTX_HALF_BITS", 4))
+COLOR_CTX_SHIFT = 8 - COLOR_CTX_HALF_BITS
 COLOR_CTX_ROWS = 1 << (2 * COLOR_CTX_HALF_BITS)
 
 # Lane policy (format-normative)

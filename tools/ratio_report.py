@@ -1,6 +1,7 @@
 """Compression-ratio report: SPTC vs reference-format v2/v4 vs zlib.
 
-Runs the synthetic screencast corpus through (a) this framework's SPTC1
+Runs the synthetic screencast corpus AND the rendered real-content corpus
+(tools/real_corpus.py: antialiased code editor / terminal / document) through (a) this framework's SPTC1
 codec, (b) the SCPR v2 legacy encoder (the reference's bitstream format,
 deterministic single-worker policy), and (c) zlib level 6 on raw frames, and
 prints per-sequence and aggregate ratios.
@@ -44,7 +45,12 @@ def synth(kind, h, w, n, seed=0):
 
 
 def run(kind, h, w, n):
-    frames = synth(kind, h, w, n)
+    if kind.startswith("real-"):
+        from tools.real_corpus import SEQUENCES
+
+        frames = SEQUENCES[kind[5:]](h, w, n)
+    else:
+        frames = synth(kind, h, w, n)
     raw = n * h * w * 3
 
     cfg = CodecConfig(width=w, height=h, msr_x=16, msr_y=16)
@@ -83,7 +89,9 @@ def main():
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     h, w = (int(v) for v in dims.split("x"))
     tot = np.zeros(5, np.int64)
-    for kind in ("idle", "typing", "scroll", "photo"):
+    kinds = ("idle", "typing", "scroll", "photo",
+             "real-code", "real-terminal", "real-document", "real-mixed")
+    for kind in kinds:
         tot += np.asarray(run(kind, h, w, n), np.int64)
     raw, sptc, v2, v4, z = tot
     print(
