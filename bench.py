@@ -148,34 +148,43 @@ def serving_diag():
     from screenpressor_tpu.config import CodecConfig
     from screenpressor_tpu.parallel.serving import BatchedDecoder, BatchedEncoder
 
+    # the real conferencing profile (BASELINE.md): 64 concurrent 360p streams,
+    # reference-strength +-256 motion, staggered per-stream keyframes
     s, h, w, steps = (
-        int(os.environ.get("BENCH_STREAMS", 16)), 360, 640,
+        int(os.environ.get("BENCH_STREAMS", 64)), 360, 640,
         int(os.environ.get("BENCH_SERVE_STEPS", 4)),
     )
-    cfg = CodecConfig(width=w, height=h, kf_interval=500, k_fixed=64,
-                      msr_x=32, msr_y=32)
+    msr = int(os.environ.get("BENCH_SERVE_MSR", 256))
+    kf = int(os.environ.get("BENCH_SERVE_KF", 150))
+    cfg = CodecConfig(width=w, height=h, kf_interval=kf, k_fixed=64,
+                      msr_x=msr, msr_y=msr)
+    offsets = (np.arange(s) * kf) // max(s, 1)
     base = synth_screencast(h, w, steps + 1, seed=3)
     batches = [
         np.stack([np.roll(base[t], i * 3, axis=1) for i in range(s)])
         for t in range(steps + 1)
     ]
-    enc = BatchedEncoder(s, cfg)
-    dec = BatchedDecoder(s, cfg)
-    for b in batches:  # warm (compile)
-        outs = dec.decode([p for p, _ in enc.encode(b)], device_out=True)
-    jax.block_until_ready(outs)
-    enc = BatchedEncoder(s, cfg)
-    dec = BatchedDecoder(s, cfg)
-    t0 = time.perf_counter()
-    for b in batches:
-        outs = dec.decode([p for p, _ in enc.encode(b)], device_out=True)
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
+
+    def run_serving():
+        enc = BatchedEncoder(s, cfg, kf_offsets=offsets)
+        dec = BatchedDecoder(s, cfg)
+        t0 = time.perf_counter()
+        for b in batches:
+            outs = dec.decode([p for p, _ in enc.encode(b)], device_out=True)
+        jax.block_until_ready(outs)
+        return outs, time.perf_counter() - t0
+
+    run_serving()  # warm (compile)
+    outs, dt = run_serving()
+    if not bool(np.asarray(jax.device_get(outs) == batches[-1]).all()):
+        print("bench-serving: LOSSLESS CHECK FAILED", file=sys.stderr)
+        return
     pix = s * h * w * (steps + 1)
     fps = s * (steps + 1) / dt
     print(
-        f"bench-serving: {s} streams 360p: {pix / dt / 1e6:.1f} Mpix/s "
-        f"aggregate enc+dec ({fps:.0f} stream-frames/s)",
+        f"bench-serving: {s} streams 360p msr={msr} staggered-kf: "
+        f"{pix / dt / 1e6:.1f} Mpix/s aggregate enc+dec "
+        f"({fps:.0f} stream-frames/s)",
         file=sys.stderr,
     )
 

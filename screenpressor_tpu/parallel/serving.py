@@ -303,17 +303,28 @@ class BatchedEncoder:
     All heavy state ([S] previous frames, [S] table sets) is device-resident.
     """
 
-    def __init__(self, n_streams: int, cfg: CodecConfig, sharding=None):
+    def __init__(self, n_streams: int, cfg: CodecConfig, sharding=None,
+                 kf_offsets=None):
         """sharding: optional jax.sharding.Sharding for the stream axis
         (e.g. NamedSharding(mesh, P("dp"))) — every [S, ...] device array is
         placed with it, so the vmapped phase jits compile SPMD across the
         mesh with zero cross-stream collectives (streams are independent;
-        SURVEY.md §2.5)."""
+        SURVEY.md §2.5).
+
+        kf_offsets: optional [S] ints staggering each stream's keyframe
+        phase: stream i keyframes when (fn + kf_offsets[i]) % kf_interval
+        == 0. A real conferencing fleet has staggered joins — lockstep
+        keyframes would periodically stall every stream at once. Mixed
+        batches dispatch the I path and the P path with complementary
+        per-stream masks."""
         if cfg.k_fixed is None:
             cfg = dataclasses.replace(cfg, k_fixed=min(cfg.k_max, 256))
         self.cfg = cfg
         self.s = n_streams
         self.sharding = sharding
+        self.kf_offsets = (np.zeros(n_streams, np.int64) if kf_offsets is None
+                           else np.asarray(kf_offsets, np.int64))
+        assert self.kf_offsets.shape == (n_streams,)
         t = renew_tables()
         self.tables_b = jax.tree.map(
             lambda a: self._dput(jnp.broadcast_to(a, (n_streams,) + a.shape)), t
@@ -346,16 +357,32 @@ class BatchedEncoder:
         s, h, w = self.s, cfg.height, cfg.width
         assert frames.shape == (s, h, w, 3)
         frames = apply_loss(np.asarray(frames, np.uint8), cfg.loss)
-        keyframe = (
-            force_key
-            or self.prev is None
-            or self.fn == 0
-            or (cfg.kf_interval > 0 and self.fn % cfg.kf_interval == 0)
-        )
+        if force_key or self.prev is None or self.fn == 0:
+            key_mask = np.ones(s, bool)
+        elif cfg.kf_interval > 0:
+            key_mask = ((self.fn + self.kf_offsets) % cfg.kf_interval) == 0
+        else:
+            key_mask = np.zeros(s, bool)
         self.fn += 1
-        if not keyframe:
-            return self._encode_p_batch(frames)
+        if not key_mask.any():
+            out = self._encode_p_batch(frames, np.ones(s, bool))
+            self.prev = frames.copy()
+            return out
+        if key_mask.all():
+            out = self._encode_i_batch(frames, key_mask)
+            self.prev = frames.copy()
+            return out
+        # mixed batch: P path first (it reads self.prev), then I path
+        out_p = self._encode_p_batch(frames, ~key_mask)
+        out_i = self._encode_i_batch(frames, key_mask)
+        self.prev = frames.copy()
+        return [a if a is not None else b for a, b in zip(out_i, out_p)]
 
+    def _encode_i_batch(self, frames: np.ndarray, own: np.ndarray):
+        """I-encode the streams selected by `own`; other entries are None
+        and their tables/state are untouched (skip-masked device calls)."""
+        cfg = self.cfg
+        s, h, w = self.s, cfg.height, cfg.width
         dev_frames = self._dput(frames)
         records_b, n_rec_d, lits_b, n_lit_d, flat_d = _batched_counts(dev_frames, h, w)
         n_rec, n_lit, flat = jax.device_get((n_rec_d, n_lit_d, flat_d))
@@ -365,6 +392,8 @@ class BatchedEncoder:
         renew_mask = np.zeros(s, bool)
         out: list = [None] * s
         for i in range(s):
+            if not own[i]:
+                continue
             if flat[i]:
                 color = tuple(int(v) for v in frames[i].reshape(-1, 3)[0])
                 if not (self.last_flat[i] and (self.flat_color[i] == color).all()):
@@ -378,13 +407,13 @@ class BatchedEncoder:
 
         self._renew_streams(jnp.asarray(renew_mask))
 
-        coded = ~flat
+        coded = own & ~flat
         if coded.any():
             k = cfg.k_fixed
             t_rec = jc._pad_steps(int(-(-max(n_rec[coded].max(), 1) // k)))
             t_col = jc._pad_steps(int(-(-max(n_lit[coded].max(), 1) // k)))
             res, self.tables_b = _batched_encode_i(
-                records_b, n_rec_d, lits_b, n_lit_d, jnp.asarray(flat),
+                records_b, n_rec_d, lits_b, n_lit_d, self._dput(~coded),
                 self.tables_b, k, t_rec, t_col,
             )
             buf_rec, start_rec_d, lens_rec_d, buf_col, start_col_d, lens_col_d = res
@@ -395,7 +424,7 @@ class BatchedEncoder:
                 [buf_rec, buf_col], [start_rec, start_col], [lens_rec, lens_col]
             )
             for i in range(s):
-                if flat[i]:
+                if not coded[i]:
                     continue
                 data = b"".join(
                     [
@@ -406,15 +435,15 @@ class BatchedEncoder:
                     ]
                 )
                 out[i] = (data, FTYPE_I)
-        self.prev = frames.copy()
         return out
 
     # ------------------------------------------------------------------ P --
-    def _encode_p_batch(self, frames: np.ndarray):
-        """Vmapped phase pipeline over streams (same architecture as the
-        single-stream batch path in jx.codec): analysis+compaction, data-
-        block classification, section encode with device-side raw select,
-        then ONE tight byte pull for every stream's payload."""
+    def _encode_p_batch(self, frames: np.ndarray, own: np.ndarray):
+        """Vmapped phase pipeline over the streams selected by `own` (same
+        architecture as the single-stream batch path in jx.codec):
+        analysis+compaction, data-block classification, section encode with
+        device-side raw select, then ONE tight byte pull for every stream's
+        payload. Non-owned entries return None with state untouched."""
         from screenpressor_tpu.config import ALG_P, ALG_RAW
         from screenpressor_tpu.jx.pframe import (
             _SECTION_NAMES,
@@ -444,6 +473,8 @@ class BatchedEncoder:
         active = np.zeros(s, bool)
         hdr = bytes([bs.header_byte(ALG_P)])
         for i in range(s):
+            if not own[i]:
+                continue
             if ch[i, 7]:  # flat
                 color = tuple(int(v) for v in ch[i, 8:11])
                 if not (self.last_flat[i] and (self.flat_color[i] == np.asarray(color, np.uint8)).all()):
@@ -459,7 +490,6 @@ class BatchedEncoder:
             active[i] = True
         self._renew_streams(jnp.asarray(renew_mask))
         if not active.any():
-            self.prev = frames.copy()
             return out
 
         # phase B: classify data blocks (shared bcap; inactive streams n=0)
@@ -562,7 +592,6 @@ class BatchedEncoder:
             )
             assert len(data) == int(stats_h[i, 0]), (len(data), stats_h[i, 0])
             out[i] = (data, FTYPE_P)
-        self.prev = frames.copy()
         return out
 
 

@@ -30,7 +30,8 @@ def _split(blob, sizes):
     return out
 
 
-@pytest.mark.parametrize("name", sorted(MANIFEST))
+@pytest.mark.parametrize(
+    "name", sorted(n for n, m in MANIFEST.items() if not m.get("procedural")))
 def test_golden_reencode_and_decode(name):
     meta = MANIFEST[name]
     h, w = meta["h"], meta["w"]
@@ -64,3 +65,25 @@ def test_golden_jax_backend_matches_spec_fixture():
     got = enc.encode_batch(list(frames))
     for i, (p, _) in enumerate(got):
         assert p == payloads[i], f"jax frame {i} drifted from pinned spec bytes"
+
+
+@pytest.mark.parametrize("name", sorted(
+    n for n, m in MANIFEST.items() if m.get("procedural")))
+def test_procedural_golden_pins(name):
+    """Manifest-only goldens: the deterministic session re-encodes to the
+    pinned crc32 + per-frame sizes (keeps multi-hundred-KB fixtures out of
+    the repo). Pins the serving k_fixed lane policy and the v3/v4 128K
+    reseed path against format drift in default CI (round-2 VERDICT #9)."""
+    import zlib as _zlib
+
+    sys_path_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import sys
+    if sys_path_root not in sys.path:
+        sys.path.insert(0, sys_path_root)
+    from tools.make_goldens import procedural_entries
+
+    encode_session = dict(procedural_entries())[name]
+    payloads = encode_session()
+    meta = MANIFEST[name]
+    assert [len(p) for p in payloads] == meta["sizes"], f"{name}: sizes drifted"
+    assert _zlib.crc32(b"".join(payloads)) == meta["crc32"], f"{name}: bytes drifted"

@@ -58,9 +58,14 @@ def test_v34_header_bytes():
         assert stream_version(p) == ver
 
 
-@pytest.mark.slow
 def test_v4_reseed_128k():
-    # enough symbols to cross the 128K-interval block boundary several times
+    """Streams crossing the 128K-interval rANS block reseed boundary
+    (ransmt.h:38, screencap.h:326-359): self round-trip, and when the
+    reference checkout is present, byte-identity with the reference encoder
+    across the boundary (promoted out of slow-only per round-2 VERDICT #9)."""
+    from screenpressor_tpu.native import reforacle
+
+    ref = (reforacle.RefCodec(4, 320, 240) if reforacle.available() else None)
     rng = np.random.default_rng(0)
     h2, w2 = 240, 320
     enc = ScprAnsEncoder(4, w2, h2, kf_interval=4)
@@ -74,9 +79,13 @@ def test_v4_reseed_128k():
             fr[20:80, 30:200] = rng.integers(0, 256, (60, 170, 3), dtype=np.uint8)
         else:
             fr = np.roll(prev, 16, axis=0)
-        p, _ = enc.encode(fr)
+        p, ft = enc.encode(fr)
         out = dec.decode(p)
         assert np.array_equal(out, fr), f"frame {i}"
+        if ref is not None:
+            is_i = p[0] not in (0, 1)
+            p_ref, _ = ref.encode(fr, force_key=is_i and i > 0)
+            assert p == p_ref, f"frame {i}: bytes differ from reference"
         prev = fr
 
 

@@ -120,3 +120,65 @@ def test_batched_decoder_matches_single_stream():
         for i in range(s):
             np.testing.assert_array_equal(out_b[i], dec_1[i].decode(payloads[i]))
         prev = frames
+
+
+def test_staggered_keyframes_match_per_stream_sessions():
+    """Per-stream kf offsets: every stream's bytes must equal an independent
+    session configured with the same keyframe phase (mixed I/P batches)."""
+    s, h, w = 4, 32, 48
+    kf = 3
+    offsets = [0, 1, 2, 0]
+    cfg = CodecConfig(width=w, height=h, kf_interval=kf, k_fixed=8,
+                      msr_x=8, msr_y=8)
+    # phase expressed purely via force_key on the singles (kf_interval=0
+    # disables their own schedule)
+    cfg_single = CodecConfig(width=w, height=h, kf_interval=0, k_fixed=8,
+                             msr_x=8, msr_y=8)
+    batched = BatchedEncoder(s, cfg, kf_offsets=offsets)
+    singles = [SpecEncoder(cfg_single) for _ in range(s)]
+    decs = [SpecDecoder(cfg_single) for _ in range(s)]
+
+    frames = np.stack([synth_desktop(h, w, seed=i) for i in range(s)])
+    for t in range(7):
+        f = frames.copy()
+        f[:, (t * 5) % (h - 4) : (t * 5) % (h - 4) + 3,
+          (t * 7) % (w - 6) : (t * 7) % (w - 6) + 4] = (t * 30 % 255, 80, 10)
+        if t == 3:
+            f[2] = 9  # flat stream mid-session
+        frames = f
+        outs = batched.encode(f)
+        for i in range(s):
+            # single-stream sessions express the phase via force_key
+            force = t > 0 and (t + offsets[i]) % kf == 0
+            want, want_ft = singles[i].encode(f[i], force_key=force)
+            got, got_ft = outs[i]
+            assert (got, got_ft) == (want, want_ft), (t, i)
+            np.testing.assert_array_equal(decs[i].decode(got), f[i])
+
+
+@pytest.mark.slow
+def test_serving_full_profile_64_streams_360p():
+    """The BASELINE.md conferencing profile: 64 concurrent 360p streams,
+    staggered keyframes, reference-strength motion range; lossless through
+    BatchedEncoder -> BatchedDecoder."""
+    from screenpressor_tpu.parallel.serving import BatchedDecoder
+
+    s, h, w, kf = 64, 360, 640, 150
+    cfg = CodecConfig(width=w, height=h, kf_interval=kf, k_fixed=64,
+                      msr_x=256, msr_y=256)
+    offsets = (np.arange(s) * kf) // s
+    rng = np.random.default_rng(9)
+    base = np.stack([
+        np.roll(synth_desktop(h, w, seed=i % 8), 3 * i, axis=1)
+        for i in range(s)
+    ])
+    enc = BatchedEncoder(s, cfg, kf_offsets=offsets)
+    dec = BatchedDecoder(s, cfg)
+    cur = base
+    for t in range(3):
+        outs = enc.encode(cur)
+        back = dec.decode([p for p, _ in outs], device_out=True)
+        assert bool(np.asarray(back == cur).all()), f"t={t}"
+        nxt = np.roll(cur, 4, axis=1)  # scroll all streams
+        nxt[:, 40:46, 50:58] = rng.integers(0, 256, (s, 6, 8, 3))
+        cur = nxt

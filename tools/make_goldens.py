@@ -3,6 +3,12 @@
 Self-produced fixtures: SPTC (spec encoder) and SCPR v2/v3/v4 (native
 interop encoders) over a deterministic session covering flat, I, P
 (scroll/typing/no-change), raw-escape, and odd frame sizes.
+
+Procedural goldens (manifest-only: crc32 + per-frame sizes, frames
+regenerated deterministically at test time; keeps multi-hundred-KB streams
+out of the repo): the serving k_fixed lane policy and a v4 session crossing
+the 128K rANS reseed boundary.
+
 Re-run only on a DELIBERATE format change: python tools/make_goldens.py
 """
 
@@ -39,6 +45,61 @@ def session_frames(h, w):
     return frames
 
 
+def serving_session_frames(h=96, w=128, s=3):
+    """Deterministic multi-stream serving session (k_fixed lane policy)."""
+    base = np.stack([
+        np.roll(session_frames(h, w)[0], 7 * i, axis=1) for i in range(s)
+    ])
+    seq = [base]
+    f = base.copy(); f[:, 20:30, 40:90] = (250, 250, 250); seq.append(f)
+    seq.append(np.roll(f, 5, axis=1))
+    seq.append(seq[-1].copy())
+    return seq
+
+
+def reseed_session_frames(h=240, w=320):
+    rng = np.random.default_rng(0)
+    frames = []
+    prev = None
+    for i in range(5):
+        if i % 3 == 0:
+            fr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        elif i % 3 == 1:
+            fr = prev.copy()
+            fr[20:80, 30:200] = rng.integers(0, 256, (60, 170, 3), dtype=np.uint8)
+        else:
+            fr = np.roll(prev, 16, axis=0)
+        frames.append(fr)
+        prev = fr
+    return frames
+
+
+def procedural_entries():
+    """(name, encode_session() -> list[bytes]) pairs for manifest-only
+    goldens."""
+    import dataclasses
+
+    def serving():
+        from screenpressor_tpu.parallel.serving import BatchedEncoder
+
+        cfg = CodecConfig(width=128, height=96, kf_interval=3, k_fixed=8,
+                          msr_x=16, msr_y=16)
+        enc = BatchedEncoder(3, cfg, kf_offsets=[0, 1, 2])
+        payloads = []
+        for fr in serving_session_frames():
+            payloads.extend(p for p, _ in enc.encode(fr))
+        return payloads
+
+    def reseed():
+        from screenpressor_tpu.native.legacy_ans import ScprAnsEncoder
+
+        enc = ScprAnsEncoder(4, 320, 240, kf_interval=4)
+        return [enc.encode(fr)[0] for fr in reseed_session_frames()]
+
+    return [("procedural_serving_kfixed", serving),
+            ("procedural_scpr4_reseed", reseed)]
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     manifest = {}
@@ -63,9 +124,16 @@ def main():
                 "crc32": zlib.crc32(blob),
                 "h": h, "w": w, "kf_interval": 5,
             }
+    for name, encode_session in procedural_entries():
+        payloads = encode_session()
+        manifest[name] = {
+            "sizes": [len(p) for p in payloads],
+            "crc32": zlib.crc32(b"".join(payloads)),
+            "procedural": True,
+        }
     with open(os.path.join(OUT, "golden_manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
-    print("wrote", len(manifest), "golden streams to", OUT)
+    print("wrote", len(manifest), "golden entries to", OUT)
 
 
 if __name__ == "__main__":
