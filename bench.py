@@ -160,10 +160,15 @@ def serving_diag():
                       msr_x=msr, msr_y=msr)
     offsets = (np.arange(s) * kf) // max(s, 1)
     base = synth_screencast(h, w, steps + 1, seed=3)
-    batches = [
+    host_batches = [
         np.stack([np.roll(base[t], i * 3, axis=1) for i in range(s)])
         for t in range(steps + 1)
     ]
+    # device-resident inputs, same measurement model as the main bench
+    # (production frames arrive on device at GB/s; the dev tunnel would
+    # otherwise dominate at ~10 MB/s for 44 MB per 64-stream batch)
+    import jax.numpy as jnp
+    batches = [jax.block_until_ready(jnp.asarray(b)) for b in host_batches]
 
     def run_serving():
         enc = BatchedEncoder(s, cfg, kf_offsets=offsets)
@@ -176,7 +181,7 @@ def serving_diag():
 
     run_serving()  # warm (compile)
     outs, dt = run_serving()
-    if not bool(np.asarray(jax.device_get(outs) == batches[-1]).all()):
+    if not bool(np.asarray(jax.device_get(outs == batches[-1])).all()):
         print("bench-serving: LOSSLESS CHECK FAILED", file=sys.stderr)
         return
     pix = s * h * w * (steps + 1)

@@ -129,6 +129,8 @@ class _FormatAdapter:
         self.fmt = fmt
 
     def to_internal(self, frame: np.ndarray) -> np.ndarray:
+        """Device-resident frames stay on device (jnp conversions inside the
+        codec session, the reference's `ScreenCodec` conversion placement)."""
         pf = self.fmt.pixel_format
         if pf is PixelFormat.RGB24:
             if frame.ndim != 3 or frame.shape[2] != 3:
@@ -139,18 +141,20 @@ class _FormatAdapter:
         if pf is PixelFormat.RGB32:
             if frame.ndim != 3 or frame.shape[2] != 4:
                 raise ValueError("RGB32 frame must be [H, W, 4]")
-            return cs.rgb32_to_rgb24(np.asarray(frame, np.uint8))
-        if frame.ndim != 2 or frame.dtype != np.uint16:
+            return cs.rgb32_to_rgb24_any(frame)
+        if frame.ndim != 2 or np.dtype(frame.dtype) != np.uint16:
             raise ValueError("RGB16 frame must be [H, W] uint16")
-        return cs.rgb16_to_rgb24(frame, self.fmt.rmask, self.fmt.gmask, self.fmt.bmask)
+        return cs.rgb16_to_rgb24_any(
+            frame, self.fmt.rmask, self.fmt.gmask, self.fmt.bmask)
 
     def from_internal(self, frame: np.ndarray) -> np.ndarray:
         pf = self.fmt.pixel_format
         if pf is PixelFormat.RGB24:
             return frame
         if pf is PixelFormat.RGB32:
-            return cs.rgb24_to_rgb32(frame)
-        return cs.rgb24_to_rgb16(frame, self.fmt.rmask, self.fmt.gmask, self.fmt.bmask)
+            return cs.rgb24_to_rgb32_any(frame)
+        return cs.rgb24_to_rgb16_any(
+            frame, self.fmt.rmask, self.fmt.gmask, self.fmt.bmask)
 
 
 class Encoder:

@@ -1,9 +1,12 @@
 """Pixel-format conversion: RGB16 (arbitrary 555/565 masks), RGB24, RGB32
 <-> internal RGB24 planes [H, W, 3] uint8.
 
-Reference analog: `ScreenCodec` conversion loops (`screencap.cpp:1652-1678`
-inbound, `:1711-1738` outbound; mask->shift extraction `:1575-1583`; alpha
-forced to 255 on RGB32 output `:1721`).
+Every conversion has a host (numpy) and a device (jnp) variant; the
+`*_any` dispatchers keep device-resident frames on device so format
+conversion lives inside the codec session like the reference's
+(`ScreenCodec`, `screencap.cpp:1652-1678` inbound, `:1711-1738` outbound;
+mask->shift extraction `:1575-1583`; alpha forced to 255 on RGB32 output
+`:1721`).
 """
 
 from __future__ import annotations
@@ -51,3 +54,63 @@ def rgb24_to_rgb32(frame: np.ndarray) -> np.ndarray:
     out[..., :3] = frame
     out[..., 3] = 255
     return out
+
+
+def _is_device(a) -> bool:
+    import jax
+
+    return isinstance(a, jax.Array)
+
+
+def rgb16_to_rgb24_device(frame16, rmask: int, gmask: int, bmask: int):
+    import jax.numpy as jnp
+
+    rs, gs, bs = mask_shift(rmask), mask_shift(gmask), mask_shift(bmask)
+    w = frame16.astype(jnp.uint32)
+    return jnp.stack(
+        [(w & rmask) >> rs, (w & gmask) >> gs, (w & bmask) >> bs], axis=-1
+    ).astype(jnp.uint8)
+
+
+def rgb24_to_rgb16_device(frame, rmask: int, gmask: int, bmask: int):
+    import jax.numpy as jnp
+
+    rs, gs, bs = mask_shift(rmask), mask_shift(gmask), mask_shift(bmask)
+    w = frame.astype(jnp.uint32)
+    return ((w[..., 0] << rs) + (w[..., 1] << gs) + (w[..., 2] << bs)).astype(
+        jnp.uint16)
+
+
+def rgb32_to_rgb24_device(frame32):
+    return frame32[..., :3]
+
+
+def rgb24_to_rgb32_device(frame):
+    import jax.numpy as jnp
+
+    return jnp.concatenate(
+        [frame, jnp.full(frame.shape[:2] + (1,), 255, jnp.uint8)], axis=-1)
+
+
+def rgb16_to_rgb24_any(frame16, rmask, gmask, bmask):
+    if _is_device(frame16):
+        return rgb16_to_rgb24_device(frame16, rmask, gmask, bmask)
+    return rgb16_to_rgb24(np.asarray(frame16), rmask, gmask, bmask)
+
+
+def rgb24_to_rgb16_any(frame, rmask, gmask, bmask):
+    if _is_device(frame):
+        return rgb24_to_rgb16_device(frame, rmask, gmask, bmask)
+    return rgb24_to_rgb16(np.asarray(frame), rmask, gmask, bmask)
+
+
+def rgb32_to_rgb24_any(frame32):
+    if _is_device(frame32):
+        return rgb32_to_rgb24_device(frame32)
+    return rgb32_to_rgb24(np.asarray(frame32))
+
+
+def rgb24_to_rgb32_any(frame):
+    if _is_device(frame):
+        return rgb24_to_rgb32_device(frame)
+    return rgb24_to_rgb32(np.asarray(frame))

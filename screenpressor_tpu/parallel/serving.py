@@ -30,12 +30,19 @@ from screenpressor_tpu.jx.tables import renew_tables
 from screenpressor_tpu.spec.codec import FTYPE_I, FTYPE_P, apply_loss
 
 
+@functools.partial(jax.jit, static_argnames=("loss",))
+def _batched_loss(frames, loss: int):
+    from screenpressor_tpu.jx.codec import apply_loss_device
+
+    return jax.vmap(lambda f: apply_loss_device(f, loss))(frames)
+
+
 @functools.partial(jax.jit, static_argnames=("h", "w"))
 def _batched_counts(frames, h, w):
     def one(frame):
         records, n_rec, lits, n_lit = classify_i(frame, h, w)
         flat = jnp.all(frame == frame[0, 0])
-        return records, n_rec, lits, n_lit, flat
+        return records, n_rec, lits, n_lit, flat, frame[0, 0]
 
     return jax.vmap(one)(frames)
 
@@ -351,12 +358,18 @@ class BatchedEncoder:
 
         self.tables_b = jax.tree.map(mix, self.tables_b, fresh)
 
-    def encode(self, frames: np.ndarray, force_key: bool = False):
-        """frames: [S, H, W, 3] uint8 -> list of (payload bytes, ftype)."""
+    def encode(self, frames, force_key: bool = False):
+        """frames: [S, H, W, 3] uint8 (numpy or device-resident jax array)
+        -> list of (payload bytes, ftype). Device-resident batches skip the
+        host->device upload entirely (the production model: frames arrive on
+        device over PCIe/ICI; a dev-tunnel upload would measure the link)."""
         cfg = self.cfg
         s, h, w = self.s, cfg.height, cfg.width
         assert frames.shape == (s, h, w, 3)
-        frames = apply_loss(np.asarray(frames, np.uint8), cfg.loss)
+        if isinstance(frames, np.ndarray):
+            frames = self._dput(apply_loss(np.asarray(frames, np.uint8), cfg.loss))
+        elif cfg.loss:
+            frames = _batched_loss(frames, cfg.loss)
         if force_key or self.prev is None or self.fn == 0:
             key_mask = np.ones(s, bool)
         elif cfg.kf_interval > 0:
@@ -366,16 +379,16 @@ class BatchedEncoder:
         self.fn += 1
         if not key_mask.any():
             out = self._encode_p_batch(frames, np.ones(s, bool))
-            self.prev = frames.copy()
+            self.prev = frames
             return out
         if key_mask.all():
             out = self._encode_i_batch(frames, key_mask)
-            self.prev = frames.copy()
+            self.prev = frames
             return out
         # mixed batch: P path first (it reads self.prev), then I path
         out_p = self._encode_p_batch(frames, ~key_mask)
         out_i = self._encode_i_batch(frames, key_mask)
-        self.prev = frames.copy()
+        self.prev = frames
         return [a if a is not None else b for a, b in zip(out_i, out_p)]
 
     def _encode_i_batch(self, frames: np.ndarray, own: np.ndarray):
@@ -383,9 +396,10 @@ class BatchedEncoder:
         and their tables/state are untouched (skip-masked device calls)."""
         cfg = self.cfg
         s, h, w = self.s, cfg.height, cfg.width
-        dev_frames = self._dput(frames)
-        records_b, n_rec_d, lits_b, n_lit_d, flat_d = _batched_counts(dev_frames, h, w)
-        n_rec, n_lit, flat = jax.device_get((n_rec_d, n_lit_d, flat_d))
+        dev_frames = frames
+        records_b, n_rec_d, lits_b, n_lit_d, flat_d, c0_d = _batched_counts(
+            dev_frames, h, w)
+        n_rec, n_lit, flat, c0 = jax.device_get((n_rec_d, n_lit_d, flat_d, c0_d))
         flat = np.asarray(flat)
 
         # flat shortcut per stream (reference `IsFlat` semantics)
@@ -395,7 +409,7 @@ class BatchedEncoder:
             if not own[i]:
                 continue
             if flat[i]:
-                color = tuple(int(v) for v in frames[i].reshape(-1, 3)[0])
+                color = tuple(int(v) for v in c0[i])
                 if not (self.last_flat[i] and (self.flat_color[i] == color).all()):
                     renew_mask[i] = True
                     self.flat_color[i] = color
@@ -458,8 +472,8 @@ class BatchedEncoder:
         nby, nbx = cfg.nby, cfg.nbx
         nbp = next_pow2(nbx * nby)
         k = cfg.k_fixed
-        dev_frames = self._dput(frames)
-        dev_prevs = self._dput(self.prev)
+        dev_frames = frames
+        dev_prevs = self.prev
         cands, cols, rmax, mlow = _cands_rmax(cfg)
 
         arrs, counts, flat4 = _batched_analyze(

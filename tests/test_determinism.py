@@ -1,0 +1,64 @@
+"""Byte-determinism audit + stress for the jax encode path (round-2 flake,
+BACKLOG #16: one observed loss=2 I-frame whose jax bytes differed from spec
+and failed its own decode; never reproduced since).
+
+Determinism argument for every data-dependent-index op in the encode path
+(audited round 3):
+
+- `classify.py` sort-based compaction (`lax.sort`, num_keys=1): keys are
+  unique for record starts (cumsum ranks) and all tying non-start rows key
+  to `n` with IDENTICAL payload values (zeros / n sentinels), so the output
+  is independent of sort stability.
+- `coder.py:rans_pack` byte scatter (`buf.at[lanes, pos].set(..., drop)`):
+  per step each lane writes at most one byte; `pos` strictly decreases per
+  emitting lane, so no (lane, pos) pair is ever written twice; non-emitting
+  lanes target the out-of-bounds `cap` column and are dropped.
+- `deal_device` is a destination-sized gather (no scatter at all).
+- cumsum/cummin scans and f32 table updates are exact integer arithmetic
+  (counts < 2^24 in f32), associative under any partitioning.
+
+The stress below re-encodes the once-flaky config (loss=2 I-frame) many
+times and requires byte-identity with the numpy spec encoder every time.
+"""
+
+import numpy as np
+import pytest
+
+from screenpressor_tpu.config import CodecConfig
+
+
+def _flaky_frame(h=48, w=64):
+    rng = np.random.default_rng(1234)
+    f = np.full((h, w, 3), (40, 44, 52), np.uint8)
+    f[8 : h - 8, 10 : w - 10] = (250, 250, 250)
+    f[12:14, 12 : w - 16 : 2] = (10, 20, 30)
+    f[20:30, 20:40] = rng.integers(0, 256, (10, 20, 3), dtype=np.uint8)
+    return f
+
+
+def test_loss2_iframe_bytes_match_spec_repeated():
+    """Fast guard: 25 fresh-encoder repeats of the flaky config."""
+    from screenpressor_tpu.api import Encoder
+
+    cfg = CodecConfig(width=64, height=48, loss=2)
+    frame = _flaky_frame()
+    want, _ = Encoder(cfg, backend="spec").encode(frame)
+    for rep in range(25):
+        got, _ = Encoder(cfg, backend="jax").encode(frame)
+        assert got == want, f"repeat {rep}: jax bytes differ from spec"
+
+
+@pytest.mark.slow
+def test_loss2_iframe_bytes_match_spec_1000x():
+    """BACKLOG #16 stress: 1000 re-encodes byte-identical to spec."""
+    from screenpressor_tpu.api import Encoder
+
+    cfg = CodecConfig(width=64, height=48, loss=2)
+    frame = _flaky_frame()
+    want, _ = Encoder(cfg, backend="spec").encode(frame)
+    enc = None
+    for rep in range(1000):
+        if rep % 50 == 0:
+            enc = Encoder(cfg, backend="jax")  # periodic fresh sessions
+        got, _ = enc.encode(frame, force_key=True)
+        assert got == want, f"repeat {rep}: jax bytes differ from spec"

@@ -96,8 +96,22 @@ def procedural_entries():
         enc = ScprAnsEncoder(4, 320, 240, kf_interval=4)
         return [enc.encode(fr)[0] for fr in reseed_session_frames()]
 
+    def rgb16():
+        from screenpressor_tpu.api import Encoder, FormatParams, PixelFormat
+
+        rng = np.random.default_rng(5)
+        fmt = FormatParams(pixel_format=PixelFormat.RGB16,
+                           rmask=0xF800, gmask=0x07E0, bmask=0x001F)
+        cfg = CodecConfig(width=48, height=32, kf_interval=3)
+        enc = Encoder(cfg, fmt=fmt, backend="spec")
+        frames = [rng.integers(0, 1 << 16, (32, 48), dtype=np.uint16)
+                  for _ in range(3)]
+        frames.append(frames[-1].copy())
+        return [enc.encode(f)[0] for f in frames]
+
     return [("procedural_serving_kfixed", serving),
-            ("procedural_scpr4_reseed", reseed)]
+            ("procedural_scpr4_reseed", reseed),
+            ("procedural_rgb16_565", rgb16)]
 
 
 def main():
