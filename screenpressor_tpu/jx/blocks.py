@@ -150,47 +150,199 @@ def motion_search_windowed(frame, prev, rects, valid, masks, cands, h, w, bcap, 
     return best
 
 
+def _diag_windows(a, step: int, width: int):
+    """out[..., r, j] = a[..., r, step*r + j] for j < width — pure reshape.
+
+    a: [..., R, L] with step*(R-1) + width <= L. Flattening the R rows
+    (stride L) and re-slicing at stride L+step shifts each row's origin by
+    `step`, turning the per-row sliding window into a static slice: zero
+    gather ops (TPU point/row gathers cost ~2 us per row; this is free).
+    """
+    *lead, rr, ll = a.shape
+    assert step * (rr - 1) + width <= ll, (step, rr, width, ll)
+    flat = a.reshape(*lead, rr * ll)
+    s = ll + step
+    pad = s * rr - rr * ll
+    flat = jnp.concatenate(
+        [flat, jnp.full((*lead, pad), -1, a.dtype)], axis=-1
+    )
+    return flat.reshape(*lead, rr, s)[..., :width]
+
+
+def _shift_select(eq, r, width: int):
+    """out[..., b, u] = eq[..., b, u + r[b]] for u < width, r in [0, BLOCK).
+
+    The probe's position inside its 16x16 block only takes BLOCK values, so
+    a per-row dynamic shift becomes BLOCK static slices blended by masks
+    (XLA fuses them into one pass) — no gather.
+    """
+    out = jnp.zeros(eq.shape[:-1] + (width,), bool)
+    for s in range(BLOCK):
+        out = out | ((r == s)[..., None] & eq[..., s : s + width])
+    return out
+
+
+def _rarity_probes(fr2d, pv2d, diff, h: int, w: int, nby: int, nbx: int):
+    """Two rarity-selected changed-pixel probe indices per block.
+
+    A probe whose frame value is common in `prev` (background) matches at
+    most offsets and prunes nothing; a block left unresolved by such probes
+    keeps the candidate sweep alive for its full plausible set. Quantize to
+    RGB555, find the top-4 dominant colors of a 4x-subsampled prev
+    histogram, and per block prefer changed pixels outside that set —
+    tie-broken by smallest (p1) / largest (p2) flat index. Returns
+    (p1, p2) [nby, nbx] int32 flat indices (0 for unchanged blocks).
+    """
+    q = ((fr2d >> 3) & 0x1F) | ((fr2d >> 6) & 0x3E0) | ((fr2d >> 9) & 0x7C00)
+    qp = ((pv2d >> 3) & 0x1F) | ((pv2d >> 6) & 0x3E0) | ((pv2d >> 9) & 0x7C00)
+    sub = qp[::4, ::4].reshape(-1)
+    hist = jnp.zeros((32768,), jnp.int32).at[sub].add(1)
+    _, doms = jax.lax.top_k(hist, 4)
+    common = jnp.any(q[:, :, None] == doms[None, None, :], axis=-1)
+    bits = max((h * w - 1).bit_length(), 1)
+    big = jnp.int32(1) << (bits + 1)
+    idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    key1 = jnp.where(diff, (common.astype(jnp.int32) << bits) | idx, big)
+    key2 = jnp.where(
+        diff, (common.astype(jnp.int32) << bits) | (h * w - 1 - idx), big
+    )
+
+    def block_min(k):
+        pad = jnp.full((nby * BLOCK, nbx * BLOCK), big, jnp.int32).at[
+            :h, :w
+        ].set(k)
+        return pad.reshape(nby, BLOCK, nbx, BLOCK).min(axis=(1, 3))
+
+    mask = (jnp.int32(1) << bits) - 1
+    p1 = jnp.clip(block_min(key1) & mask, 0, h * w - 1)
+    p2 = jnp.clip((h * w - 1) - (block_min(key2) & mask), 0, h * w - 1)
+    return p1, p2
+
+
+def _probe_ok_dense(pv2d, fr_pack, pflat, h: int, w: int, nby: int, nbx: int,
+                    msr_x: int, msr_y: int, mlow: int):
+    """[nb, ncol] probe-plausibility rows for one probe per block, gather-free.
+
+    Replaces per-block window gathers (~2 us/row on TPU: 44 ms at 1080p)
+    with dense reshape/one-hot extractions whose cost depends only on the
+    frame area (~2-3 ms at 1080p):
+      - the probe's block index is static per row, so each block's
+        candidate window is a `_diag_windows` strided reshape;
+      - the probe's position inside the block takes only BLOCK values, so
+        one-hot einsum (MXU) selects the probe row/column and
+        `_shift_select` aligns the compare result.
+    Rows of unchanged blocks are garbage; callers mask with the change map.
+    """
+    nb = nby * nbx
+    wsz = 2 * mlow + 1
+    neg1 = jnp.int32(-1)
+    px = (pflat % w).reshape(nby, nbx)
+    py = (pflat // w).reshape(nby, nbx)
+    bxg = jnp.arange(nbx)[None, :]
+    byg = jnp.arange(nby)[:, None]
+    rx = px - bxg * BLOCK  # [nby, nbx] in [0, BLOCK)
+    ry = py - byg * BLOCK
+    fr_probe_i = fr_pack[pflat].reshape(nby, nbx)
+
+    # ---- vertical candidates: dy in [-msr_y, msr_y) ----
+    lc = max(h + 2 * msr_y, BLOCK * (nby - 1) + 2 * msr_y + BLOCK)
+    pvt = jnp.full((nbx * BLOCK, lc), neg1).at[:w, msr_y : msr_y + h].set(
+        pv2d.T
+    )
+    t16 = pvt.reshape(nbx, BLOCK, lc)
+    # c1[by, bx, y] = pvT[bx*16 + rx[by,bx], y]: rx takes only BLOCK values,
+    # so a where-chain of BLOCK static slices replaces the row gather
+    # (int32 select — an MXU one-hot matmul would round at bf16 precision)
+    c1 = jnp.broadcast_to(t16[None, :, 0, :], (nby, nbx, lc))
+    for s in range(1, BLOCK):
+        c1 = jnp.where((rx == s)[..., None], t16[None, :, s, :], c1)
+    vc = _diag_windows(
+        c1.transpose(1, 0, 2), BLOCK, 2 * msr_y + BLOCK
+    ).transpose(1, 0, 2)  # [nby, nbx, 2*msr_y + 16]
+    eqc = vc == fr_probe_i[..., None]
+    col_ok = _shift_select(eqc, ry, 2 * msr_y).reshape(nb, 2 * msr_y)
+
+    # ---- horizontal candidates: dx in [-msr_x, msr_x) ----
+    lr = max(w + 2 * msr_x, BLOCK * (nbx - 1) + 2 * msr_x + BLOCK)
+    pvh = jnp.full((nby * BLOCK, lr), neg1).at[:h, msr_x : msr_x + w].set(
+        pv2d
+    )
+    h16 = pvh.reshape(nby, BLOCK, lr)
+    r1 = jnp.broadcast_to(h16[:, None, 0, :], (nby, nbx, lr))
+    for s in range(1, BLOCK):
+        r1 = jnp.where((ry == s)[..., None], h16[:, None, s, :], r1)
+    vr = _diag_windows(r1, BLOCK, 2 * msr_x + BLOCK)
+    eqr = vr == fr_probe_i[..., None]
+    row_ok = _shift_select(eqr, rx, 2 * msr_x).reshape(nb, 2 * msr_x)
+
+    # ---- low window: (dy, dx) in [-mlow, mlow]^2 (mlow <= 8) ----
+    hb, wb = nby * BLOCK, nbx * BLOCK
+    pvw = jnp.full((hb + 2 * BLOCK, wb + 2 * BLOCK), neg1).at[
+        mlow : mlow + h, mlow : mlow + w
+    ].set(pv2d)
+    ty = pvw.reshape(nby + 2, BLOCK, wb + 2 * BLOCK)
+    w32 = jnp.concatenate([ty[:-2], ty[1:-1]], axis=1)  # [nby, 32, wb+32]
+    tx = w32.reshape(nby, 2 * BLOCK, nbx + 2, BLOCK)
+    w32x = jnp.concatenate([tx[..., :-2, :], tx[..., 1:-1, :]], axis=-1)
+    # [nby, 32, nbx, 32]; row u = pv2d[16*by + u - mlow], col e likewise
+    eqw = w32x == fr_probe_i[:, None, :, None]
+    # ry-select rows (u = ry + d, d in [0, wsz)):
+    wy = jnp.zeros((nby, wsz, nbx, 2 * BLOCK), bool)
+    for s in range(BLOCK):
+        wy = wy | ((ry == s)[:, None, :, None] & eqw[:, s : s + wsz])
+    # rx-select cols (e = rx + i, i in [0, wsz)):
+    ww = jnp.zeros((nby, wsz, nbx, wsz), bool)
+    for s in range(BLOCK):
+        ww = ww | ((rx == s)[:, None, :, None] & wy[..., s : s + wsz])
+    win_ok = ww.transpose(0, 2, 1, 3).reshape(nb, wsz * wsz)
+
+    return jnp.concatenate([col_ok, row_ok, win_ok], axis=1)
+
+
 def motion_search_pruned(frame, prev, rects, in_sub, changed, probes, cands,
                          h: int, w: int, nby: int, nbx: int, rmax: int,
-                         cand_cols, msr_x: int, msr_y: int, mlow: int):
+                         cand_cols, msr_x: int, msr_y: int, mlow: int,
+                         force_dense: bool = False):
     """First-match motion search with a probe pre-screen.
 
-    For each (candidate, block) a single changed probe pixel is compared
-    first; the expensive whole-frame shifted compare runs only for
-    candidates some unresolved block could still match. The probe matrix is
-    built from three contiguous windows per block (a prev-frame column for
-    vertical candidates, a row for horizontal ones, a dense patch for the
-    low window) — contiguous slices lower ~30x better than a [C, nb]
-    random gather on TPU. Identical choice to spec.find_mv (same order,
-    full verification before acceptance).
+    For each (candidate, block) two changed probe pixels are compared
+    first; the whole-frame shifted compare runs only for candidates some
+    unresolved block could still match. Identical choice to spec.find_mv
+    (same order, full verification before acceptance): probe pruning is
+    bitstream-neutral because a block that truly matches a candidate MV
+    matches at every changed pixel, so a probe only removes candidates the
+    full verify would reject anyway.
 
     probes: pair of [nby, nbx] flat indices of changed pixels per block
-    (first and last changed pixel). Probe pruning is bitstream-neutral:
-    a block that truly matches a candidate MV matches at every changed
-    pixel, so a probe can only remove candidates the full verify would
-    reject anyway — single vs dual probes changes speed, never the choice.
+    (first and last changed pixel; used by the small tier).
     cand_cols: [C] static column of each candidate in the concatenated
     [vert | horz | window] ok-matrix (host-computed).
     Returns choice [nby, nbx] int32 (C = no match).
 
-    Perf: the probe matrix is built from three contiguous windows per
-    probed block (vmapped dynamic_slice = TPU gather, ~30 ms at [nb, ~3k]
-    scale for 1080p). Two tiers keep that off the critical path for small
-    edits: when <= _PROBE_SMALL_CAP blocks changed, only those blocks are
-    gathered (dual probe, ~n_ch/nb of the cost) and scattered back; dense
-    frames (scroll) fall back to a single full-scale probe pass.
+    Perf model (1080p measurements):
+      - small tier (<= _PROBE_SMALL_CAP changed blocks): per-block window
+        gathers over just the changed blocks (dual probe);
+      - dense tier: rarity-selected dual probes (`_rarity_probes`) +
+        gather-free probe matrix (`_probe_ok_dense`);
+      - the verify sweep compares channel-packed int32 frames (~0.03 ms
+        per candidate vs 0.7 ms for 3x int16) and tracks per-block
+        last-plausible indices, so blocks with no remaining plausible
+        candidate are dead and cannot keep the sweep alive (the old static
+        exit condition made one unresolvable block cost a full ~1300
+        candidate sweep, ~344 ms).
     """
     c_count = cands.shape[0]
     nb = nby * nbx
-    x1, y1, x2, y2 = rects[..., 0], rects[..., 1], rects[..., 2], rects[..., 3]
+    rects_f = rects.reshape(nb, 4)
+    x1, y1, x2, y2 = (rects_f[:, 0], rects_f[:, 1], rects_f[:, 2],
+                      rects_f[:, 3])
 
     # channel-packed pixels (packed value >= 0; pad sentinel -1 never matches)
     f32p = frame.astype(jnp.int32)
     p32p = prev.astype(jnp.int32)
-    fr_pack = (
-        f32p[..., 0] | (f32p[..., 1] << 8) | (f32p[..., 2] << 16)
-    ).reshape(-1)
-    pv2d = (p32p[..., 0] | (p32p[..., 1] << 8) | (p32p[..., 2] << 16))
+    fr2d = f32p[..., 0] | (f32p[..., 1] << 8) | (f32p[..., 2] << 16)
+    pv2d = p32p[..., 0] | (p32p[..., 1] << 8) | (p32p[..., 2] << 16)
+    fr_pack = fr2d.reshape(-1)
     wsz = 2 * mlow + 1
     ncol = 2 * msr_y + 2 * msr_x + wsz * wsz
     pvT = jnp.pad(pv2d.T, ((0, 0), (msr_y, msr_y)), constant_values=-1)
@@ -234,42 +386,44 @@ def motion_search_pruned(frame, prev, rects, in_sub, changed, probes, cands,
             jnp.where(ok_rows_valid, selc, nb)
         ].set(oks, mode="drop")
 
-    def full_probe():
-        return probe_rows(probes[0].reshape(nb)) & chb[:, None]
+    def dense_probe():
+        if mlow > BLOCK // 2:  # static config guard: low window exceeds the
+            # two-tile decomposition of _probe_ok_dense; fall back to the
+            # single-probe gather pass
+            return probe_rows(probes[0].reshape(nb)) & chb[:, None]
+        diff = jnp.any(frame != prev, axis=-1)
+        r1, r2 = _rarity_probes(fr2d, pv2d, diff, h, w, nby, nbx)
+        ok = _probe_ok_dense(pv2d, fr_pack, r1.reshape(nb), h, w, nby, nbx,
+                             msr_x, msr_y, mlow)
+        ok &= _probe_ok_dense(pv2d, fr_pack, r2.reshape(nb), h, w, nby, nbx,
+                              msr_x, msr_y, mlow)
+        return ok & chb[:, None]
 
-    ok_all = jax.lax.cond(chb.sum() <= pcap, small_probe, full_probe)
+    if force_dense:
+        # vmapped callers (serving): lax.cond flattens to a select under
+        # vmap, so BOTH tiers would run for every stream — the small tier's
+        # per-block gathers are pure waste there
+        ok_all = dense_probe()
+    else:
+        ok_all = jax.lax.cond(chb.sum() <= pcap, small_probe, dense_probe)
 
-    def plausible_of(ci):
-        """probe & bounds & changed mask [nby, nbx] for one candidate."""
-        mx, my = cands[ci, 0], cands[ci, 1]
-        colidx = jnp.where(
-            mx == 0, my + msr_y,
-            jnp.where(
-                my == 0, 2 * msr_y + mx + msr_x,
-                2 * msr_y + 2 * msr_x + (my + mlow) * wsz + mx + mlow,
-            ),
-        )
-        pok = jax.lax.dynamic_slice(ok_all, (0, colidx), (nb, 1))[:, 0]
-        inb = (
-            (x1.reshape(nb) + mx >= 0) & (x2.reshape(nb) + mx <= w)
-            & (y1.reshape(nb) + my >= 0) & (y2.reshape(nb) + my <= h)
-        )
-        return (pok & inb).reshape(nby, nbx)
-
-    prev_pad = jnp.pad(
-        prev.astype(jnp.int16),
-        ((rmax, rmax), (rmax, rmax), (0, 0)),
-        constant_values=-1,
+    # [nb, C] plausibility: probe says possible AND shifted sub-rect stays
+    # inside the frame AND the block changed at all
+    mxs, mys = cands[:, 0], cands[:, 1]
+    inb = (
+        (x1[:, None] + mxs[None, :] >= 0)
+        & (x2[:, None] + mxs[None, :] <= w)
+        & (y1[:, None] + mys[None, :] >= 0)
+        & (y2[:, None] + mys[None, :] <= h)
     )
-    fr = frame.astype(jnp.int16)
-    mask_pad = jnp.zeros((nby * BLOCK, nbx * BLOCK), bool).at[:h, :w].set(in_sub)
+    plaus = ok_all[:, cand_cols] & inb & chb[:, None]
 
-    # jump table: next candidate index >= c with ANY probe-plausible block,
-    # so the verify loop iterates plausible candidates only (a typing frame
-    # with no match runs ~0 iterations instead of len(cands)). Conservative
-    # (ignores rect bounds): a visited candidate that only bounds-fails
-    # verifies to no match, harmlessly.
-    anyp = jnp.any(ok_all, axis=0)[cand_cols]  # [C]
+    iota_c = jnp.arange(c_count, dtype=jnp.int32)
+    # static jump table over candidates any block finds plausible, plus a
+    # per-block LAST plausible index: a block past its last plausible is
+    # dead and no longer holds the sweep open
+    anyp = jnp.any(plaus, axis=0)
+    lastp = jnp.max(jnp.where(plaus, iota_c[None, :], -1), axis=1)  # [nb]
     idxc = jnp.arange(c_count + 1, dtype=jnp.int32)
     nxt = jax.lax.cummin(
         jnp.concatenate([jnp.where(anyp, idxc[:c_count], c_count),
@@ -277,13 +431,19 @@ def motion_search_pruned(frame, prev, rects, in_sub, changed, probes, cands,
         axis=0, reverse=True,
     )  # [c_count + 1]
 
+    pvP = jnp.pad(pv2d, ((rmax, rmax), (rmax, rmax)), constant_values=-1)
+    sub_pad = jnp.zeros((nby * BLOCK, nbx * BLOCK), bool).at[:h, :w].set(in_sub)
+
     def verify(best, ci):
         mx, my = cands[ci, 0], cands[ci, 1]
-        win = jax.lax.dynamic_slice(prev_pad, (rmax + my, rmax + mx, 0), (h, w, 3))
-        neq = jnp.any(win != fr, axis=-1)
+        win = jax.lax.dynamic_slice(pvP, (rmax + my, rmax + mx), (h, w))
+        neq = win != fr2d
         neq_pad = jnp.ones((nby * BLOCK, nbx * BLOCK), bool).at[:h, :w].set(neq)
-        bad = (neq_pad & mask_pad).reshape(nby, BLOCK, nbx, BLOCK).any(axis=(1, 3))
-        match = plausible_of(ci) & ~bad
+        bad = (neq_pad & sub_pad).reshape(
+            nby, BLOCK, nbx, BLOCK
+        ).any(axis=(1, 3)).reshape(nb)
+        col = jax.lax.dynamic_slice(plaus, (0, ci), (nb, 1))[:, 0]
+        match = col & ~bad
         return jnp.where(match & (best == c_count), ci, best)
 
     def body(carry):
@@ -293,33 +453,45 @@ def motion_search_pruned(frame, prev, rects, in_sub, changed, probes, cands,
 
     def cond(carry):
         best, ci = carry
-        return (ci < c_count) & jnp.any(changed & (best == c_count))
+        # alive = unresolved AND still has a plausible candidate >= ci
+        return (ci < c_count) & jnp.any((best == c_count) & (lastp >= ci))
 
-    best0 = jnp.full((nby, nbx), c_count, jnp.int32)
+    best0 = jnp.full((nb,), c_count, jnp.int32)
     best, _ = jax.lax.while_loop(cond, body, (best0, nxt[0]))
-    return best
+    return best.reshape(nby, nbx)
 
 
 def mv_cand_cols(cands_np, msr_x: int, msr_y: int, mlow: int):
     """Static column index of each candidate in the concatenated
-    [vertical | horizontal | window] probe ok-matrix (motion_search_pruned)."""
+    [vertical | horizontal | window] probe ok-matrix (motion_search_pruned).
+
+    An axis-aligned candidate maps to the vertical/horizontal stripe only
+    when its displacement is inside that stripe's range; when the low
+    window is LARGER than the search range (small-msr configs: msr < mlow)
+    the leftover axis candidates live in the window part — the old
+    unconditional `mx == 0 -> my + msr_y` mapping produced a negative
+    column for them, silently pruning valid motion (latent since round 2;
+    exposed by test_fuzz_jax_matches once the sweep used cand_cols for
+    verification columns too)."""
     wsz = 2 * mlow + 1
     cols = []
     for mx, my in cands_np:
-        if mx == 0:
+        if mx == 0 and -msr_y <= my < msr_y:
             cols.append(my + msr_y)
-        elif my == 0:
+        elif my == 0 and -msr_x <= mx < msr_x:
             cols.append(2 * msr_y + mx + msr_x)
         else:
+            assert abs(mx) <= mlow and abs(my) <= mlow, (mx, my)
             cols.append(2 * msr_y + 2 * msr_x + (my + mlow) * wsz + mx + mlow)
     return np.asarray(cols, np.int32)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "h", "w", "nby", "nbx", "rmax", "nbp", "msr_x", "msr_y", "mlow"))
+    "h", "w", "nby", "nbx", "rmax", "nbp", "msr_x", "msr_y", "mlow",
+    "force_dense"))
 def analyze_compact(frame, prev, cands, cand_cols, h: int, w: int, nby: int,
                     nbx: int, rmax: int, nbp: int, msr_x: int, msr_y: int,
-                    mlow: int):
+                    mlow: int, force_dense: bool = False):
     """Full P-frame analysis + record compaction, one device call.
 
     Replaces the host loop of `analyze_p` (VERDICT round-1 weak #2): change
@@ -365,91 +537,105 @@ def analyze_compact(frame, prev, cands, cand_cols, h: int, w: int, nby: int,
         )
         return motion_search_pruned(
             frame, prev, rects, in_sub, changed, (p1, p2), cands, h, w, nby,
-            nbx, rmax, cand_cols, msr_x, msr_y, mlow,
+            nbx, rmax, cand_cols, msr_x, msr_y, mlow, force_dense,
         ).reshape(nb)
 
-    # idle frames skip the probe matrix and the search entirely
-    choice = jax.lax.cond(
-        valid.any(),
-        run_search,
-        lambda: jnp.full((nb,), c_count, jnp.int32),
-    )
-    found = valid & (choice < c_count)
-    mvs = cands[jnp.clip(choice, 0, c_count - 1)]
+    def with_changes():
+        """Search + full record compaction (idle frames skip all of it —
+        the ~50-op compaction chain costs ~4.6 ms of dependent small-op
+        latency even when nothing changed)."""
+        choice = run_search()
+        found = valid & (choice < c_count)
+        mvs = cands[jnp.clip(choice, 0, c_count - 1)]
 
-    bx = jnp.arange(nb) % nbx
-    by = jnp.arange(nb) // nbx
-    x_lo, y_lo = bx * BLOCK, by * BLOCK
-    x_hi = jnp.minimum(x_lo + BLOCK, w)
-    y_hi = jnp.minimum(y_lo + BLOCK, h)
-    partial = valid & ~(
-        (rects_f[:, 0] == x_lo) & (rects_f[:, 1] == y_lo)
-        & (rects_f[:, 2] == x_hi) & (rects_f[:, 3] == y_hi)
-    )
-    bts = jnp.where(
-        valid,
-        jnp.where(partial, BT_PARTIAL_DATA, BT_FULL_DATA) + 2 * found,
-        0,
-    ).astype(jnp.int32)
+        bx = jnp.arange(nb) % nbx
+        by = jnp.arange(nb) // nbx
+        x_lo, y_lo = bx * BLOCK, by * BLOCK
+        x_hi = jnp.minimum(x_lo + BLOCK, w)
+        y_hi = jnp.minimum(y_lo + BLOCK, h)
+        partial = valid & ~(
+            (rects_f[:, 0] == x_lo) & (rects_f[:, 1] == y_lo)
+            & (rects_f[:, 2] == x_hi) & (rects_f[:, 3] == y_hi)
+        )
+        bts = jnp.where(
+            valid,
+            jnp.where(partial, BT_PARTIAL_DATA, BT_FULL_DATA) + 2 * found,
+            0,
+        ).astype(jnp.int32)
 
-    lin = jnp.arange(nb)
-    any_ch = valid.any()
-    xx1 = jnp.min(jnp.where(valid, lin, nb)).astype(jnp.int32)
-    xx2 = jnp.max(jnp.where(valid, lin, -1)).astype(jnp.int32)
+        lin = jnp.arange(nb)
+        xx1 = jnp.min(jnp.where(valid, lin, nb)).astype(jnp.int32)
+        xx2 = jnp.max(jnp.where(valid, lin, -1)).astype(jnp.int32)
 
-    # --- BT run-length records (greedy, 255 cap) over xx1..xx2, relative ---
-    linp = jnp.arange(nbp)
-    v = bts[jnp.clip(linp + xx1, 0, nb - 1)]
-    lenr = xx2 - xx1 + 1
-    inr = linp < lenr
-    vm = jnp.where(inr, v, -1)
-    prev_v = jnp.concatenate([jnp.full((1,), -2, vm.dtype), vm[:-1]])
-    bnd = (vm != prev_v) & inr
-    run_start = jax.lax.cummax(jnp.where(bnd, linp, -1), axis=0)
-    new_rec = (bnd | (((linp - run_start) % MAX_RUN) == 0)) & inr
-    n_bt = jnp.sum(new_rec).astype(jnp.int32)
-    rid = jnp.cumsum(new_rec) - 1
-    starts = jnp.full((nbp,), lenr, jnp.int32).at[
-        jnp.where(new_rec, rid, nbp)
-    ].set(linp, mode="drop")
-    ends = jnp.concatenate([starts[1:], jnp.full((1,), lenr, jnp.int32)])
-    ends = jnp.minimum(ends, lenr)
-    bt_vals = v[jnp.clip(starts, 0, nbp - 1)]
-    bt_recs = jnp.stack([bt_vals, ends - starts], axis=1)
+        # --- BT run-length records (greedy, 255 cap) over xx1..xx2 ---
+        linp = jnp.arange(nbp)
+        v = bts[jnp.clip(linp + xx1, 0, nb - 1)]
+        lenr = xx2 - xx1 + 1
+        inr = linp < lenr
+        vm = jnp.where(inr, v, -1)
+        prev_v = jnp.concatenate([jnp.full((1,), -2, vm.dtype), vm[:-1]])
+        bnd = (vm != prev_v) & inr
+        run_start = jax.lax.cummax(jnp.where(bnd, linp, -1), axis=0)
+        new_rec = (bnd | (((linp - run_start) % MAX_RUN) == 0)) & inr
+        n_bt = jnp.sum(new_rec).astype(jnp.int32)
+        rid = jnp.cumsum(new_rec) - 1
+        starts = jnp.full((nbp,), lenr, jnp.int32).at[
+            jnp.where(new_rec, rid, nbp)
+        ].set(linp, mode="drop")
+        ends = jnp.concatenate([starts[1:], jnp.full((1,), lenr, jnp.int32)])
+        ends = jnp.minimum(ends, lenr)
+        bt_vals = v[jnp.clip(starts, 0, nbp - 1)]
+        bt_recs = jnp.stack([bt_vals, ends - starts], axis=1)
 
-    # --- per-kind compaction in block raster order ---
-    is_partial = (bts == BT_PARTIAL_DATA) | (bts == BT_PARTIAL_MOTION)
-    is_motion = (bts == BT_FULL_MOTION) | (bts == BT_PARTIAL_MOTION)
-    is_data = (bts == BT_FULL_DATA) | (bts == BT_PARTIAL_DATA)
-    rel = jnp.stack(
-        [
-            rects_f[:, 0] - x_lo,
-            rects_f[:, 1] - y_lo,
-            rects_f[:, 2] - 1 - x_lo,
-            rects_f[:, 3] - 1 - y_lo,
-        ],
-        axis=1,
-    )
+        # --- per-kind compaction in block raster order ---
+        is_partial = (bts == BT_PARTIAL_DATA) | (bts == BT_PARTIAL_MOTION)
+        is_motion = (bts == BT_FULL_MOTION) | (bts == BT_PARTIAL_MOTION)
+        is_data = (bts == BT_FULL_DATA) | (bts == BT_PARTIAL_DATA)
+        rel = jnp.stack(
+            [
+                rects_f[:, 0] - x_lo,
+                rects_f[:, 1] - y_lo,
+                rects_f[:, 2] - 1 - x_lo,
+                rects_f[:, 3] - 1 - y_lo,
+            ],
+            axis=1,
+        )
 
-    def compact(mask, vals, width):
-        idx = jnp.cumsum(mask) - 1
-        out = jnp.zeros((nbp, width), jnp.int32)
-        return out.at[jnp.where(mask, idx, nbp)].set(vals, mode="drop")
+        def compact(mask, vals, width):
+            idx = jnp.cumsum(mask) - 1
+            out = jnp.zeros((nbp, width), jnp.int32)
+            return out.at[jnp.where(mask, idx, nbp)].set(vals, mode="drop")
 
-    sxy_recs = compact(is_partial, rel, 4)
-    mv_recs = compact(is_motion, mvs, 2)
-    data_rects = compact(is_data, rects_f, 4)
+        counts = jnp.stack(
+            [
+                jnp.int32(1),
+                xx1,
+                xx2,
+                n_bt,
+                jnp.sum(is_partial).astype(jnp.int32),
+                jnp.sum(is_motion).astype(jnp.int32),
+                jnp.sum(is_data).astype(jnp.int32),
+            ]
+        )
+        return (
+            bt_recs,
+            compact(is_partial, rel, 4),
+            compact(is_motion, mvs, 2),
+            compact(is_data, rects_f, 4),
+            counts,
+        )
 
-    counts = jnp.stack(
-        [
-            any_ch.astype(jnp.int32),
-            xx1,
-            xx2,
-            n_bt,
-            jnp.sum(is_partial).astype(jnp.int32),
-            jnp.sum(is_motion).astype(jnp.int32),
-            jnp.sum(is_data).astype(jnp.int32),
-        ]
+    def no_changes():
+        return (
+            jnp.zeros((nbp, 2), jnp.int32),
+            jnp.zeros((nbp, 4), jnp.int32),
+            jnp.zeros((nbp, 2), jnp.int32),
+            jnp.zeros((nbp, 4), jnp.int32),
+            jnp.asarray([0, nb, -1, 0, 0, 0, 0], jnp.int32),
+        )
+
+    bt_recs, sxy_recs, mv_recs, data_rects, counts = jax.lax.cond(
+        valid.any(), with_changes, no_changes
     )
     c0 = frame.reshape(-1, 3)[0]
     is_flat = jnp.all(frame == c0[None, None, :]).astype(jnp.int32)

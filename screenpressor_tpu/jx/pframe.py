@@ -248,9 +248,16 @@ def _reconstruct_one_block(pw, ptypes, rlens, lits, x1, y1, bw, bh):
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "bcap"))
-def reconstruct_blocks(prev, rects, ptypes, rlens, lits, h: int, w: int, bcap: int):
-    """Rebuild all data blocks and scatter into a copy of prev.
+def reconstruct_blocks(base, prev, rects, ptypes, rlens, lits, h: int, w: int,
+                       bcap: int):
+    """Rebuild all data blocks and scatter into a copy of `base`.
 
+    `base` is the motion-applied current frame (scatter target); `prev` is
+    the TRUE previous frame — out-of-sub-rect neighbor reads (left edge,
+    above row at ry=0, aboveleft column, PT_PREVFRAME) are defined against
+    it (`spec.pframe.reconstruct_block_p` reads prev32), NOT against the
+    motion-applied intermediate: a motion block left of / above a data
+    block would otherwise leak shifted pixels into the predictors.
     rects [bcap,4] (padded rows must have x2<=x1 so they scatter nothing).
     ptypes/rlens [bcap,256], lits [bcap,256,3].
     """
@@ -271,7 +278,7 @@ def reconstruct_blocks(prev, rects, ptypes, rlens, lits, h: int, w: int, bcap: i
     xs = rects[:, 0][:, None, None] + rx
     valid = (ry < bh) & (rx < bw)
     flat_idx = jnp.where(valid, ys * w + xs, h * w)
-    out = prev.astype(jnp.int32).reshape(h * w, 3)
+    out = base.astype(jnp.int32).reshape(h * w, 3)
     out = out.at[flat_idx.reshape(-1)].set(
         grids.reshape(-1, 3), mode="drop"
     )
@@ -320,7 +327,7 @@ def rebuild_frame_device(prev, mo_rects, mo_mvs, d_rects, d_pt, d_rl, d_lt,
                          h: int, w: int, mcap: int, bcap: int):
     """Fused motion-apply + data-block reconstruction."""
     out = apply_motion(prev, prev, mo_rects, mo_mvs, h, w, mcap)
-    out = reconstruct_blocks(out, d_rects, d_pt, d_rl, d_lt, h, w, bcap)
+    out = reconstruct_blocks(out, prev, d_rects, d_pt, d_rl, d_lt, h, w, bcap)
     return out
 
 

@@ -209,7 +209,9 @@ def _batched_analyze(frames, prevs, cands, cols, h, w, nby, nbx, rmax, nbp,
 
     def one(f, pv):
         arrs, counts, flat = jb2.analyze_compact(
-            f, pv, cands, cols, h, w, nby, nbx, rmax, nbp, msr_x, msr_y, mlow
+            f, pv, cands, cols, h, w, nby, nbx, rmax, nbp, msr_x, msr_y, mlow,
+            force_dense=True,  # vmap flattens the tier cond to a select —
+            # the small tier's per-block gathers would run for every stream
         )
         return arrs, counts, flat
 

@@ -87,3 +87,34 @@ def test_fuzz_jax_matches(seed):
         jdata, _ = je.encode(f)
         assert jdata == data, f"seed {seed} frame {i}: jax bytes differ"
         np.testing.assert_array_equal(np.asarray(jd.decode(data)), f)
+
+
+@pytest.mark.slow
+def test_fuzz_jax_dense_tier_matches():
+    """Scroll on a frame with >_PROBE_SMALL_CAP changed blocks drives the
+    dense (rarity-probe, gather-free) motion tier; bytes must still match
+    the spec encoder exactly."""
+    from screenpressor_tpu.jx.blocks import _PROBE_SMALL_CAP
+    from screenpressor_tpu.jx.codec import JaxDecoder, JaxEncoder
+
+    rng = np.random.default_rng(424)
+    h, w = 384, 400  # 25x24 = 600 blocks > 512 cap
+    assert (h // 16) * (w // 16) > _PROBE_SMALL_CAP
+    cfg = CodecConfig(width=w, height=h, msr_x=16, msr_y=16, kf_interval=10)
+    base = random_screen_frame(rng, h, w)
+    # text-like detail on a dominant background (exercises rarity probes)
+    base[::7, ::3] = (10, 12, 14)
+    frames = [base]
+    frames.append(np.roll(base, 5, axis=0))          # global scroll
+    nxt = np.roll(frames[-1], -16, axis=1)
+    nxt[300:340, 60:200] = rng.integers(0, 256, (40, 140, 3), dtype=np.uint8)
+    frames.append(nxt)                               # scroll + new content
+    idle = nxt.copy()
+    frames.append(idle)                              # idle
+    se = SpecEncoder(cfg)
+    je, jd = JaxEncoder(cfg), JaxDecoder(cfg)
+    for i, f in enumerate(frames):
+        data, _ = se.encode(f)
+        jdata, _ = je.encode(f)
+        assert jdata == data, f"frame {i}: jax bytes differ (dense tier)"
+        np.testing.assert_array_equal(np.asarray(jd.decode(data)), f)

@@ -61,3 +61,35 @@ def test_noise_full_change():
     f1 = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
     f2 = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
     _compare_sessions([f1, f2], 24, 40)
+
+
+def test_motion_adjacent_data_block_predictors():
+    """A data block whose left neighbor is a motion block: the decoder's
+    out-of-sub-rect predictor reads (left edge, PT_PREVFRAME, aboveleft)
+    must come from the TRUE previous frame, not the motion-applied
+    intermediate (regression: rebuild_frame_device leaked shifted pixels
+    into reconstruct_blocks' prev window)."""
+    from screenpressor_tpu.config import CodecConfig
+    from screenpressor_tpu.jx.codec import JaxDecoder
+    from screenpressor_tpu.spec.codec import SpecDecoder, SpecEncoder
+
+    rng = np.random.default_rng(11)
+    h, w = 32, 48
+    cfg = CodecConfig(width=w, height=h, msr_x=6, msr_y=6, kf_interval=10)
+    prev = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    frame = prev.copy()
+    # block (0,0): exact motion match at mv (0, 2)
+    frame[0:16, 0:16] = prev[2:18, 0:16]
+    # block (0,1): left column copies the prev frame's left edge (PT_LEFT at
+    # rx=0), rest is fresh content (literals)
+    frame[0:16, 16] = prev[0:16, 15]
+    frame[0:16, 17:32] = rng.integers(0, 256, (16, 15, 3), dtype=np.uint8)
+
+    se = SpecEncoder(cfg)
+    d0, _ = se.encode(prev)
+    d1, _ = se.encode(frame)
+    sd, jd = SpecDecoder(cfg), JaxDecoder(cfg)
+    np.testing.assert_array_equal(sd.decode(d0), prev)
+    np.testing.assert_array_equal(sd.decode(d1), frame)
+    np.testing.assert_array_equal(np.asarray(jd.decode(d0)), prev)
+    np.testing.assert_array_equal(np.asarray(jd.decode(d1)), frame)
