@@ -48,8 +48,9 @@ from screenpressor_tpu.jx.pframe import (
     encode_p_sections,
     parse_p_header,
     raise_p_error,
+    unstack_rows,
 )
-from screenpressor_tpu.jx.tables import renew_tables
+from screenpressor_tpu.jx.tables import renew_tables, renew_tables_cached
 from screenpressor_tpu.jx.transfer import SegmentPlan
 from screenpressor_tpu.spec.codec import FTYPE_I, FTYPE_P
 
@@ -103,7 +104,7 @@ def _blobs_from_tight(tight: np.ndarray, offs_lens):
 class JaxEncoder:
     def __init__(self, cfg: CodecConfig):
         self.cfg = cfg
-        self.tables = renew_tables()
+        self.tables = renew_tables_cached()
         self.prev = None  # device [H, W, 3] uint8 (lossy domain)
         self.fn = 0
         self.last_was_flat = False
@@ -125,7 +126,10 @@ class JaxEncoder:
         if n == 0:
             return []
         mark = _phase_timer()
-        devs = [apply_loss_device(_to_device(f), cfg.loss) for f in frames]
+        if cfg.loss > 0:
+            devs = [apply_loss_device(_to_device(f), cfg.loss) for f in frames]
+        else:  # loss=0 is identity — skip n per-frame device dispatches
+            devs = [_to_device(f) for f in frames]
         prev_chain = [self.prev] + devs[:-1]
 
         # ---- phase A: analysis dispatch for every frame ----
@@ -142,25 +146,34 @@ class JaxEncoder:
             )
             kinds.append("I" if keyframe else "P")
         p_idx = [i for i, k in enumerate(kinds) if k == "P"]
+        p_counts = None
         if p_idx:
+            from screenpressor_tpu.jx.transfer import pow2_bucket
+
             p_arrs, p_counts = encode_p_dispatch_batch(
                 [(devs[i], prev_chain[i]) for i in p_idx], cfg
             )
+            p_plans = unstack_rows(p_arrs, pow2_bucket(len(p_idx)))
+        # plans: (kind, payload arrs, index into the pulled counts)
         plans = []
+        i_counts = []
         row_of = {i: j for j, i in enumerate(p_idx)}
         for i, d in enumerate(devs):
             if kinds[i] == "I":
                 records, lits, counts = i_phase(d, h, w)
-                plans.append(("I", (records, lits), counts))
+                plans.append(("I", (records, lits), len(i_counts)))
+                i_counts.append(counts)
             else:
                 j = row_of[i]
-                arrs = jax.tree.map(lambda a, j=j: a[j], p_arrs)
-                plans.append(("P", arrs, p_counts[j]))
+                plans.append(("P", p_plans[j], j))
         mark("A dispatch")
-        counts_host = jax.device_get(jnp.concatenate([p[2] for p in plans]))
+        # one pull for every frame's counts (stacked P rows + I vectors)
+        pulled_p, pulled_i = jax.device_get((p_counts, i_counts))
         mark("A pull")
-        offs = np.cumsum([0] + [p[2].shape[0] for p in plans])
-        counts_host = [counts_host[offs[i] : offs[i + 1]] for i in range(n)]
+        counts_host = [
+            (pulled_i if kind == "I" else pulled_p)[ci]
+            for kind, _, ci in plans
+        ]
 
         def _flat_of(kind, ch):
             if kind == "I":
@@ -179,9 +192,11 @@ class JaxEncoder:
         mark("B dispatch")
         pl_host = {}
         if pb_counts:
-            pulled = jax.device_get(jnp.concatenate([c for _, c in pb_counts]))
-            for j, (i, _) in enumerate(pb_counts):
-                pl_host[i] = pulled[2 * j : 2 * j + 2]
+            # device_get on the list pulls all counts in one sync (no
+            # concatenate op: its program would recompile per batch arity)
+            pulled = jax.device_get([c for _, c in pb_counts])
+            for (i, _), c in zip(pb_counts, pulled):
+                pl_host[i] = c
 
         # ---- phase C: section encode, tables chained in frame order ----
         tables = self.tables
@@ -194,7 +209,7 @@ class JaxEncoder:
             flat, color = _flat_of(kind, ch)
             if flat:
                 if not (last_flat and color == last_color):
-                    tables = renew_tables()
+                    tables = renew_tables_cached()
                     last_color = color
                 last_flat = True
                 results[i] = (bytes([bs.header_byte(ALG_FLAT), *color]), FTYPE_I)
@@ -206,7 +221,7 @@ class JaxEncoder:
                 t_rec = jc._pad_steps(-(-n_rec // k_rec)) if n_rec else 1
                 t_col = jc._pad_steps(-(-n_lit // k_col)) if n_lit else 1
                 records, lits = payload
-                tables = renew_tables()
+                tables = renew_tables_cached()
                 out = encode_i_raw(
                     records, jnp.int32(n_rec), lits, jnp.int32(n_lit), tables,
                     k_rec, t_rec, k_col, t_col, raw_size,
@@ -230,16 +245,11 @@ class JaxEncoder:
                 small_pull.append(stats)
 
         mark("B pull + C dispatch")
-        # ---- sync: pull all starts/lens/stats at once ----
+        # ---- sync: pull all starts/lens/stats in one device_get (a
+        # concatenate would recompile per batch shape mix) ----
         meta = {}
         if small_pull:
-            cat = jax.device_get(jnp.concatenate(small_pull))
-            pos = 0
-            pieces = []
-            for a in small_pull:
-                pieces.append(cat[pos : pos + a.shape[0]])
-                pos += a.shape[0]
-            meta = dict(enumerate(pieces))
+            meta = dict(enumerate(jax.device_get(small_pull)))
 
         mark("C small pull")
         # ---- payload gather: one tight pull for the whole batch ----
@@ -403,7 +413,7 @@ def _assemble_p(handle, blobs):
 class JaxDecoder:
     def __init__(self, cfg: CodecConfig):
         self.cfg = cfg
-        self.tables = renew_tables()
+        self.tables = renew_tables_cached()
         self.prev = None  # device array [H, W, 3] uint8
         self.last_was_flat = False
         self.last_flat_color: tuple | None = None
@@ -436,14 +446,14 @@ class JaxDecoder:
                 frame = jnp.broadcast_to(jnp.asarray(color, jnp.uint8), (h, w, 3))
                 if not (last_flat and color == last_color):
                     prev = frame
-                    tables = renew_tables()
+                    tables = renew_tables_cached()
                     last_color = color
                 last_flat = True
                 outs[i] = frame
                 continue
             last_flat = False
             if alg == ALG_I:
-                tables = renew_tables()
+                tables = renew_tables_cached()
                 pay_rec, pay_col, n_rec, n_lit, k_rec, t_rec, k_col, t_col = (
                     parse_i_header(data, 1, cfg)
                 )
@@ -461,7 +471,7 @@ class JaxDecoder:
                     raise bs.CorruptStreamError("truncated raw frame")
                 arr = np.frombuffer(data, np.uint8, npix, 1).reshape(h, w, 3)
                 frame = jnp.asarray(arr)
-                tables = renew_tables()
+                tables = renew_tables_cached()
                 prev = frame
                 outs[i] = frame
                 continue

@@ -641,6 +641,17 @@ def _p_dispatch_map(frames, prevs, cands, cols, h, w, nby, nbx, rmax, nbp,
     return jax.lax.map(one, (frames, prevs))
 
 
+@functools.partial(jax.jit, static_argnames=("m",))
+def unstack_rows(arrs, m: int):
+    """Split stacked per-frame analysis arrays into m per-frame pytrees in
+    ONE device program. The per-row `tree.map(lambda a: a[j], ...)` host loop
+    it replaces issued one device op per frame per array (batch of 15 = 60
+    dispatches ≈ 240 ms over the TPU tunnel, where each async dispatch costs
+    ~1-4 ms regardless of size). Callers pass m = pow2 batch cap so the
+    program cache holds a handful of entries."""
+    return [jax.tree.map(lambda a, j=j: a[j], arrs) for j in range(m)]
+
+
 def encode_p_dispatch_batch(pairs, cfg: CodecConfig):
     """Phase A for many P frames in ONE device program.
 

@@ -32,6 +32,26 @@ def renew_tables(kinds=TABLE_KINDS) -> dict:
     return {name: renew_table(r, a, kind_step(name)) for name, (r, a) in kinds.items()}
 
 
+_RENEW_CACHE: dict = {}
+
+
+def renew_tables_cached() -> dict:
+    """Shared renewed-tables pytree (host call sites only).
+
+    Table state is immutable (every update builds new arrays), so all
+    sessions can alias one renewed pytree. Host paths call renew on every
+    I/flat frame; building it fresh costs ~2 device ops per table kind,
+    which dominates small-frame encode on dispatch-latency-bound rigs
+    (~3 ms/op over the TPU tunnel). Keyed by backend so CPU tests and TPU
+    benches in one process don't share arrays across platforms."""
+    key = jax.default_backend()
+    tabs = _RENEW_CACHE.get(key)
+    if tabs is None:
+        tabs = renew_tables()
+        _RENEW_CACHE[key] = tabs
+    return tabs
+
+
 def update_batch(tab: dict, rows: jnp.ndarray, syms: jnp.ndarray, active: jnp.ndarray,
                  step: int = STEP) -> dict:
     """One sub-step's batched update for one table kind.
