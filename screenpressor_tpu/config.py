@@ -21,15 +21,26 @@ PROB_SCALE = 1 << PROB_BITS
 RANS_L = 1 << 23  # lower bound of the rANS normalization interval
 STEP = 512  # adaptation increment (tuned on corpus; see FORMAT.md)
 RESCALE_SHIFT = 13  # fixed-point shift of the scale-to-fill rescale factor
-# color context quantization: ctx = ((a >> SHIFT) << CTX_HALF_BITS) | (b >> SHIFT)
-# (8-bit context; the reference uses 12-bit (>>2), `screencap.h:35-36` — 8 bits
-# costs ~12% on photo-like content, 0% on screen content, and keeps the color
-# tables small enough to live in VMEM for the Pallas section kernels)
-# SPTC_COLOR_CTX_HALF_BITS overrides for format experiments (spec path only;
-# the Pallas kernels are compiled for the default)
-COLOR_CTX_HALF_BITS = int(os.environ.get("SPTC_COLOR_CTX_HALF_BITS", 4))
-COLOR_CTX_SHIFT = 8 - COLOR_CTX_HALF_BITS
-COLOR_CTX_ROWS = 1 << (2 * COLOR_CTX_HALF_BITS)
+# color context quantization:
+#   ctx = ((a >> (8 - BITS_A)) << BITS_B) | (b >> (8 - BITS_B))
+# The reference uses a symmetric 12-bit (6+6) context (`screencap.h:35-36`);
+# SPTC uses an asymmetric split tuned on the real-content corpus under the
+# constraint that 3 * 2^(A+B) * 256 table entries stay VMEM-resident for the
+# Pallas section kernels. SPTC_COLOR_CTX_BITS="a,b" (or the legacy symmetric
+# SPTC_COLOR_CTX_HALF_BITS=n) overrides for format experiments (spec path
+# only; the Pallas kernels are compiled for the default).
+if "SPTC_COLOR_CTX_BITS" in os.environ:
+    COLOR_CTX_BITS_A, COLOR_CTX_BITS_B = (
+        int(v) for v in os.environ["SPTC_COLOR_CTX_BITS"].split(",")
+    )
+else:
+    _hb = int(os.environ.get("SPTC_COLOR_CTX_HALF_BITS", 4))
+    COLOR_CTX_BITS_A = COLOR_CTX_BITS_B = _hb
+COLOR_CTX_ROWS = 1 << (COLOR_CTX_BITS_A + COLOR_CTX_BITS_B)
+# legacy symmetric aliases (jx/kernels uses the generalized pair)
+COLOR_CTX_HALF_BITS = COLOR_CTX_BITS_B
+COLOR_CTX_SHIFT = 8 - COLOR_CTX_BITS_B
+COLOR_CTX_SHIFT_A = 8 - COLOR_CTX_BITS_A
 
 # Lane policy (format-normative)
 K_MAX = 256
@@ -91,7 +102,7 @@ def kind_step(name: str) -> int:
 
 def color_ctx(a: int, b: int) -> int:
     """Color context chain index from two conditioning bytes (FORMAT.md)."""
-    return ((a >> COLOR_CTX_SHIFT) << COLOR_CTX_HALF_BITS) | (b >> COLOR_CTX_SHIFT)
+    return ((a >> COLOR_CTX_SHIFT_A) << COLOR_CTX_BITS_B) | (b >> COLOR_CTX_SHIFT)
 
 I_SECTION_TABLES = ("ptype", "nrun", "color")
 P_SECTION_TABLES = ("ptype", "nrun", "color", "bt", "btn", "sxy", "mvflag", "mv")

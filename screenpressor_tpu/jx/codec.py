@@ -503,7 +503,10 @@ class JaxDecoder:
                         raise bs.CorruptStreamError(
                             f"frame {i}: records do not tile frame"
                         )
-                    raise_p_error(int(err))
+                    try:
+                        raise_p_error(int(err))
+                    except bs.CorruptStreamError as e:
+                        raise bs.CorruptStreamError(f"frame {i}: {e}") from None
         self.tables = tables
         self.prev = prev
         self.last_was_flat = last_flat

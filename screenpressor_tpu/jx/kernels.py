@@ -44,9 +44,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from screenpressor_tpu.config import (
-    COLOR_CTX_HALF_BITS,
+    COLOR_CTX_BITS_B,
     COLOR_CTX_ROWS,
     COLOR_CTX_SHIFT,
+    COLOR_CTX_SHIFT_A,
     MV_OFFSET,
     PROB_BITS,
     PROB_SCALE,
@@ -105,7 +106,7 @@ class KCol:
 
     def _row(self, j, parts, state):
         prevg, prevb = state
-        cc = lambda a, b: ((a >> COLOR_CTX_SHIFT) << COLOR_CTX_HALF_BITS) | (
+        cc = lambda a, b: ((a >> COLOR_CTX_SHIFT_A) << COLOR_CTX_BITS_B) | (
             b >> COLOR_CTX_SHIFT
         )
         if j == 0:

@@ -16,6 +16,8 @@ only ~half of the 2^PROB_BITS code space (~up to 1 bit/symbol).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from screenpressor_tpu.config import (
@@ -24,38 +26,78 @@ from screenpressor_tpu.config import (
     TABLE_KINDS,
 )
 
+# --- SPTC3 dynamic-backoff mixing prototype (format experiment, default off) -
+# SPTC_MIX=1 mixes each context row with one per-kind GLOBAL row, scaled at
+# coding time to fill exactly the code space the row leaves unused:
+#   spare  = (PROB_SCALE - A) - cntsum_row      (clamped at 0)
+#   g_eff  = max((gcnt * ((spare << 13) // gsum)) >> 13, 1)
+#   eff    = cnt_row + g_eff                     (sum <= PROB_SCALE always)
+# Rows start near-empty (SPTC_MIX_ROW_INIT counts/symbol, default 1) so a
+# cold context codes with the global distribution and fades to its own
+# statistics as it warms (PPM-style backoff). This is the cheap cold start
+# the reference gets from its escalating Cx1-7 symbol lists
+# (`ans_contexts.h:98-160`), without data-dependent alphabets.
+_MIX = int(os.environ.get("SPTC_MIX", "0"))
+_MIX_KINDS = set(
+    os.environ.get("SPTC_MIX_KINDS", "color,nrun").split(",")
+)
+_MIX_ROW_INIT = int(os.environ.get("SPTC_MIX_ROW_INIT", "1"))
+_MIX_GSTEP = int(os.environ.get("SPTC_MIX_GSTEP", "0"))  # 0 -> kind step
+
 
 class Table:
     """One table kind: `rows` contexts over alphabet `A`."""
 
-    def __init__(self, rows: int, alphabet: int, step: int = STEP) -> None:
+    def __init__(self, rows: int, alphabet: int, step: int = STEP,
+                 name: str = "") -> None:
         self.rows = rows
         self.A = alphabet
         self.step = step
+        self.mix = bool(_MIX) and name in _MIX_KINDS
         assert PROB_SCALE - step - alphabet > 0, (step, alphabet)
         self.cnt = np.zeros((rows, alphabet), np.int32)
         self.cntsum = np.zeros((rows,), np.int32)
+        if self.mix:
+            self.gstep = _MIX_GSTEP or step
+            self.gcnt = np.zeros((alphabet,), np.int32)
+            self.gsum = 0
         self.renew()
 
     def renew(self) -> None:
         # init strictly below the rescale threshold: an untouched row must
         # never satisfy the trigger (the batched implementations evaluate the
         # per-row predicate for parked lanes too)
-        f = max((PROB_SCALE - self.step - self.A) // self.A, 1)
+        if self.mix:
+            f = max(_MIX_ROW_INIT, 1)
+            g = max((PROB_SCALE - self.gstep - self.A) // self.A, 1)
+            self.gcnt[:] = g
+            self.gsum = g * self.A
+        else:
+            f = max((PROB_SCALE - self.step - self.A) // self.A, 1)
         self.cnt[:] = f
         self.cntsum[:] = f * self.A
 
     # -- coding ------------------------------------------------------------
 
-    def interval(self, row: int, sym: int) -> tuple[int, int]:
+    def _eff(self, row: int) -> np.ndarray:
         c = self.cnt[row]
-        return int(c[:sym].sum()), int(c[sym])
+        if not self.mix:
+            return c
+        spare = max((PROB_SCALE - self.A) - int(self.cntsum[row]), 0)
+        sc = (spare << 13) // int(self.gsum)
+        g_eff = np.maximum((self.gcnt * sc) >> 13, 1)
+        return c + g_eff
+
+    def interval(self, row: int, sym: int) -> tuple[int, int]:
+        eff = self._eff(row)
+        return int(eff[:sym].sum()), int(eff[sym])
 
     def lookup(self, row: int, some_freq: int) -> tuple[int, int, int]:
         """someFreq -> (symbol, cum, freq). Last slot absorbs the unused tail."""
-        cum = np.cumsum(self.cnt[row]) - self.cnt[row]
+        eff = self._eff(row)
+        cum = np.cumsum(eff) - eff
         c = int(np.searchsorted(cum, some_freq, side="right")) - 1
-        return c, int(cum[c]), int(self.cnt[row, c])
+        return c, int(cum[c]), int(eff[c])
 
     # -- batched update ----------------------------------------------------
 
@@ -71,6 +113,15 @@ class Table:
         for r in np.unique(rs):
             if self.cntsum[r] > PROB_SCALE - self.step:
                 self._rescale(int(r))
+        if self.mix:
+            np.add.at(self.gcnt, ss, self.gstep)
+            self.gsum += self.gstep * len(ss)
+            if self.gsum > PROB_SCALE - self.gstep:
+                target = PROB_SCALE - self.gstep - self.A
+                sc = (target << 13) // int(self.gsum)
+                g = np.maximum((self.gcnt * sc) >> 13, 1)
+                self.gcnt[:] = g
+                self.gsum = int(g.sum())
 
     def _rescale(self, r: int) -> None:
         target = PROB_SCALE - self.step - self.A
@@ -87,7 +138,8 @@ class TableSet:
         from screenpressor_tpu.config import kind_step
 
         self.tables = {
-            name: Table(rows, a, kind_step(name)) for name, (rows, a) in kinds.items()
+            name: Table(rows, a, kind_step(name), name=name)
+            for name, (rows, a) in kinds.items()
         }
 
     def __getitem__(self, name: str) -> Table:
