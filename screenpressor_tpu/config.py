@@ -33,9 +33,14 @@ if "SPTC_COLOR_CTX_BITS" in os.environ:
     COLOR_CTX_BITS_A, COLOR_CTX_BITS_B = (
         int(v) for v in os.environ["SPTC_COLOR_CTX_BITS"].split(",")
     )
-else:
-    _hb = int(os.environ.get("SPTC_COLOR_CTX_HALF_BITS", 4))
+elif "SPTC_COLOR_CTX_HALF_BITS" in os.environ:
+    _hb = int(os.environ["SPTC_COLOR_CTX_HALF_BITS"])
     COLOR_CTX_BITS_A = COLOR_CTX_BITS_B = _hb
+else:
+    # SPTC3 default: full precision on the first conditioning channel, 2
+    # bits on the second — measured best 10-bit split on the real-content
+    # corpus (tools/mix_experiment.py; beats symmetric 6,6 at 1/4 the rows)
+    COLOR_CTX_BITS_A, COLOR_CTX_BITS_B = 8, 2
 COLOR_CTX_ROWS = 1 << (COLOR_CTX_BITS_A + COLOR_CTX_BITS_B)
 # legacy symmetric aliases (jx/kernels uses the generalized pair)
 COLOR_CTX_HALF_BITS = COLOR_CTX_BITS_B
@@ -98,6 +103,33 @@ TABLE_KINDS = {
 
 def kind_step(name: str) -> int:
     return STEP
+
+
+# --- SPTC3 dynamic-backoff mixing (format-normative) ---
+# Kinds whose context rows are mixed with one per-kind GLOBAL row, scaled at
+# coding time to fill exactly the code space the row leaves unused:
+#   spare = (PROB_SCALE - A) - cntsum_row          (clamped at 0)
+#   g_eff = max((gcnt * ((spare << 13) // gsum)) >> 13, 1)
+#   eff   = cnt_row + g_eff                        (sum <= PROB_SCALE)
+# Mixed-kind rows start near-empty (MIX_ROW_INIT counts/symbol) so a cold
+# context codes with the global distribution and fades to its own statistics
+# as it warms (PPM-style backoff). This replaces the cold start the reference
+# gets from escalating Cx1-7 symbol lists (`ans_contexts.h:98-160`) with a
+# fixed-shape scheme the batched/kernel implementations can afford.
+# SPTC_MIX_KINDS overrides for format experiments (spec path only).
+MIX_KINDS = tuple(
+    k for k in os.environ.get("SPTC_MIX_KINDS_DEFAULT", "color,nrun").split(",") if k
+)
+MIX_ROW_INIT = 1
+
+
+def kind_mixed(name: str) -> bool:
+    return name in MIX_KINDS
+
+
+def kind_gstep(name: str) -> int:
+    """Global-row adaptation increment for a mixed kind."""
+    return kind_step(name)
 
 
 def color_ctx(a: int, b: int) -> int:

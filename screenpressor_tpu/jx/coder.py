@@ -18,8 +18,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from screenpressor_tpu.config import MV_OFFSET, PROB_BITS, PROB_SCALE, RANS_L, kind_step
-from screenpressor_tpu.jx.tables import update_batch
+from screenpressor_tpu.config import (
+    MV_OFFSET, PROB_BITS, PROB_SCALE, RANS_L, kind_gstep, kind_step,
+)
+from screenpressor_tpu.jx.tables import effective_rows, update_batch
 
 MASK = PROB_SCALE - 1
 X_MAX_SHIFT = 23 - PROB_BITS + 8
@@ -327,7 +329,7 @@ def decode_section_scan(payload, lens, tables, codec_name: str, k: int, t_steps:
             row, extra = _dec_row(codec, j, partial, state)
             active = lane_active if extra is None else (lane_active & extra)
             row = jnp.clip(row, 0, tables[kind]["cnt"].shape[0] - 1)
-            freq_rows = tables[kind]["cnt"][row]
+            freq_rows = effective_rows(tables[kind], row)
             cum_rows = jnp.cumsum(freq_rows, axis=1) - freq_rows
             sf = (x & MASK).astype(jnp.int32)
             sym, cum, freq = _lookup(cum_rows, freq_rows, sf)
@@ -335,7 +337,9 @@ def decode_section_scan(payload, lens, tables, codec_name: str, k: int, t_steps:
             sym = jnp.where(active, sym, 0)
             partial.append(sym)
             tables = dict(tables)
-            tables[kind] = update_batch(tables[kind], row, sym, active, kind_step(kind))
+            tables[kind] = update_batch(
+                tables[kind], row, sym, active, kind_step(kind), kind_gstep(kind)
+            )
         rec, new_state = codec.dec_finish(partial, state)
         state = jnp.where(lane_active[..., None] if new_state.ndim > 1 else lane_active, new_state, state)
         return (x, pos, state, tables), rec
@@ -393,7 +397,7 @@ def model_scan(recs, lens, tables, codec_name: str, k: int, t_steps: int):
             active = lane_active if extra is None else (lane_active & extra)
             row = jnp.clip(row, 0, tables[kind]["cnt"].shape[0] - 1)
             symc = jnp.clip(sym, 0, tables[kind]["cnt"].shape[1] - 1)
-            freq_rows = tables[kind]["cnt"][row]
+            freq_rows = effective_rows(tables[kind], row)
             cum_rows = jnp.cumsum(freq_rows, axis=1) - freq_rows
             cum = jnp.take_along_axis(cum_rows, symc[:, None], axis=1)[:, 0]
             freq = jnp.take_along_axis(freq_rows, symc[:, None], axis=1)[:, 0]
@@ -401,7 +405,9 @@ def model_scan(recs, lens, tables, codec_name: str, k: int, t_steps: int):
             freqs.append(freq)
             acts.append(active)
             tables = dict(tables)
-            tables[kind] = update_batch(tables[kind], row, symc, active, kind_step(kind))
+            tables[kind] = update_batch(
+                tables[kind], row, symc, active, kind_step(kind), kind_gstep(kind)
+            )
         new_state = codec.enc_next_state(rec, state)
         state = jnp.where(lane_active[..., None] if new_state.ndim > 1 else lane_active, new_state, state)
         return (state, tables), (jnp.stack(cums, 1), jnp.stack(freqs, 1), jnp.stack(acts, 1))

@@ -54,6 +54,8 @@ from screenpressor_tpu.config import (
     RANS_L,
     RESCALE_SHIFT,
     TABLE_KINDS,
+    kind_gstep,
+    kind_mixed,
     kind_step,
 )
 
@@ -100,6 +102,14 @@ class KRec:
 class KCol:
     kinds = ("color", "color", "color")
     rec_width = 3
+
+    @staticmethod
+    def sub_base(j):
+        # substep j codes plane j: its context rows live in the static
+        # window [j*COLOR_CTX_ROWS, (j+1)*COLOR_CTX_ROWS) of the color
+        # table, so kernels gather/scatter a 1024-row slice instead of the
+        # full 3072-row table (3x smaller one-hots and MXU transients)
+        return j * COLOR_CTX_ROWS
 
     def init_state(self, k):
         return (jnp.zeros((k, 1), I32), jnp.zeros((k, 1), I32))  # (prevg, prevb)
@@ -219,6 +229,38 @@ def _unique_kinds(codec):
     return tuple(seen)
 
 
+def _table_names(kinds):
+    """Kernel table-ref names for these kinds: the per-context tables plus
+    one 'g:<kind>' global row per mixed kind (SPTC3 backoff)."""
+    return tuple(kinds) + tuple("g:" + kd for kd in kinds if kind_mixed(kd))
+
+
+def _table_input(tables, name):
+    """Build the [R, A] / [8, A] f32 kernel input for a table-ref name."""
+    if name.startswith("g:"):
+        gcnt = tables[name[2:]]["gcnt"]
+        return jnp.zeros((8, gcnt.shape[0]), F32).at[0].set(gcnt.astype(F32))
+    return tables[name]["cnt"].astype(F32)
+
+
+def _tables_output(tables, names, outs):
+    """Fold the kernel's updated table arrays back into the pytree."""
+    tables = dict(tables)
+    for name, cnew in zip(names, outs):
+        if name.startswith("g:"):
+            kd = name[2:]
+            gcnt = cnew[0].astype(jnp.int32)
+            tables[kd] = dict(tables[kd])
+            tables[kd]["gcnt"] = gcnt
+            tables[kd]["gsum"] = gcnt.sum()
+        else:
+            cnt = cnew.astype(jnp.int32)
+            tables[name] = dict(tables.get(name, {}))
+            tables[name]["cnt"] = cnt
+            tables[name]["cntsum"] = cnt.sum(axis=1)
+    return tables
+
+
 # ---------------------------------------------------------------------------
 # Kernel-side primitives (column-vector conventions: lanes along sublanes)
 # ---------------------------------------------------------------------------
@@ -264,23 +306,24 @@ def _prefix_exclusive(g, pm):
     return _exact_dot(g, pm)
 
 
-def _gather_small(cnt_ref, rowc, r):
-    """[K,1] rows from small table [R, A] via R masked row broadcasts."""
+def _gather_small(cnt_ref, rowc, r, base=0):
+    """[K,1] local rows from a table window via masked row broadcasts."""
     g = None
     for ri in range(r):
         m = (rowc == ri).astype(F32)  # [K, 1]
-        term = m * cnt_ref[ri, :][None, :]
+        term = m * cnt_ref[base + ri, :][None, :]
         g = term if g is None else g + term
     return g  # [K, A]
 
 
-def _gather_mxu(cnt_ref, oh):
-    """[K, R] one-hot @ [R, A] table (exact: one-hot side is bf16-exact, so
-    split the TABLE side into 7-bit planes and do 2-3 default matmuls...
-    table values < PROB_SCALE so a 2-level split suffices; reuse the 3-way
-    splitter on the one-hot side instead by transposing the roles: here we
-    split the table, which is the rhs)."""
-    tab = cnt_ref[:, :]
+def _gather_mxu(cnt_ref, oh, base, window):
+    """[K, W] one-hot @ [W, A] table window (exact: split the TABLE side
+    into 7-bit planes — table values < PROB_SCALE so a 2-level split
+    suffices — and run bf16 matmuls with f32 accumulation: 0/1 one-hots and
+    7-bit planes are both bf16-exact, and bf16 operands halve the VMEM
+    transients, which matters at the SPTC3 color-table size [3*1024, 256];
+    the per-substep static plane window cuts them 3x further)."""
+    tab = cnt_ref[pl.ds(base, window), :]
     h1 = jnp.floor(tab * (1.0 / 128.0))
     h0 = tab - h1 * 128.0
     d0 = jnp.dot(oh, h0, preferred_element_type=F32)
@@ -338,16 +381,17 @@ def _row_masks(rowc, active, k):
     return eq, first_mask
 
 
-def _scatter_small(cnt_ref, rowc, delta, r):
-    """Scatter-add masked deltas into a small table: R masked reductions."""
+def _scatter_small(cnt_ref, rowc, delta, r, base=0):
+    """Scatter-add masked deltas into a table window: masked reductions."""
     for ri in range(r):
         m = (rowc == ri).astype(F32)  # [K, 1]
-        cnt_ref[ri, :] = cnt_ref[ri, :] + jnp.sum(m * delta, axis=0)
+        cnt_ref[base + ri, :] = cnt_ref[base + ri, :] + jnp.sum(m * delta, axis=0)
 
 
-def _scatter_mxu(cnt_ref, oh, delta):
+def _scatter_mxu(cnt_ref, oh, delta, base, window):
     """cnt += onehot^T @ delta (exact via signed 7-bit-plane split of delta:
-    delta in (-2^18, 2^18); split on delta + bias to keep planes positive)."""
+    delta in (-2^18, 2^18); split on delta + bias to keep planes positive;
+    bf16 operands — 0/1 one-hots and 7-bit planes are bf16-exact)."""
     bias = float(1 << 18)
     d = delta + bias  # in [0, 2^19)
     h1 = jnp.floor(d * (1.0 / 128.0))
@@ -361,9 +405,11 @@ def _scatter_mxu(cnt_ref, oh, delta):
     # combine the planes in int32 (d2 * 2^14 exceeds f32's exact-int range)
     dT = d0.astype(I32) + (d1.astype(I32) << 7) + (d2.astype(I32) << 14)
     # remove the bias contribution: bias * (lanes mapping to each row)
-    colsum = jnp.sum(oh, axis=0)[:, None].astype(I32)  # [R, 1]
+    colsum = jnp.sum(oh, axis=0)[:, None].astype(I32)  # [W, 1]
     upd = dT - colsum * int(bias)
-    cnt_ref[:, :] = cnt_ref[:, :] + upd.astype(F32)
+    cnt_ref[pl.ds(base, window), :] = (
+        cnt_ref[pl.ds(base, window), :] + upd.astype(F32)
+    )
 
 
 class _ByteWindow:
@@ -395,19 +441,47 @@ class _ByteWindow:
         return jnp.sum(win * oh, axis=1, keepdims=True)  # [K, 1]
 
 
-def _substep_tables(cnts, kd, rowc, active, k):
-    """Gather + (deferred) update closure for one substep's table access."""
+def _substep_tables(cnts, kd, rowc, active, k, base=0):
+    """Gather + (deferred) update closure for one substep's table access.
+
+    `base`: static row offset of this substep's table window (the color
+    chain addresses exactly one plane per substep). `rowc` is the GLOBAL
+    row; the window's local row is rowc - base.
+
+    Returns (g_code, update): g_code is the effective coding distribution
+    (raw live counts, plus the scaled global row for mixed kinds —
+    spec.tables.Table._eff); update applies the batched count update to the
+    row table and, for mixed kinds, the global row."""
     r, a = TABLE_KINDS[kd]
-    rowc = jnp.clip(rowc, 0, r - 1)
-    small = r <= SMALL_R
+    window = COLOR_CTX_ROWS if kd == "color" else r
+    rowc = jnp.clip(rowc - base, 0, window - 1)  # local window row
+    small = window <= SMALL_R
     if small:
-        g = _gather_small(cnts[kd], rowc, r)
+        g = _gather_small(cnts[kd], rowc, window, base)
         oh = None
     else:
         oh = (
-            rowc == jax.lax.broadcasted_iota(I32, (k, r), 1)
-        ).astype(F32)  # [K, R]
-        g = _gather_mxu(cnts[kd], oh)
+            rowc == jax.lax.broadcasted_iota(I32, (k, window), 1)
+        ).astype(F32)  # [K, W]
+        g = _gather_mxu(cnts[kd], oh, base, window)
+
+    gname = "g:" + kd
+    if gname in cnts:
+        # dynamic backoff: global row scaled to the row's spare code space
+        gref = cnts[gname]  # [8, A] f32 (row 0 live)
+        rmask = (
+            jax.lax.broadcasted_iota(I32, (8, a), 0) == 0
+        ).astype(F32)
+        gvec = jnp.sum(gref[:, :] * rmask, axis=0, keepdims=True)  # [1, A]
+        gvec_i = gvec.astype(I32)
+        gsum = jnp.sum(gvec_i, axis=1, keepdims=True)  # [1, 1]
+        rowsum = jnp.sum(g, axis=1, keepdims=True).astype(I32)  # [K, 1]
+        spare = jnp.maximum((PROB_SCALE - a) - rowsum, 0)
+        sc = (spare << 13) // jnp.maximum(gsum, 1)  # [K, 1] (broadcast gsum)
+        g_eff = jnp.maximum((gvec_i * sc) >> 13, 1)  # [K, A] int32
+        g_code = g + g_eff.astype(F32)
+    else:
+        g_code = g
 
     def update(sym_col):
         eq, first_mask = _row_masks(rowc, active, k)
@@ -415,11 +489,27 @@ def _substep_tables(cnts, kd, rowc, active, k):
             g, rowc, sym_col, active, kind_step(kd), a, eq, first_mask
         )
         if small:
-            _scatter_small(cnts[kd], rowc, delta, r)
+            _scatter_small(cnts[kd], rowc, delta, window, base)
         else:
-            _scatter_mxu(cnts[kd], oh, delta)
+            _scatter_mxu(cnts[kd], oh, delta, base, window)
+        if gname in cnts:
+            gstep = kind_gstep(kd)
+            actf = active.astype(F32)  # [K, 1]
+            oh_sym = (
+                sym_col == jax.lax.broadcasted_iota(I32, (k, a), 1)
+            ).astype(F32) * actf  # [K, A]
+            add = jnp.sum(oh_sym, axis=0, keepdims=True) * float(gstep)
+            gnew = gvec_i + add.astype(I32)  # [1, A]
+            n_act = jnp.sum(active.astype(I32), axis=0, keepdims=True)  # [1,1]
+            gsum_new = gsum + n_act * gstep
+            gneed = gsum_new > PROB_SCALE - gstep
+            gtarget = PROB_SCALE - gstep - a
+            gsc = (gtarget << 13) // jnp.maximum(gsum_new, 1)  # [1, 1]
+            gresc = jnp.maximum((gnew * gsc) >> 13, 1)
+            gfin = jnp.where(gneed, gresc, gnew).astype(F32)  # [1, A]
+            gref[:, :] = gfin * rmask
 
-    return g, update
+    return g_code, update
 
 
 # ---------------------------------------------------------------------------
@@ -430,14 +520,15 @@ def _substep_tables(cnts, kd, rowc, active, k):
 def _build_decode_kernel(codec_name: str, k: int, l: int, t_steps: int):
     codec = KCODECS[codec_name]
     kinds = _unique_kinds(codec)
+    names = _table_names(kinds)
     w = codec.rec_width
     pms = {kd: TABLE_KINDS[kd][1] for kd in kinds}
 
     def kernel(pay_ref, lens_ref, *refs):
         # refs = (cnt_in..., out_rec, cnt_out...); cnt_in aliases cnt_out
-        out_ref = refs[len(kinds)]
-        cnts = dict(zip(kinds, refs[len(kinds) + 1 :]))
-        for i, kd in enumerate(kinds):
+        out_ref = refs[len(names)]
+        cnts = dict(zip(names, refs[len(names) + 1 :]))
+        for i, kd in enumerate(names):
             cnts[kd][:, :] = refs[i][:, :]
         bw = _ByteWindow(pay_ref, k, l)
         prefix_m = {a: _prefix_matrix(a) for a in set(pms.values())}
@@ -465,7 +556,8 @@ def _build_decode_kernel(codec_name: str, k: int, l: int, t_steps: int):
                 a = TABLE_KINDS[kd][1]
                 row, extra = codec.dec_row(j, partial, state)
                 active = lane_active if extra is None else (lane_active & extra)
-                g, update = _substep_tables(cnts, kd, row, active, k)
+                tab_base = codec.sub_base(j) if hasattr(codec, "sub_base") else 0
+                g, update = _substep_tables(cnts, kd, row, active, k, tab_base)
                 cum = _prefix_exclusive(g, prefix_m[a])
                 sf = (x & MASK).astype(I32).astype(F32)  # [K, 1]
                 ge = (cum <= sf).astype(I32)
@@ -529,28 +621,26 @@ def decode_section_kernel(payload, lens, tables, codec_name: str, k: int,
         lp *= 2
     pay = jnp.zeros((kp, lp), I32).at[:k, :l].set(payload.astype(I32))
     lens2 = jnp.zeros((kp, 1), I32).at[:k, 0].set(lens.astype(I32))
-    cnt_f32 = [tables[kd]["cnt"].astype(F32) for kd in kinds]
+    names = _table_names(kinds)
+    cnt_f32 = [_table_input(tables, nm) for nm in names]
 
     kernel, kinds, w = _build_decode_kernel(codec_name, kp, lp, t_steps)
     tp = -(-t_steps // PAYBLK) * PAYBLK
     out_shapes = [jax.ShapeDtypeStruct((w, kp, tp), I32)] + [
-        jax.ShapeDtypeStruct(tables[kd]["cnt"].shape, F32) for kd in kinds
+        jax.ShapeDtypeStruct(c.shape, F32) for c in cnt_f32
     ]
     n_in = 2  # pay, lens
-    aliases = {n_in + i: 1 + i for i in range(len(kinds))}
+    aliases = {n_in + i: 1 + i for i in range(len(names))}
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_in + len(kinds)),
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + len(kinds)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_in + len(names)),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + len(names)),
         input_output_aliases=aliases,
         interpret=jax.default_backend() == "cpu",
     )(pay, lens2, *cnt_f32)
     recs = jnp.transpose(outs[0], (2, 1, 0))[:t_steps, :k, :]  # [T, K, W]
-    tables = dict(tables)
-    for kd, cnew in zip(kinds, outs[1:]):
-        cnt = cnew.astype(jnp.int32)
-        tables[kd] = {"cnt": cnt, "cntsum": cnt.sum(axis=1)}
+    tables = _tables_output(tables, names, outs[1:])
     return recs, tables
 
 
@@ -607,7 +697,8 @@ def _emit_encode_section(codec_name: str, k: int, t_steps: int, cap: int,
                 row, sym, extra = codec.enc_syms(j, rec, state)
                 active = lane_active if extra is None else (lane_active & extra)
                 symc = jnp.clip(sym, 0, a - 1)
-                g, update = _substep_tables(cnts, kd, row, active, k)
+                tab_base = codec.sub_base(j) if hasattr(codec, "sub_base") else 0
+                g, update = _substep_tables(cnts, kd, row, active, k, tab_base)
                 cum = _prefix_exclusive(g, prefix_m[a])
                 cum_c = _select_col(cum, symc).astype(I32)
                 freq_c = _select_col(g, symc).astype(I32)
@@ -758,19 +849,20 @@ def _build_encode_multi(sections):
     """Kernel running several sections back to back, chaining table state in
     VMEM. sections: tuple of (codec_name, k_padded, t_steps, cap)."""
     kinds = _union_kinds([s[0] for s in sections])
+    names = _table_names(kinds)
     ns = len(sections)
 
     def kernel(*refs):
         # refs = (recs_0, lens_0, ..., cnt_in...,
         #         buf_0, start_0, ..., cnt_out..., iv_0...iv_{ns-1})
         pos = 2 * ns
-        cnt_in = refs[pos : pos + len(kinds)]
-        pos += len(kinds)
+        cnt_in = refs[pos : pos + len(names)]
+        pos += len(names)
         outs = refs[pos : pos + 2 * ns]
         pos += 2 * ns
-        cnts = dict(zip(kinds, refs[pos : pos + len(kinds)]))
-        ivs = refs[pos + len(kinds) :]
-        for i, kd in enumerate(kinds):
+        cnts = dict(zip(names, refs[pos : pos + len(names)]))
+        ivs = refs[pos + len(names) :]
+        for i, kd in enumerate(names):
             cnts[kd][:, :] = cnt_in[i][:, :]
         alphabets = {TABLE_KINDS[kd][1] for kd in kinds}
         prefix_m = {a: _prefix_matrix(a) for a in alphabets}
@@ -805,25 +897,24 @@ def _encode_sections_pallas(dealt_list, lens_list, tables, kts):
         )
         lens2 = jnp.zeros((kp, 1), I32).at[:k, 0].set(lens.astype(I32))
         ins.extend([recs_t, lens2])
-    cnt_f32 = [tables[kd]["cnt"].astype(F32) for kd in kinds]
+    names = _table_names(kinds)
+    cnt_f32 = [_table_input(tables, nm) for nm in names]
 
     out_shapes = []
     for (cn, k, t), g in zip(kts, geo):
         w, s_sub, cap, kp, tp, tsp = g
         out_shapes.append(jax.ShapeDtypeStruct((kp, cap), I32))
         out_shapes.append(jax.ShapeDtypeStruct((kp, 1), I32))
-    out_shapes += [
-        jax.ShapeDtypeStruct(tables[kd]["cnt"].shape, F32) for kd in kinds
-    ]
+    out_shapes += [jax.ShapeDtypeStruct(c.shape, F32) for c in cnt_f32]
     n_in = 2 * len(kts)
-    aliases = {n_in + i: 2 * len(kts) + i for i in range(len(kinds))}
+    aliases = {n_in + i: 2 * len(kts) + i for i in range(len(names))}
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
-        * (n_in + len(kinds)),
+        * (n_in + len(names)),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
-        * (2 * len(kts) + len(kinds)),
+        * (2 * len(kts) + len(names)),
         input_output_aliases=aliases,
         scratch_shapes=[pltpu.VMEM((g[3], g[5]), I32) for g in geo],
         interpret=jax.default_backend() == "cpu",
@@ -832,22 +923,32 @@ def _encode_sections_pallas(dealt_list, lens_list, tables, kts):
     for i, ((cn, k, t), g) in enumerate(zip(kts, geo)):
         bufs.append(outs[2 * i][:k].astype(jnp.uint8))
         starts.append(outs[2 * i + 1][:k, 0])
-    tables = dict(tables)
-    for kd, cnew in zip(kinds, outs[2 * len(kts) :]):
-        cnt = cnew.astype(jnp.int32)
-        tables[kd] = {"cnt": cnt, "cntsum": cnt.sum(axis=1)}
+    tables = _tables_output(tables, names, outs[2 * len(kts) :])
     return bufs, starts, tables
 
 
 def _enc_vmem_estimate(kts):
-    """Rough VMEM bytes for a fused encode of these sections (records +
-    payload buffers + interval scratch + per-step temporaries)."""
-    total = 2 * 1024 * 1024  # tables + fixed temporaries headroom
+    """Rough VMEM bytes for a fused encode of these sections (tables,
+    records, payload buffers, interval scratch, per-step temporaries)."""
+    total = 1 * 1024 * 1024  # fixed temporaries headroom
+    union = _union_kinds([cn for cn, _, _ in kts])
+    r_max = 8
+    for kd in union:
+        r, a = TABLE_KINDS[kd]
+        total += 4 * r * a  # resident f32 table
+        window = COLOR_CTX_ROWS if kd == "color" else r
+        if window > SMALL_R:
+            r_max = max(r_max, window)
     for cn, k, t in kts:
         w, s_sub, cap, kp, tp, tsp = _enc_geometry(cn, k, t)
         per_lane = w * tp + cap + tsp + 16 * PAYBLK
         a_max = max(TABLE_KINDS[kd][1] for kd in _unique_kinds(KCODECS[cn]))
         total += 4 * kp * (per_lane + 6 * a_max) + 4 * a_max * a_max
+    # MXU gather/scatter transients at the largest table used: bf16 one-hot
+    # [kp, r_max], bf16 table planes (2x), f32 scatter result
+    kp_max = max(_enc_geometry(cn, k, t)[3] for cn, k, t in kts)
+    a_big = max(TABLE_KINDS[kd][1] for kd in union)
+    total += 2 * kp_max * r_max + 8 * r_max * a_big
     return total
 
 

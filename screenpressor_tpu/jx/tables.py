@@ -1,9 +1,13 @@
-"""BSAC adaptive tables — JAX implementation (SPTC2 live-count semantics).
+"""BSAC adaptive tables — JAX implementation (SPTC3 semantics).
 
-State is a pytree {kind: {"cnt" [R, A], "cntsum" [R]}} of int32 arrays.
-Semantics must match `spec/tables.py` exactly (FORMAT.md "Adaptive tables"):
-the live counts are the coding distribution; rescale scales them back up to
-`PROB_SCALE - step - A` (scale-to-fill).
+State is a pytree {kind: {"cnt" [R, A], "cntsum" [R], ["gcnt" [A],
+"gsum" []]}} of int32 arrays (the g-entries exist for mixed kinds,
+config.MIX_KINDS). Semantics must match `spec/tables.py` exactly
+(FORMAT.md "Adaptive tables"): the live counts are the coding
+distribution; rescale scales them back up to `PROB_SCALE - step - A`
+(scale-to-fill); mixed kinds add a per-kind global row scaled at coding
+time to fill the code space the context row leaves unused (dynamic
+backoff).
 """
 
 from __future__ import annotations
@@ -12,14 +16,28 @@ import jax
 import jax.numpy as jnp
 
 from screenpressor_tpu.config import (
+    MIX_ROW_INIT,
     PROB_SCALE,
     STEP,
     TABLE_KINDS,
+    kind_gstep,
+    kind_mixed,
 )
 
 
-def renew_table(rows: int, alphabet: int, step: int = STEP) -> dict:
+def renew_table(rows: int, alphabet: int, step: int = STEP,
+                name: str = "") -> dict:
     # init strictly below the rescale threshold (see spec.tables.Table.renew)
+    if kind_mixed(name):
+        f = max(MIX_ROW_INIT, 1)
+        gstep = kind_gstep(name)
+        g = max((PROB_SCALE - gstep - alphabet) // alphabet, 1)
+        return {
+            "cnt": jnp.full((rows, alphabet), f, jnp.int32),
+            "cntsum": jnp.full((rows,), f * alphabet, jnp.int32),
+            "gcnt": jnp.full((alphabet,), g, jnp.int32),
+            "gsum": jnp.asarray(g * alphabet, jnp.int32),
+        }
     f = max((PROB_SCALE - step - alphabet) // alphabet, 1)
     cnt = jnp.full((rows, alphabet), f, jnp.int32)
     cntsum = jnp.full((rows,), f * alphabet, jnp.int32)
@@ -29,7 +47,10 @@ def renew_table(rows: int, alphabet: int, step: int = STEP) -> dict:
 def renew_tables(kinds=TABLE_KINDS) -> dict:
     from screenpressor_tpu.config import kind_step
 
-    return {name: renew_table(r, a, kind_step(name)) for name, (r, a) in kinds.items()}
+    return {
+        name: renew_table(r, a, kind_step(name), name)
+        for name, (r, a) in kinds.items()
+    }
 
 
 _RENEW_CACHE: dict = {}
@@ -52,12 +73,28 @@ def renew_tables_cached() -> dict:
     return tabs
 
 
+def effective_rows(tab: dict, rows: jnp.ndarray) -> jnp.ndarray:
+    """[K, A] effective coding distribution for gathered context rows.
+
+    Non-mixed kinds: the live counts. Mixed kinds: counts + the global row
+    scaled to fill the row's spare code space (spec.tables.Table._eff)."""
+    g = tab["cnt"][rows]  # [K, A]
+    if "gcnt" not in tab:
+        return g
+    alphabet = tab["cnt"].shape[1]
+    spare = jnp.maximum((PROB_SCALE - alphabet) - tab["cntsum"][rows], 0)
+    sc = (spare << 13) // jnp.maximum(tab["gsum"], 1)
+    g_eff = jnp.maximum((tab["gcnt"][None, :] * sc[:, None]) >> 13, 1)
+    return g + g_eff
+
+
 def update_batch(tab: dict, rows: jnp.ndarray, syms: jnp.ndarray, active: jnp.ndarray,
-                 step: int = STEP) -> dict:
+                 step: int = STEP, gstep: int = 0) -> dict:
     """One sub-step's batched update for one table kind.
 
     rows/syms: [K] int32 (garbage allowed where inactive); active: [K] bool.
-    Mirrors `spec.tables.Table.update_batch` + `_rescale`.
+    Mirrors `spec.tables.Table.update_batch` + `_rescale` (incl. the global
+    row of mixed kinds).
     """
     alphabet = tab["cnt"].shape[1]
     rows = jnp.where(active, rows, 0)
@@ -81,4 +118,15 @@ def update_batch(tab: dict, rows: jnp.ndarray, syms: jnp.ndarray, active: jnp.nd
     nd = need[:, None]
     cnt = cnt.at[rows].set(jnp.where(nd, new_cnt, c))
     cntsum = cntsum.at[rows].set(jnp.where(need, new_cnt.sum(axis=1), s))
-    return {"cnt": cnt, "cntsum": cntsum}
+    out = {"cnt": cnt, "cntsum": cntsum}
+    if "gcnt" in tab:
+        gadd = jnp.where(active, gstep, 0).astype(jnp.int32)
+        gcnt = tab["gcnt"].at[syms].add(gadd)
+        gsum = tab["gsum"] + gadd.sum()
+        gneed = gsum > PROB_SCALE - gstep
+        gtarget = PROB_SCALE - gstep - alphabet
+        gsc = (gtarget << 13) // jnp.maximum(gsum, 1)
+        gnew = jnp.maximum((gcnt * gsc) >> 13, 1)
+        out["gcnt"] = jnp.where(gneed, gnew, gcnt)
+        out["gsum"] = jnp.where(gneed, gnew.sum(), gsum)
+    return out

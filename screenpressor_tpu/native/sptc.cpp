@@ -26,9 +26,12 @@ constexpr int PROB_SCALE = 1 << PROB_BITS;
 constexpr uint32_t RANS_L = 1u << 23;
 constexpr int STEP = 512;
 constexpr int RESCALE_SHIFT = 13;
-constexpr int COLOR_CTX_SHIFT = 4;
-constexpr int COLOR_CTX_HALF_BITS = 4;
-constexpr int COLOR_CTX_ROWS = 1 << (2 * COLOR_CTX_HALF_BITS);
+constexpr int COLOR_CTX_BITS_A = 8;  // first conditioning channel (full)
+constexpr int COLOR_CTX_BITS_B = 2;  // second conditioning channel
+constexpr int COLOR_CTX_SHIFT_A = 8 - COLOR_CTX_BITS_A;
+constexpr int COLOR_CTX_SHIFT = 8 - COLOR_CTX_BITS_B;
+constexpr int COLOR_CTX_ROWS = 1 << (COLOR_CTX_BITS_A + COLOR_CTX_BITS_B);
+constexpr int MIX_ROW_INIT = 1;  // SPTC3 backoff row init (config.py)
 constexpr int K_MAX = 256;
 constexpr int TARGET_PER_LANE = 256;
 constexpr int BLOCK = 16;
@@ -51,7 +54,7 @@ static int next_pow2(int n) {
 }
 
 static inline int color_ctx(int a, int b) {
-  return ((a >> COLOR_CTX_SHIFT) << COLOR_CTX_HALF_BITS) | (b >> COLOR_CTX_SHIFT);
+  return ((a >> COLOR_CTX_SHIFT_A) << COLOR_CTX_BITS_B) | (b >> COLOR_CTX_SHIFT);
 }
 
 static int lane_count(int n) {
@@ -59,32 +62,79 @@ static int lane_count(int n) {
   return std::min(K_MAX, next_pow2((n + TARGET_PER_LANE - 1) / TARGET_PER_LANE));
 }
 
-// ----- adaptive tables (spec/tables.py, SPTC2 live-count semantics) ---------
+// ----- adaptive tables (spec/tables.py, SPTC3 semantics) --------------------
+// Mixed kinds (color, nrun) back off to one per-kind GLOBAL row scaled at
+// coding time to fill exactly the code space a context row leaves unused
+// (config.py MIX_KINDS; the fixed-shape replacement for the reference's
+// escalating Cx1-7 cold start).
 struct Table {
   int rows, A, step;
+  bool mixed;
+  int gstep;
   std::vector<int32_t> cnt;
   std::vector<int32_t> cntsum;
+  std::vector<int32_t> gcnt;
+  int32_t gsum = 0;
 
-  Table(int rows_, int a, int step_ = STEP) : rows(rows_), A(a), step(step_) { renew(); }
+  Table(int rows_, int a, bool mixed_ = false, int step_ = STEP)
+      : rows(rows_), A(a), step(step_), mixed(mixed_), gstep(step_) { renew(); }
 
   void renew() {
     // init strictly below the rescale threshold (spec/tables.py)
-    int f = std::max((PROB_SCALE - step - A) / A, 1);
-    cnt.assign((size_t)rows * A, f);
-    cntsum.assign(rows, f * A);
+    if (mixed) {
+      int f = std::max(MIX_ROW_INIT, 1);
+      cnt.assign((size_t)rows * A, f);
+      cntsum.assign(rows, f * A);
+      int g = std::max((PROB_SCALE - gstep - A) / A, 1);
+      gcnt.assign(A, g);
+      gsum = g * A;
+    } else {
+      int f = std::max((PROB_SCALE - step - A) / A, 1);
+      cnt.assign((size_t)rows * A, f);
+      cntsum.assign(rows, f * A);
+    }
+  }
+
+  // effective coding distribution for row r into eff[0..A)
+  void eff_row(int r, int32_t* eff) const {
+    const int32_t* cr = &cnt[(size_t)r * A];
+    if (!mixed) {
+      std::memcpy(eff, cr, sizeof(int32_t) * A);
+      return;
+    }
+    int32_t spare = std::max((PROB_SCALE - A) - cntsum[r], 0);
+    int32_t sc = (int32_t)(((int64_t)spare << RESCALE_SHIFT) / std::max(gsum, 1));
+    for (int i = 0; i < A; i++)
+      eff[i] = cr[i] + std::max<int32_t>((int32_t)(((int64_t)gcnt[i] * sc) >> RESCALE_SHIFT), 1);
   }
 
   void interval(int r, int s, int& cu, int& fr) const {
-    const int32_t* cr = &cnt[(size_t)r * A];
+    if (!mixed) {
+      const int32_t* cr = &cnt[(size_t)r * A];
+      int32_t cf = 0;
+      for (int i = 0; i < s; i++) cf += cr[i];
+      cu = cf;
+      fr = cr[s];
+      return;
+    }
+    int32_t eff[512];
+    eff_row(r, eff);
     int32_t cf = 0;
-    for (int i = 0; i < s; i++) cf += cr[i];
+    for (int i = 0; i < s; i++) cf += eff[i];
     cu = cf;
-    fr = cr[s];
+    fr = eff[s];
   }
 
   int lookup(int r, int sf, int& cu, int& fr) const {
-    const int32_t* cr = &cnt[(size_t)r * A];
     // last symbol whose interval start is <= sf (live prefix walk)
+    int32_t eff[512];
+    const int32_t* cr;
+    if (mixed) {
+      eff_row(r, eff);
+      cr = eff;
+    } else {
+      cr = &cnt[(size_t)r * A];
+    }
     int32_t cf = 0;
     int c = 0;
     while (c + 1 < A && cf + cr[c] <= sf) cf += cr[c++];
@@ -116,12 +166,27 @@ struct Table {
     touched.erase(std::unique(touched.begin(), touched.end()), touched.end());
     for (int r : touched)
       if (cntsum[r] > PROB_SCALE - step) rescale_row(r);
+    if (mixed && !rs.empty()) {
+      for (auto& p : rs) gcnt[p.second] += gstep;
+      gsum += gstep * (int32_t)rs.size();
+      if (gsum > PROB_SCALE - gstep) {
+        int target = PROB_SCALE - gstep - A;
+        int64_t sc = ((int64_t)target << RESCALE_SHIFT) / gsum;
+        int32_t cs = 0;
+        for (int i = 0; i < A; i++) {
+          gcnt[i] = std::max<int32_t>(
+              (int32_t)(((int64_t)gcnt[i] * sc) >> RESCALE_SHIFT), 1);
+          cs += gcnt[i];
+        }
+        gsum = cs;
+      }
+    }
   }
 };
 
 struct TableSet {
-  Table ptype{6, 6}, nrun{6, 256}, color{3 * COLOR_CTX_ROWS, 256}, bt{1, 5}, btn{1, 256},
-      sxy{4, 16}, mvflag{1, 2}, mv{2, 512};
+  Table ptype{6, 6}, nrun{6, 256, true}, color{3 * COLOR_CTX_ROWS, 256, true},
+      bt{1, 5}, btn{1, 256}, sxy{4, 16}, mvflag{1, 2}, mv{2, 512};
   void renew() {
     ptype.renew(); nrun.renew(); color.renew(); bt.renew();
     btn.renew(); sxy.renew(); mvflag.renew(); mv.renew();

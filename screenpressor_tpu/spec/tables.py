@@ -26,23 +26,27 @@ from screenpressor_tpu.config import (
     TABLE_KINDS,
 )
 
-# --- SPTC3 dynamic-backoff mixing prototype (format experiment, default off) -
-# SPTC_MIX=1 mixes each context row with one per-kind GLOBAL row, scaled at
-# coding time to fill exactly the code space the row leaves unused:
-#   spare  = (PROB_SCALE - A) - cntsum_row      (clamped at 0)
-#   g_eff  = max((gcnt * ((spare << 13) // gsum)) >> 13, 1)
-#   eff    = cnt_row + g_eff                     (sum <= PROB_SCALE always)
-# Rows start near-empty (SPTC_MIX_ROW_INIT counts/symbol, default 1) so a
-# cold context codes with the global distribution and fades to its own
-# statistics as it warms (PPM-style backoff). This is the cheap cold start
-# the reference gets from its escalating Cx1-7 symbol lists
-# (`ans_contexts.h:98-160`), without data-dependent alphabets.
-_MIX = int(os.environ.get("SPTC_MIX", "0"))
-_MIX_KINDS = set(
-    os.environ.get("SPTC_MIX_KINDS", "color,nrun").split(",")
-)
-_MIX_ROW_INIT = int(os.environ.get("SPTC_MIX_ROW_INIT", "1"))
-_MIX_GSTEP = int(os.environ.get("SPTC_MIX_GSTEP", "0"))  # 0 -> kind step
+# --- SPTC3 dynamic-backoff mixing (see config.MIX_KINDS for the scheme) ---
+# SPTC_MIX / SPTC_MIX_KINDS / SPTC_MIX_ROW_INIT / SPTC_MIX_GSTEP override the
+# format defaults for experiments (spec path only).
+_MIX_ENV = os.environ.get("SPTC_MIX")
+_MIX_KINDS_ENV = os.environ.get("SPTC_MIX_KINDS")
+_MIX_ROW_INIT = int(
+    os.environ.get("SPTC_MIX_ROW_INIT", "0")
+) or None
+_MIX_GSTEP = int(os.environ.get("SPTC_MIX_GSTEP", "0"))  # 0 -> kind gstep
+
+
+def _kind_mixed(name: str) -> bool:
+    from screenpressor_tpu.config import kind_mixed
+
+    if _MIX_ENV is not None and not int(_MIX_ENV):
+        return False
+    if _MIX_KINDS_ENV is not None:
+        return name in _MIX_KINDS_ENV.split(",")
+    if _MIX_ENV is not None and int(_MIX_ENV):
+        return name in ("color", "nrun")
+    return kind_mixed(name)
 
 
 class Table:
@@ -50,15 +54,18 @@ class Table:
 
     def __init__(self, rows: int, alphabet: int, step: int = STEP,
                  name: str = "") -> None:
+        from screenpressor_tpu.config import MIX_ROW_INIT, kind_gstep
+
         self.rows = rows
         self.A = alphabet
         self.step = step
-        self.mix = bool(_MIX) and name in _MIX_KINDS
+        self.mix = _kind_mixed(name)
         assert PROB_SCALE - step - alphabet > 0, (step, alphabet)
         self.cnt = np.zeros((rows, alphabet), np.int32)
         self.cntsum = np.zeros((rows,), np.int32)
         if self.mix:
-            self.gstep = _MIX_GSTEP or step
+            self.row_init = _MIX_ROW_INIT or MIX_ROW_INIT
+            self.gstep = _MIX_GSTEP or kind_gstep(name)
             self.gcnt = np.zeros((alphabet,), np.int32)
             self.gsum = 0
         self.renew()
@@ -68,7 +75,7 @@ class Table:
         # never satisfy the trigger (the batched implementations evaluate the
         # per-row predicate for parked lanes too)
         if self.mix:
-            f = max(_MIX_ROW_INIT, 1)
+            f = max(self.row_init, 1)
             g = max((PROB_SCALE - self.gstep - self.A) // self.A, 1)
             self.gcnt[:] = g
             self.gsum = g * self.A

@@ -112,3 +112,44 @@ def test_rescale_bounds_hold():
         assert t.cnt[0].sum() <= PROB_SCALE
         assert (t.cnt[0] >= 1).all()
         assert t.cntsum[0] == t.cnt[0].sum()
+
+
+def test_mixed_backoff_invariants():
+    # SPTC3 mixed kind: effective distribution must satisfy the rANS
+    # contract (eff >= 1, sum(eff) <= PROB_SCALE) at every point of a
+    # hammering schedule, including straight after renew and around both
+    # row and global rescales.
+    t = Table(4, 256, name="color")
+    assert t.mix
+    rng = np.random.default_rng(9)
+
+    def check_all_rows():
+        for r in range(t.rows):
+            eff = t._eff(r)
+            assert (eff >= 1).all()
+            assert eff.sum() <= PROB_SCALE, (r, eff.sum())
+            cu, fr = t.interval(r, 255)
+            assert cu + fr <= PROB_SCALE
+
+    check_all_rows()
+    for i in range(300):
+        row = int(rng.integers(0, 4))
+        syms = rng.integers(0, 8 if i % 3 else 256, 32)
+        t.update_batch([(row, int(s)) for s in syms])
+        assert t.gsum == t.gcnt.sum()
+        assert t.cntsum[row] == t.cnt[row].sum()
+    check_all_rows()
+
+
+def test_mixed_backoff_cold_context_is_cheap():
+    # a context row never seen before should code a globally-common symbol
+    # much cheaper than uniform (the whole point of the backoff)
+    t = Table(8, 256, name="color")
+    # warm the global through row 0 with symbol 42
+    for _ in range(60):
+        t.update_batch([(0, 42)] * 8)
+    cu, fr = t.interval(5, 42)  # cold row 5
+    import math
+
+    bits = math.log2(PROB_SCALE / fr)
+    assert bits < 2.0, bits  # uniform would cost ~8 bits

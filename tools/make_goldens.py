@@ -21,6 +21,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# goldens are platform-independent (byte identity is the core invariant);
+# generate on CPU so a TPU-less/tunnel-down rig can regenerate them. The
+# config update (not just the env var) is required: this rig's axon
+# sitecustomize re-registers the TPU plugin after env evaluation.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 from screenpressor_tpu.api import Encoder
 from screenpressor_tpu.config import CodecConfig
 
