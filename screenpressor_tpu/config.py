@@ -146,6 +146,21 @@ def next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
+def pad_cap(n: int) -> int:
+    """Capacity bucket for data-dependent record/payload arrays (shape-only;
+    not format-relevant — lanes encode exactly n records regardless).
+
+    TPU: tight pow2 buckets. CPU: floor at 64 — on the 1-core test rigs
+    every distinct capacity is another multi-second XLA compile, while the
+    padding compute is negligible."""
+    import jax
+
+    cap = next_pow2(max(n, 1))
+    if jax.default_backend() == "cpu":
+        return max(cap, 64)
+    return cap
+
+
 def lane_count(n_records: int, k_max: int = K_MAX, target: int = TARGET_PER_LANE) -> int:
     """Number of interleaved rANS lanes for a section of n_records (FORMAT.md)."""
     if n_records <= 0:

@@ -31,6 +31,7 @@ from screenpressor_tpu.config import (
     ALG_RAW,
     CodecConfig,
     next_pow2,
+    pad_cap,
 )
 from screenpressor_tpu.jx import coder as jc
 from screenpressor_tpu.jx.iframe import (
@@ -484,8 +485,8 @@ class JaxDecoder:
                 outs[i] = jnp.asarray(prev)
                 continue
             payloads, ns, kts, caps, (xx1, xx2, n_mv, n_data) = parsed
-            mcap = next_pow2(max(n_mv, 1))
-            bcap = next_pow2(max(n_data, 1))
+            mcap = pad_cap(n_mv)
+            bcap = pad_cap(n_data)
             frame, err, tables = decode_p_device(
                 payloads, ns, jnp.int32(xx1), jnp.int32(xx2), jnp.int32(n_data),
                 jnp.asarray(prev), tables,

@@ -208,13 +208,18 @@ def gather_order(n: int, k: int):
 
 
 def _pad_steps(t_steps: int) -> int:
-    """Bucket scan lengths (pow2 below 128, 128-multiples above) to bound jit
-    recompilation; masked extra steps are no-ops and do not affect the
-    stream. 128-granularity matches the kernels' staging blocks and wastes
-    at most 128 steps (pow2 wasted up to 2x on large sections)."""
+    """Bucket scan lengths to bound jit recompilation; masked extra steps
+    are no-ops and do not affect the stream (t is not format-relevant).
+
+    TPU: pow2 below 128, 128-multiples above (tight buckets — extra masked
+    steps cost real kernel time). CPU: coarse {1, 32, 128} buckets below
+    128 — on the 1-core test rigs each extra (codec, k, t) variant costs
+    seconds of XLA compile while masked steps are nearly free."""
     if t_steps <= 1:
         return t_steps
     if t_steps <= 128:
+        if jax.default_backend() == "cpu":
+            return 32 if t_steps <= 32 else 128
         return 1 << (t_steps - 1).bit_length()
     return -(-t_steps // 128) * 128
 

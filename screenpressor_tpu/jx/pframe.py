@@ -33,6 +33,7 @@ from screenpressor_tpu.config import (
     PT_LITERAL,
     PT_PREVFRAME,
     next_pow2,
+    pad_cap,
 )
 from screenpressor_tpu.jx import blocks as jb
 from screenpressor_tpu.jx import coder as jc
@@ -746,7 +747,7 @@ def encode_p_sections(arrs, counts_host, phase_b, pl_counts_host, tables,
         k = cfg.lanes(n)
         t = jc._pad_steps(-(-n // k)) if n else 1
         kts.append((name, k, t))
-        cap = next_pow2(max(n, 1))
+        cap = pad_cap(n)
         recs_cap[name] = sources[name][:cap]
         ns[name] = jnp.int32(n)
     raw_threshold = 1 + cfg.width * cfg.height * 3
@@ -828,7 +829,7 @@ def parse_p_header(data: bytes, pos: int, cfg: CodecConfig):
         blobs, pos = bs.unpack_section(data, pos, k)
         t = jc._pad_steps(-(-n // k)) if n else 1
         kts.append((name, k, t))
-        caps.append(next_pow2(max(n, 1)))
+        caps.append(pad_cap(n))
         max_len = max(max((len(b) for b in blobs), default=0), 4)
         pay = np.zeros((k, next_pow2(max_len)), np.uint8)
         for i, b in enumerate(blobs):
@@ -843,8 +844,8 @@ def decode_p(data: bytes, pos: int, prev, tables, cfg: CodecConfig):
     if parsed is None:
         return jnp.asarray(prev), tables
     payloads, ns, kts, caps, (xx1, xx2, n_mv, n_data) = parsed
-    mcap = next_pow2(max(n_mv, 1))
-    bcap = next_pow2(max(n_data, 1))
+    mcap = pad_cap(n_mv)
+    bcap = pad_cap(n_data)
     out, err, tables = decode_p_device(
         payloads, ns, jnp.int32(xx1), jnp.int32(xx2), jnp.int32(n_data),
         jnp.asarray(prev), tables,

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from screenpressor_tpu import bitstream as bs
-from screenpressor_tpu.config import ALG_FLAT, ALG_I, CodecConfig, next_pow2
+from screenpressor_tpu.config import ALG_FLAT, ALG_I, CodecConfig, next_pow2, pad_cap
 from screenpressor_tpu.jx import coder as jc
 from screenpressor_tpu.jx.classify import classify_i
 from screenpressor_tpu.jx.tables import renew_tables
@@ -541,7 +541,7 @@ class BatchedEncoder:
             nmax = int(nums[name].max())
             t = jc._pad_steps(-(-max(nmax, 1) // k)) if nmax else 1
             kts.append((name, k, t))
-            cap = next_pow2(max(nmax, 1))
+            cap = pad_cap(nmax)
             recs_cap[name] = sources[name][:, :cap]
             ns_d[name] = jnp.asarray(nums[name].astype(np.int32))
         raw_threshold = 1 + w * h * 3

@@ -19,3 +19,23 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound the live compiled-executable volume per module.
+
+    The full suite compiles hundreds of XLA CPU programs in one process;
+    past ~130 tests the next large compile segfaults inside
+    backend_compile_and_load (deterministic, order-dependent — an XLA CPU
+    code-placement/accumulation issue; each crashing program compiles fine
+    in a fresh process). Dropping caches at module boundaries keeps the
+    process under the threshold at the cost of recompiling a few shared
+    session programs."""
+    yield
+    import jax
+
+    jax.clear_caches()
