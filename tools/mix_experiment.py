@@ -42,6 +42,9 @@ print(repr(tot))
 
 
 def run_cfg(g, kinds, init, gstep, verify=False, ctx_bits=None):
+    """g=0 now means 'mixing OFF' explicitly (SPTC3 made mixing the
+    default); ctx_bits=None likewise pins the pre-SPTC3 4,4 context so the
+    sweep's baseline row keeps meaning 'round-2 format'."""
     env = dict(os.environ)
     if g:
         env.update(
@@ -49,11 +52,8 @@ def run_cfg(g, kinds, init, gstep, verify=False, ctx_bits=None):
             SPTC_MIX_ROW_INIT=str(init), SPTC_MIX_GSTEP=str(gstep),
         )
     else:
-        env.pop("SPTC_MIX", None)
-    if ctx_bits:
-        env["SPTC_COLOR_CTX_BITS"] = ctx_bits
-    else:
-        env.pop("SPTC_COLOR_CTX_BITS", None)
+        env["SPTC_MIX"] = "0"
+    env["SPTC_COLOR_CTX_BITS"] = ctx_bits if ctx_bits else "4,4"
     out = subprocess.run(
         [sys.executable, "-c", _CHILD] + (["verify"] if verify else []),
         capture_output=True, text=True, env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
