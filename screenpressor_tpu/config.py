@@ -132,6 +132,17 @@ def kind_gstep(name: str) -> int:
     return kind_step(name)
 
 
+def kind_globals(name: str) -> int:
+    """Number of global rows for a mixed kind (row r backs off to global
+    r // (rows // n)). Measured: per-plane color globals LOSE ~2% on the
+    real corpus — R/G/B literals correlate strongly on antialiased text, so
+    one shared global warming 3x faster beats three specialized ones. Kept
+    as an experiment knob (SPTC_MIX_G3=1)."""
+    if name == "color" and os.environ.get("SPTC_MIX_G3") == "1":
+        return 3
+    return 1
+
+
 def color_ctx(a: int, b: int) -> int:
     """Color context chain index from two conditioning bytes (FORMAT.md)."""
     return ((a >> COLOR_CTX_SHIFT_A) << COLOR_CTX_BITS_B) | (b >> COLOR_CTX_SHIFT)

@@ -50,10 +50,15 @@ def _kind_mixed(name: str) -> bool:
 
 
 class Table:
-    """One table kind: `rows` contexts over alphabet `A`."""
+    """One table kind: `rows` contexts over alphabet `A`.
+
+    Mixed kinds carry `n_globals` global rows; context row r backs off to
+    global row `r // (rows // n_globals)` (for the color kind that is the
+    plane: each plane's literal distribution differs, and the plane index
+    is static per substep so kernels address it with a static offset)."""
 
     def __init__(self, rows: int, alphabet: int, step: int = STEP,
-                 name: str = "") -> None:
+                 name: str = "", n_globals: int = 1) -> None:
         from screenpressor_tpu.config import MIX_ROW_INIT, kind_gstep
 
         self.rows = rows
@@ -66,8 +71,10 @@ class Table:
         if self.mix:
             self.row_init = _MIX_ROW_INIT or MIX_ROW_INIT
             self.gstep = _MIX_GSTEP or kind_gstep(name)
-            self.gcnt = np.zeros((alphabet,), np.int32)
-            self.gsum = 0
+            self.n_globals = n_globals
+            self.g_rows = rows // n_globals
+            self.gcnt = np.zeros((n_globals, alphabet), np.int32)
+            self.gsum = np.zeros((n_globals,), np.int32)
         self.renew()
 
     def renew(self) -> None:
@@ -78,7 +85,7 @@ class Table:
             f = max(self.row_init, 1)
             g = max((PROB_SCALE - self.gstep - self.A) // self.A, 1)
             self.gcnt[:] = g
-            self.gsum = g * self.A
+            self.gsum[:] = g * self.A
         else:
             f = max((PROB_SCALE - self.step - self.A) // self.A, 1)
         self.cnt[:] = f
@@ -90,9 +97,10 @@ class Table:
         c = self.cnt[row]
         if not self.mix:
             return c
+        gi = row // self.g_rows
         spare = max((PROB_SCALE - self.A) - int(self.cntsum[row]), 0)
-        sc = (spare << 13) // int(self.gsum)
-        g_eff = np.maximum((self.gcnt * sc) >> 13, 1)
+        sc = (spare << 13) // int(self.gsum[gi])
+        g_eff = np.maximum((self.gcnt[gi] * sc) >> 13, 1)
         return c + g_eff
 
     def interval(self, row: int, sym: int) -> tuple[int, int]:
@@ -121,14 +129,16 @@ class Table:
             if self.cntsum[r] > PROB_SCALE - self.step:
                 self._rescale(int(r))
         if self.mix:
-            np.add.at(self.gcnt, ss, self.gstep)
-            self.gsum += self.gstep * len(ss)
-            if self.gsum > PROB_SCALE - self.gstep:
-                target = PROB_SCALE - self.gstep - self.A
-                sc = (target << 13) // int(self.gsum)
-                g = np.maximum((self.gcnt * sc) >> 13, 1)
-                self.gcnt[:] = g
-                self.gsum = int(g.sum())
+            gs = rs // self.g_rows
+            np.add.at(self.gcnt, (gs, ss), self.gstep)
+            np.add.at(self.gsum, gs, self.gstep)
+            for gi in np.unique(gs):
+                if self.gsum[gi] > PROB_SCALE - self.gstep:
+                    target = PROB_SCALE - self.gstep - self.A
+                    sc = (target << 13) // int(self.gsum[gi])
+                    g = np.maximum((self.gcnt[gi] * sc) >> 13, 1)
+                    self.gcnt[gi] = g
+                    self.gsum[gi] = int(g.sum())
 
     def _rescale(self, r: int) -> None:
         target = PROB_SCALE - self.step - self.A
@@ -144,8 +154,11 @@ class TableSet:
     def __init__(self, kinds=TABLE_KINDS) -> None:
         from screenpressor_tpu.config import kind_step
 
+        from screenpressor_tpu.config import kind_globals
+
         self.tables = {
-            name: Table(rows, a, kind_step(name), name=name)
+            name: Table(rows, a, kind_step(name), name=name,
+                        n_globals=kind_globals(name))
             for name, (rows, a) in kinds.items()
         }
 
