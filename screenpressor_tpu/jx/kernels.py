@@ -798,7 +798,30 @@ def _emit_encode_section(codec_name: str, k: int, t_steps: int, cap: int,
                     wstage, wbase, pos, (x & 0xFF).astype(I32), do
                 )
                 x = jnp.where(do, x >> 8, x)
-            nx = ((x // fx) << PROB_BITS) + (x % fx) + cum_c.astype(U32)
+            # x // fx via f32 reciprocal + one-step integer fixup (u32
+            # vector division may be microcoded on the VPU). Exact: the
+            # renorm above guarantees x < fx << 19, so q < 2^19 and the
+            # f32 estimate is off by at most 1 (x's f32 rounding is a
+            # 2^-24 relative error; q fits the 24-bit mantissa).
+            xi = pltpu.bitcast(x, I32)
+            fxi = pltpu.bitcast(fx, I32)  # fx <= 2^14, sign-safe
+            # unsigned->f32 via signed convert + wrap correction (Mosaic
+            # has no unsigned converts)
+            xf = xi.astype(F32) + jnp.where(xi < 0, 4294967296.0, 0.0)
+            q = jnp.floor(xf / fxi.astype(F32)).astype(I32)
+            # true remainder is tiny, so mod-2^32 i32 arithmetic is exact
+            r = xi - q * fxi
+            qdn = r < 0
+            q = jnp.where(qdn, q - 1, q)
+            r = jnp.where(qdn, r + fxi, r)
+            qup = r >= fxi
+            q = jnp.where(qup, q + 1, q)
+            r = jnp.where(qup, r - fxi, r)
+            nx = (
+                (pltpu.bitcast(q, U32) << PROB_BITS)
+                + pltpu.bitcast(r, U32)
+                + cum_c.astype(U32)
+            )
             x = jnp.where(act, nx, x)
             # keep >= 8 bytes of room below pos
             need = (pos - wbase) < 8
