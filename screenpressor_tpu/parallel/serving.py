@@ -477,12 +477,15 @@ class BatchedEncoder:
         dev_frames = frames
         dev_prevs = self.prev
         cands, cols, rmax, mlow = _cands_rmax(cfg)
+        from screenpressor_tpu.jx.codec import _phase_timer
+        mark = _phase_timer()
 
         arrs, counts, flat4 = _batched_analyze(
             dev_frames, dev_prevs, cands, cols, h, w, nby, nbx, rmax, nbp,
             cfg.msr_x, cfg.msr_y, mlow,
         )
         ch = np.asarray(jnp.concatenate([counts, flat4], axis=1))  # [S, 11]
+        mark("serve A analyze+pull")
 
         out: list = [None] * s
         renew_mask = np.zeros(s, bool)
@@ -523,6 +526,7 @@ class BatchedEncoder:
         else:
             pix_cap = jnp.zeros((s, 1, 2), jnp.int32)
             lit_cap = jnp.zeros((s, 1, 3), jnp.int32)
+        mark("serve B classify+pull")
 
         # phase C: sections with per-stream skip (ns=0) + raw select
         nums = {
@@ -553,12 +557,14 @@ class BatchedEncoder:
             raw_threshold,
         )
 
+        mark("serve C sections dispatch")
         small = jax.device_get(
             jnp.concatenate(
                 [jnp.concatenate([starts[nm].reshape(s, -1), lens_l[nm].reshape(s, -1)], axis=1)
                  for nm, _, _ in kts] + [stats], axis=1
             )
         )
+        mark("serve C small pull")
         pos = 0
         starts_h, lens_h = {}, {}
         for nm, kk, _ in kts:
@@ -578,6 +584,7 @@ class BatchedEncoder:
             extra,
         )
 
+        mark("serve D tight pull")
         raw_pos = {int(i): j for j, i in enumerate(raw_ids)}
         for i in range(s):
             if not active[i]:
@@ -608,6 +615,7 @@ class BatchedEncoder:
             )
             assert len(data) == int(stats_h[i, 0]), (len(data), stats_h[i, 0])
             out[i] = (data, FTYPE_P)
+        mark("serve E assembly")
         return out
 
 
@@ -703,6 +711,8 @@ class BatchedDecoder:
         s, h, w = self.s, cfg.height, cfg.width
         assert len(payloads) == s
         k = cfg.k_fixed
+        from screenpressor_tpu.jx.codec import _phase_timer
+        mark = _phase_timer()
 
         renew_mask = np.zeros(s, bool)
         override = np.zeros(s, bool)       # frame comes from host/flat/prev
@@ -779,6 +789,7 @@ class BatchedDecoder:
                 pr[i, :, : x[0].shape[1]] = np.asarray(x[0])
                 pc[i, :, : x[1].shape[1]] = np.asarray(x[1])
                 n_rec_b[i], n_lit_b[i] = x[2], x[3]
+            mark("serve dec parse")
             dec_frames, ok, self.tables_b = _batched_decode_i(
                 self._dput(pr), self._dput(pc), self._dput(n_rec_b),
                 self._dput(n_lit_b), self._dput(skip), self.tables_b,
@@ -828,6 +839,7 @@ class BatchedDecoder:
                     pay_b[name][i, :, : a.shape[1]] = a
                     ns_b[name][i] = int(ns[name])
                 xx1_b[i], xx2_b[i], nd_b[i] = xx1, xx2, n_data
+            mark("serve dec I dispatch")
             p_frames, err, self.tables_b = _batched_decode_p(
                 {n: self._dput(v) for n, v in pay_b.items()},
                 {n: self._dput(v) for n, v in ns_b.items()},
@@ -850,6 +862,7 @@ class BatchedDecoder:
             ov = jnp.asarray(override).reshape(s, 1, 1, 1)
             frames = jnp.where(ov, jnp.asarray(override_val), frames)
 
+        mark("serve dec P dispatch")
         if checks:
             # per-stream error words: report the FIRST failing stream by
             # index instead of max-conflating the batch (round-2 weak #9)
@@ -865,6 +878,7 @@ class BatchedDecoder:
                 except bs.CorruptStreamError as e:
                     raise bs.CorruptStreamError(f"stream {sidx}: {e}") from None
         self.prev = frames
+        mark("serve dec checks pull")
         if device_out:
             return frames
         return np.asarray(frames)
