@@ -92,3 +92,23 @@ def test_encode_kernel_matches_scan(name, n):
             np.asarray(tabs_kern[kd]["cnt"]), np.asarray(tabs_scan[kd]["cnt"]),
             err_msg=f"table {kd}",
         )
+
+
+def test_512_lane_sections_roundtrip():
+    """K=512 lanes (the k_max=512 perf experiment for big sections) must
+    flow through both coder paths byte-identically."""
+    import numpy as np
+
+    from screenpressor_tpu.api import Decoder, Encoder
+    from screenpressor_tpu.config import CodecConfig
+
+    h, w = 64, 96
+    rng = np.random.default_rng(3)
+    f = (rng.integers(0, 4, (h, w, 3)) * 60).astype(np.uint8)
+    cfg = CodecConfig(width=w, height=h, k_max=512, target_per_lane=8)
+    enc, dec = Encoder(cfg, backend="jax"), Decoder(cfg, backend="jax")
+    enc_s = Encoder(cfg, backend="spec")
+    d, _ = enc.encode(f)
+    d2, _ = enc_s.encode(f)
+    assert d == d2
+    assert np.array_equal(dec.decode(d), f)
