@@ -469,15 +469,49 @@ def rans_pack(cum, freq, act, cap: int):
     return buf, pos
 
 
+_KERNEL_PROBE: dict = {}
+
+
 def use_kernels() -> bool:
     """Pallas section kernels: on for TPU, off for CPU (the lax.scan path is
-    faster than interpret mode there); override with SPTC_KERNELS=0/1."""
+    faster than interpret mode there); override with SPTC_KERNELS=0/1.
+
+    On TPU the first call probes a tiny kernel compile once: a Mosaic
+    regression (new table sizes, new ops) then degrades to the byte-identical
+    scan path instead of failing every encode/decode."""
     import os
+    import sys
 
     env = os.environ.get("SPTC_KERNELS")
     if env is not None:
         return env != "0"
-    return jax.default_backend() == "tpu"
+    if jax.default_backend() != "tpu":
+        return False
+    ok = _KERNEL_PROBE.get("ok")
+    if ok is None:
+        try:
+            import jax.numpy as jnp
+
+            from screenpressor_tpu.jx import kernels as kx
+            from screenpressor_tpu.jx.tables import renew_tables
+
+            recs = jnp.zeros((1, 8, 3), jnp.int32)
+            lens = jnp.ones((8,), jnp.int32)
+            buf, start, _ = kx.encode_section_kernel(
+                recs, lens, renew_tables(), "col", 8, 1
+            )
+            jax.block_until_ready(buf)
+            ok = True
+        except Exception as e:  # Mosaic compile/runtime failure
+            print(
+                f"screenpressor_tpu: Pallas kernel probe failed "
+                f"({type(e).__name__}: {str(e)[:200]}); falling back to the "
+                f"lax.scan coder (bytes identical, slower)",
+                file=sys.stderr,
+            )
+            ok = False
+        _KERNEL_PROBE["ok"] = ok
+    return ok
 
 
 def decode_section_auto(payload, lens, tables, codec_name: str, k: int, t_steps: int):
