@@ -114,3 +114,50 @@ def rgb24_to_rgb32_any(frame):
     if _is_device(frame):
         return rgb24_to_rgb32_device(frame)
     return rgb24_to_rgb32(np.asarray(frame))
+
+
+# ---------------------------------------------------------------------------
+# Raw DIB buffers (the reference's host-facing representation): bottom-up
+# rows, BGR channel order, DWORD-aligned stride `(w*bpp + 3) & ~3`
+# (`screencap.cpp:1569`). `to_dib` accepts an arbitrary output pitch — the
+# analog of the reference's decode pitch adaptation (`screencap.cpp:1704-1708`)
+# where the host's target buffer stride differs from the natural one.
+# ---------------------------------------------------------------------------
+
+
+def dib_stride(width: int, bpp: int) -> int:
+    return (width * (bpp // 8) + 3) & ~3
+
+
+def from_dib(buf: bytes, width: int, height: int, bpp: int = 24,
+             stride: int | None = None) -> np.ndarray:
+    """Bottom-up BGR DIB bytes -> internal [H, W, 3] uint8 RGB planes
+    (bpp 24 or 32; 32 drops alpha)."""
+    ch = bpp // 8
+    stride = stride if stride is not None else dib_stride(width, bpp)
+    if len(buf) < stride * height:
+        raise ValueError(f"DIB buffer too short: {len(buf)} < {stride * height}")
+    rows = np.frombuffer(buf, np.uint8)[: stride * height].reshape(height, stride)
+    px = rows[:, : width * ch].reshape(height, width, ch)
+    bgr = px[::-1, :, :3]  # bottom-up -> top-down
+    return np.ascontiguousarray(bgr[..., ::-1])  # BGR -> RGB
+
+
+def to_dib(frame: np.ndarray, bpp: int = 24, stride: int | None = None) -> bytes:
+    """Internal [H, W, 3] uint8 RGB -> bottom-up BGR DIB bytes at the given
+    pitch (defaults to DWORD alignment); bpp 32 emits alpha=255
+    (`screencap.cpp:1721`)."""
+    h, w = frame.shape[:2]
+    ch = bpp // 8
+    stride = stride if stride is not None else dib_stride(w, bpp)
+    if stride < w * ch:
+        raise ValueError(f"stride {stride} < row bytes {w * ch}")
+    rows = np.zeros((h, stride), np.uint8)
+    px = frame[::-1, :, ::-1]  # top-down RGB -> bottom-up BGR
+    if ch == 4:
+        out = np.empty((h, w, 4), np.uint8)
+        out[..., :3] = px
+        out[..., 3] = 255
+        px = out
+    rows[:, : w * ch] = px.reshape(h, w * ch)
+    return rows.tobytes()

@@ -57,3 +57,25 @@ def test_rgb16_device_path_end_to_end():
             # lossless in the masked bits (the format only carries the masks)
             m = masks[0] | masks[1] | masks[2]
             assert ((out & m) == (want & m)).all(), (masks, i)
+
+
+def test_dib_roundtrip_and_pitch_adaptation():
+    """Raw DIB helpers: bottom-up BGR, DWORD stride, arbitrary output pitch
+    (the reference's decode pitch adaptation, screencap.cpp:1704-1708)."""
+    import numpy as np
+
+    from screenpressor_tpu import colorspace as cs
+
+    rng = np.random.default_rng(11)
+    f = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)  # odd width
+    buf = cs.to_dib(f, 24)
+    assert len(buf) == cs.dib_stride(23, 24) * 17
+    assert np.array_equal(cs.from_dib(buf, 23, 17, 24), f)
+    # wider-than-natural output pitch round-trips too
+    wide = cs.to_dib(f, 24, stride=96)
+    assert np.array_equal(cs.from_dib(wide, 23, 17, 24, stride=96), f)
+    # 32bpp: alpha forced 255, dropped on the way back in
+    buf32 = cs.to_dib(f, 32)
+    assert np.array_equal(cs.from_dib(buf32, 23, 17, 32), f)
+    raw = np.frombuffer(buf32, np.uint8).reshape(17, -1)
+    assert (raw[:, 3 : 23 * 4 : 4] == 255).all()
