@@ -73,7 +73,7 @@ def _u8ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
-def to_dib(frame: np.ndarray) -> np.ndarray:
+def flip_dib_in(frame: np.ndarray) -> np.ndarray:
     """RGB top-down [H,W,3] -> reference frame buffer (bottom-up BGR DIB).
 
     The reference is a VfW codec: its pixel buffers are Windows DIBs with
@@ -85,8 +85,8 @@ def to_dib(frame: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(frame[::-1, :, ::-1])
 
 
-def from_dib(buf: np.ndarray) -> np.ndarray:
-    """Inverse of :func:`to_dib` (involution)."""
+def flip_dib_out(buf: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`flip_dib_in` (involution)."""
     return np.ascontiguousarray(buf[::-1, :, ::-1])
 
 
@@ -103,7 +103,7 @@ class LegacyV2Encoder:
     def encode(self, frame: np.ndarray, force_key: bool = False):
         frame = np.asarray(frame, np.uint8)
         assert frame.shape == (self.height, self.width, 3)
-        frame = to_dib(frame)
+        frame = flip_dib_in(frame)
         cap = self.width * self.height * 6 + 4096
         out = np.empty(cap, np.uint8)
         ftype = ctypes.c_int(0)
@@ -135,7 +135,7 @@ class LegacyV2Decoder:
         rc = _lib().scpr2_decode(self._h, _u8ptr(buf), len(data), ftype, _u8ptr(out))
         if rc != 0:
             raise RuntimeError("v2 decode failed")
-        return from_dib(out)
+        return flip_dib_out(out)
 
     def __del__(self):
         try:

@@ -16,7 +16,7 @@ import threading
 
 import numpy as np
 
-from screenpressor_tpu.native.legacy import from_dib, to_dib
+from screenpressor_tpu.native.legacy import flip_dib_in, flip_dib_out
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libscpr34.so")
@@ -111,7 +111,7 @@ class ScprAnsEncoder:
     def encode(self, frame: np.ndarray, force_key: bool = False):
         frame = np.asarray(frame, np.uint8)
         assert frame.shape == (self.height, self.width, 3)
-        frame = to_dib(frame)  # reference streams carry bottom-up BGR DIB rows
+        frame = flip_dib_in(frame)  # reference streams carry bottom-up BGR DIB rows
         cap = self.width * self.height * 6 + 4096
         out = np.empty(cap, np.uint8)
         ftype = ctypes.c_int(0)
@@ -148,7 +148,7 @@ class ScprAnsDecoder:
         rc = _lib().scpr34_decode(self._h, _u8ptr(buf), len(data), ftype, _u8ptr(out))
         if rc != 0:
             raise RuntimeError(f"v{self.version} decode failed")
-        return from_dib(out)
+        return flip_dib_out(out)
 
     def __del__(self):
         try:

@@ -20,7 +20,7 @@ import threading
 
 import numpy as np
 
-from screenpressor_tpu.native.legacy import from_dib, to_dib
+from screenpressor_tpu.native.legacy import flip_dib_in, flip_dib_out
 
 _DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "refshim")
 _SO = os.path.join(_DIR, "librefora.so")
@@ -105,7 +105,7 @@ class RefCodec:
             raise RefOracleUnavailable("refora_new failed")
 
     def encode(self, frame: np.ndarray, force_key: bool = False):
-        dib = to_dib(np.asarray(frame, np.uint8))
+        dib = flip_dib_in(np.asarray(frame, np.uint8))
         cap = self.width * self.height * 6 + 4096
         out = np.empty(cap, np.uint8)
         ftype = ctypes.c_int(0)
@@ -123,7 +123,7 @@ class RefCodec:
                                       _u8ptr(out))
         if rc != 0:
             raise RuntimeError("reference decompress failed")
-        return from_dib(out)
+        return flip_dib_out(out)
 
     def __del__(self):
         try:
