@@ -205,17 +205,23 @@ def _batched_encode_sections(recs_cap, ns, tables_b, kts):
     "h", "w", "nby", "nbx", "rmax", "nbp", "msr_x", "msr_y", "mlow"))
 def _batched_analyze(frames, prevs, cands, cols, h, w, nby, nbx, rmax, nbp,
                      msr_x, msr_y, mlow):
+    """Per-stream analysis via lax.map (scan), NOT vmap: a conferencing
+    batch is dominated by idle / tiny-change streams, and lax.map keeps
+    analyze_compact's runtime branches real per stream — the no-change
+    early-out, the small/dense probe tiers, and the pre-sweep's
+    probe-skip — where vmap would flatten every cond to a select and run
+    the dense-probe passes for all S streams on every step. Busy streams
+    serialize, but each stream's analysis is already frame-wide parallel."""
     from screenpressor_tpu.jx import blocks as jb2
 
-    def one(f, pv):
+    def one(fp):
+        f, pv = fp
         arrs, counts, flat = jb2.analyze_compact(
             f, pv, cands, cols, h, w, nby, nbx, rmax, nbp, msr_x, msr_y, mlow,
-            force_dense=True,  # vmap flattens the tier cond to a select —
-            # the small tier's per-block gathers would run for every stream
         )
         return arrs, counts, flat
 
-    return jax.vmap(one)(frames, prevs)
+    return jax.lax.map(one, (frames, prevs))
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "bcap"))
