@@ -226,12 +226,27 @@ def _batched_analyze(frames, prevs, cands, cols, h, w, nby, nbx, rmax, nbp,
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "bcap"))
 def _batched_classify_assemble(frames, prevs, rects_b, n_data_b, h, w, bcap):
+    """lax.map for the same reason as _batched_analyze: streams with no
+    data blocks (idle / motion-only) skip classification entirely instead
+    of paying the shared-bcap work under a vmap select."""
     from screenpressor_tpu.jx.pframe import classify_assemble
 
-    def one(f, pv, rects, nd):
-        return classify_assemble(f, pv, rects[:bcap], nd, h, w, bcap)
+    def one(args):
+        f, pv, rects, nd = args
 
-    return jax.vmap(one)(frames, prevs, rects_b, n_data_b)
+        def run():
+            return classify_assemble(f, pv, rects[:bcap], nd, h, w, bcap)
+
+        shapes = jax.eval_shape(run)
+        return jax.lax.cond(
+            nd > 0,
+            run,
+            lambda: jax.tree.map(
+                lambda sd: jnp.zeros(sd.shape, sd.dtype), shapes
+            ),
+        )
+
+    return jax.lax.map(one, (frames, prevs, rects_b, n_data_b))
 
 
 @functools.partial(jax.jit, static_argnames=("kts", "thr"))
