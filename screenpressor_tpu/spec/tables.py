@@ -35,6 +35,9 @@ _MIX_ROW_INIT = int(
     os.environ.get("SPTC_MIX_ROW_INIT", "0")
 ) or None
 _MIX_GSTEP = int(os.environ.get("SPTC_MIX_GSTEP", "0"))  # 0 -> kind gstep
+# two-level backoff experiment: row -> group (row >> SPTC_MIX2 bits) ->
+# global, with the spare code space split between the two priors
+_MIX2 = int(os.environ.get("SPTC_MIX2", "0"))  # 0 off; else group shift
 
 
 def _kind_mixed(name: str) -> bool:
@@ -75,6 +78,11 @@ class Table:
             self.g_rows = rows // n_globals
             self.gcnt = np.zeros((n_globals, alphabet), np.int32)
             self.gsum = np.zeros((n_globals,), np.int32)
+            self.mix2 = _MIX2 if (name == "color" and _MIX2) else 0
+            if self.mix2:
+                ng = rows >> self.mix2
+                self.g2cnt = np.zeros((ng, alphabet), np.int32)
+                self.g2sum = np.zeros((ng,), np.int32)
         self.renew()
 
     def renew(self) -> None:
@@ -86,6 +94,9 @@ class Table:
             g = max((PROB_SCALE - self.gstep - self.A) // self.A, 1)
             self.gcnt[:] = g
             self.gsum[:] = g * self.A
+            if getattr(self, "mix2", 0):
+                self.g2cnt[:] = f
+                self.g2sum[:] = f * self.A
         else:
             f = max((PROB_SCALE - self.step - self.A) // self.A, 1)
         self.cnt[:] = f
@@ -98,6 +109,20 @@ class Table:
         if not self.mix:
             return c
         gi = row // self.g_rows
+        if getattr(self, "mix2", 0):
+            # row -> group -> global: the group prior (rows sharing the
+            # high context bits) offers min(its mass, the row's spare) —
+            # never scaled UP, so a cold group adds nothing; the global
+            # fills whatever space remains
+            g2i = row >> self.mix2
+            room = max((PROB_SCALE - 2 * self.A) - int(self.cntsum[row]), 0)
+            sc2 = min((room << 13) // max(int(self.g2sum[g2i]), 1), 1 << 13)
+            grp = np.maximum((self.g2cnt[g2i] * sc2) >> 13, 1)
+            used = int(self.cntsum[row]) + int(grp.sum())
+            spare = max((PROB_SCALE - self.A) - used, 0)
+            sc = (spare << 13) // int(self.gsum[gi])
+            g_eff = np.maximum((self.gcnt[gi] * sc) >> 13, 1)
+            return c + grp + g_eff
         spare = max((PROB_SCALE - self.A) - int(self.cntsum[row]), 0)
         sc = (spare << 13) // int(self.gsum[gi])
         g_eff = np.maximum((self.gcnt[gi] * sc) >> 13, 1)
@@ -139,6 +164,17 @@ class Table:
                     g = np.maximum((self.gcnt[gi] * sc) >> 13, 1)
                     self.gcnt[gi] = g
                     self.gsum[gi] = int(g.sum())
+            if getattr(self, "mix2", 0):
+                g2s = rs >> self.mix2
+                np.add.at(self.g2cnt, (g2s, ss), self.step)
+                np.add.at(self.g2sum, g2s, self.step)
+                for gi in np.unique(g2s):
+                    if self.g2sum[gi] > PROB_SCALE - self.step:
+                        target = PROB_SCALE - self.step - self.A
+                        sc = (target << 13) // int(self.g2sum[gi])
+                        g = np.maximum((self.g2cnt[gi] * sc) >> 13, 1)
+                        self.g2cnt[gi] = g
+                        self.g2sum[gi] = int(g.sum())
 
     def _rescale(self, r: int) -> None:
         target = PROB_SCALE - self.step - self.A
