@@ -514,9 +514,22 @@ def use_kernels() -> bool:
     return ok
 
 
+# Single-kernel VMEM ceiling: a section whose state (payload/records +
+# table + MXU transients) exceeds this falls back to the scan path rather
+# than risking a Mosaic VMEM OOM (~16M per core; leave headroom)
+_KERNEL_VMEM_LIMIT = 12 * 1024 * 1024
+
+
+def _kernel_fits(codec_name: str, k: int, t_steps: int, pay_bytes: int = 0) -> bool:
+    from screenpressor_tpu.jx import kernels as kx
+
+    est = kx._enc_vmem_estimate(((codec_name, k, t_steps),))
+    return est + 4 * max(k, 8) * pay_bytes <= _KERNEL_VMEM_LIMIT
+
+
 def decode_section_auto(payload, lens, tables, codec_name: str, k: int, t_steps: int):
     """Kernel/scan dispatch; identical contract and bytes either way."""
-    if use_kernels():
+    if use_kernels() and _kernel_fits(codec_name, k, t_steps, payload.shape[1]):
         from screenpressor_tpu.jx import kernels as kx
 
         return kx.decode_section_kernel(payload, lens, tables, codec_name, k, t_steps)
@@ -526,7 +539,7 @@ def decode_section_auto(payload, lens, tables, codec_name: str, k: int, t_steps:
 def encode_section_auto(recs, lens, tables, codec_name: str, k: int, t_steps: int):
     """Kernel/scan dispatch -> (buf [K, cap], start [K], tables'). Blob bytes
     (buf[i, start[i]:]) are identical either way; only cap padding differs."""
-    if use_kernels():
+    if use_kernels() and _kernel_fits(codec_name, k, t_steps):
         from screenpressor_tpu.jx import kernels as kx
 
         return kx.encode_section_kernel(recs, lens, tables, codec_name, k, t_steps)

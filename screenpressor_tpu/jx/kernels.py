@@ -993,6 +993,20 @@ def encode_sections_fused(dealt_list, lens_list, tables, kts):
         while j <= len(kts) and _enc_vmem_estimate(kts[i:j]) <= _FUSE_VMEM_LIMIT:
             j += 1
         j = max(j - 1, i + 1)
+        if j == i + 1 and _enc_vmem_estimate(kts[i:j]) > _FUSE_VMEM_LIMIT:
+            # single section too big for VMEM: scan path (bytes identical)
+            from screenpressor_tpu.jx import coder as jc
+
+            cn, k, t = kts[i]
+            cum, freq, act, tables = jc.model_scan(
+                dealt_list[i], lens_list[i], tables, cn, k, t
+            )
+            nsub = len(KCODECS[cn].kinds)
+            b1, s1 = jc.rans_pack(cum, freq, act, 2 * t * nsub + 8)
+            bufs.append(b1)
+            starts.append(s1)
+            i = j
+            continue
         b, s, tables = _encode_sections_pallas(
             dealt_list[i:j], lens_list[i:j], tables, tuple(kts[i:j])
         )
