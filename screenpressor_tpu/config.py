@@ -111,16 +111,21 @@ def kind_step(name: str) -> int:
 #   spare = (PROB_SCALE - A) - cntsum_row          (clamped at 0)
 #   g_eff = max((gcnt * ((spare << 13) // gsum)) >> 13, 1)
 #   eff   = cnt_row + g_eff                        (sum <= PROB_SCALE)
-# Mixed-kind rows start near-empty (MIX_ROW_INIT counts/symbol) so a cold
-# context codes with the global distribution and fades to its own statistics
-# as it warms (PPM-style backoff). This replaces the cold start the reference
-# gets from escalating Cx1-7 symbol lists (`ans_contexts.h:98-160`) with a
-# fixed-shape scheme the batched/kernel implementations can afford.
-# SPTC_MIX_KINDS overrides for format experiments (spec path only).
+# Mixed-kind rows start EMPTY and their counts are scaled up to a fill
+# target that grows with the row's observation mass S:
+#   target = (PROB_SCALE - 2A) * S // (S + MIX_ESC_C)
+#   row_eff = (cnt * ((target << 13) // S)) >> 13      (zero rows stay zero)
+#   spare   = (PROB_SCALE - A) - sum(row_eff)
+#   eff     = row_eff + max((gcnt * ((spare << 13) // gsum)) >> 13, 1)
+# A context's few seen symbols therefore take most of the code space after
+# a handful of hits — the reference's escalating-alphabet behavior
+# (`ans_contexts.h:98-160`) — while the global row prices unseen symbols.
+# SPTC_MIX_KINDS / SPTC_MIX_ESC override for format experiments (spec path).
 MIX_KINDS = tuple(
     k for k in os.environ.get("SPTC_MIX_KINDS_DEFAULT", "color,nrun").split(",") if k
 )
-MIX_ROW_INIT = 1
+MIX_ROW_INIT = 0
+MIX_ESC_C = 256
 
 
 def kind_mixed(name: str) -> bool:

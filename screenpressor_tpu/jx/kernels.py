@@ -52,6 +52,7 @@ from screenpressor_tpu.config import (
     PROB_BITS,
     PROB_SCALE,
     RANS_L,
+    MIX_ESC_C,
     RESCALE_SHIFT,
     TABLE_KINDS,
     kind_gstep,
@@ -467,7 +468,11 @@ def _substep_tables(cnts, kd, rowc, active, k, base=0):
 
     gname = "g:" + kd
     if gname in cnts:
-        # dynamic backoff: global row scaled to the row's spare code space
+        # escalating backoff (config.MIX_ESC_C): the row's counts scale to
+        # a fill target growing with its observation mass; the global row
+        # scales into the remaining space. Integer math matches
+        # spec.tables.Table._eff exactly (products bounded by target << 13
+        # < 2^27, int32-safe).
         gref = cnts[gname]  # [8, A] f32 (row 0 live)
         rmask = (
             jax.lax.broadcasted_iota(I32, (8, a), 0) == 0
@@ -475,11 +480,14 @@ def _substep_tables(cnts, kd, rowc, active, k, base=0):
         gvec = jnp.sum(gref[:, :] * rmask, axis=0, keepdims=True)  # [1, A]
         gvec_i = gvec.astype(I32)
         gsum = jnp.sum(gvec_i, axis=1, keepdims=True)  # [1, 1]
-        rowsum = jnp.sum(g, axis=1, keepdims=True).astype(I32)  # [K, 1]
-        spare = jnp.maximum((PROB_SCALE - a) - rowsum, 0)
+        s_obs = jnp.sum(g, axis=1, keepdims=True).astype(I32)  # [K, 1]
+        target = ((PROB_SCALE - 2 * a) * s_obs) // (s_obs + MIX_ESC_C)
+        sc_r = (target << 13) // jnp.maximum(s_obs, 1)  # [K, 1]
+        row_eff = (g.astype(I32) * sc_r) >> 13  # [K, A]
+        spare = (PROB_SCALE - a) - jnp.sum(row_eff, axis=1, keepdims=True)
         sc = (spare << 13) // jnp.maximum(gsum, 1)  # [K, 1] (broadcast gsum)
         g_eff = jnp.maximum((gvec_i * sc) >> 13, 1)  # [K, A] int32
-        g_code = g + g_eff.astype(F32)
+        g_code = (row_eff + g_eff).astype(F32)
     else:
         g_code = g
 

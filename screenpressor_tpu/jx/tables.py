@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from screenpressor_tpu.config import (
-    MIX_ROW_INIT,
+    MIX_ESC_C,
     PROB_SCALE,
     STEP,
     TABLE_KINDS,
@@ -29,12 +29,12 @@ def renew_table(rows: int, alphabet: int, step: int = STEP,
                 name: str = "") -> dict:
     # init strictly below the rescale threshold (see spec.tables.Table.renew)
     if kind_mixed(name):
-        f = max(MIX_ROW_INIT, 1)
+        # escalating-weight rows start EMPTY (config.MIX_ESC_C)
         gstep = kind_gstep(name)
         g = max((PROB_SCALE - gstep - alphabet) // alphabet, 1)
         return {
-            "cnt": jnp.full((rows, alphabet), f, jnp.int32),
-            "cntsum": jnp.full((rows,), f * alphabet, jnp.int32),
+            "cnt": jnp.zeros((rows, alphabet), jnp.int32),
+            "cntsum": jnp.zeros((rows,), jnp.int32),
             "gcnt": jnp.full((alphabet,), g, jnp.int32),
             "gsum": jnp.asarray(g * alphabet, jnp.int32),
         }
@@ -76,16 +76,22 @@ def renew_tables_cached() -> dict:
 def effective_rows(tab: dict, rows: jnp.ndarray) -> jnp.ndarray:
     """[K, A] effective coding distribution for gathered context rows.
 
-    Non-mixed kinds: the live counts. Mixed kinds: counts + the global row
-    scaled to fill the row's spare code space (spec.tables.Table._eff)."""
+    Non-mixed kinds: the live counts. Mixed kinds (escalating backoff,
+    spec.tables.Table._eff): the row's counts scaled to a fill target that
+    grows with its observation mass, plus the global row scaled into the
+    remaining space."""
     g = tab["cnt"][rows]  # [K, A]
     if "gcnt" not in tab:
         return g
     alphabet = tab["cnt"].shape[1]
-    spare = jnp.maximum((PROB_SCALE - alphabet) - tab["cntsum"][rows], 0)
+    s_obs = tab["cntsum"][rows]  # [K]
+    target = ((PROB_SCALE - 2 * alphabet) * s_obs) // (s_obs + MIX_ESC_C)
+    sc_r = (target << 13) // jnp.maximum(s_obs, 1)
+    row_eff = (g * sc_r[:, None]) >> 13
+    spare = (PROB_SCALE - alphabet) - row_eff.sum(axis=1)
     sc = (spare << 13) // jnp.maximum(tab["gsum"], 1)
     g_eff = jnp.maximum((tab["gcnt"][None, :] * sc[:, None]) >> 13, 1)
-    return g + g_eff
+    return row_eff + g_eff
 
 
 def update_batch(tab: dict, rows: jnp.ndarray, syms: jnp.ndarray, active: jnp.ndarray,

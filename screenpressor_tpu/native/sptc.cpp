@@ -31,7 +31,7 @@ constexpr int COLOR_CTX_BITS_B = 2;  // second conditioning channel
 constexpr int COLOR_CTX_SHIFT_A = 8 - COLOR_CTX_BITS_A;
 constexpr int COLOR_CTX_SHIFT = 8 - COLOR_CTX_BITS_B;
 constexpr int COLOR_CTX_ROWS = 1 << (COLOR_CTX_BITS_A + COLOR_CTX_BITS_B);
-constexpr int MIX_ROW_INIT = 1;  // SPTC3 backoff row init (config.py)
+constexpr int MIX_ESC_C = 256;  // SPTC3 escalating-weight constant (config.py)
 constexpr int K_MAX = 256;
 constexpr int TARGET_PER_LANE = 256;
 constexpr int BLOCK = 16;
@@ -80,11 +80,11 @@ struct Table {
       : rows(rows_), A(a), step(step_), mixed(mixed_), gstep(step_) { renew(); }
 
   void renew() {
-    // init strictly below the rescale threshold (spec/tables.py)
+    // init strictly below the rescale threshold (spec/tables.py); mixed
+    // (escalating-weight) rows start EMPTY
     if (mixed) {
-      int f = std::max(MIX_ROW_INIT, 1);
-      cnt.assign((size_t)rows * A, f);
-      cntsum.assign(rows, f * A);
+      cnt.assign((size_t)rows * A, 0);
+      cntsum.assign(rows, 0);
       int g = std::max((PROB_SCALE - gstep - A) / A, 1);
       gcnt.assign(A, g);
       gsum = g * A;
@@ -96,16 +96,30 @@ struct Table {
   }
 
   // effective coding distribution for row r into eff[0..A)
+  // (escalating backoff, spec/tables.py Table._eff: the row's counts scale
+  // to a fill target growing with its observation mass; the global row
+  // scales into the remaining space)
   void eff_row(int r, int32_t* eff) const {
     const int32_t* cr = &cnt[(size_t)r * A];
     if (!mixed) {
       std::memcpy(eff, cr, sizeof(int32_t) * A);
       return;
     }
-    int32_t spare = std::max((PROB_SCALE - A) - cntsum[r], 0);
+    int32_t s_obs = cntsum[r];
+    int32_t target =
+        (int32_t)(((int64_t)(PROB_SCALE - 2 * A) * s_obs) / (s_obs + MIX_ESC_C));
+    int32_t sc_r = (int32_t)(((int64_t)target << RESCALE_SHIFT) /
+                             std::max(s_obs, 1));
+    int64_t row_sum = 0;
+    for (int i = 0; i < A; i++) {
+      eff[i] = (int32_t)(((int64_t)cr[i] * sc_r) >> RESCALE_SHIFT);
+      row_sum += eff[i];
+    }
+    int32_t spare = (int32_t)((PROB_SCALE - A) - row_sum);
     int32_t sc = (int32_t)(((int64_t)spare << RESCALE_SHIFT) / std::max(gsum, 1));
     for (int i = 0; i < A; i++)
-      eff[i] = cr[i] + std::max<int32_t>((int32_t)(((int64_t)gcnt[i] * sc) >> RESCALE_SHIFT), 1);
+      eff[i] += std::max<int32_t>(
+          (int32_t)(((int64_t)gcnt[i] * sc) >> RESCALE_SHIFT), 1);
   }
 
   void interval(int r, int s, int& cu, int& fr) const {

@@ -38,6 +38,18 @@ _MIX_GSTEP = int(os.environ.get("SPTC_MIX_GSTEP", "0"))  # 0 -> kind gstep
 # two-level backoff experiment: row -> group (row >> SPTC_MIX2 bits) ->
 # global, with the spare code space split between the two priors
 _MIX2 = int(os.environ.get("SPTC_MIX2", "0"))  # 0 off; else group shift
+# escalating row weight (SPTC3 default; see config.MIX_ESC_C):
+# SPTC_MIX_ESC overrides C for experiments; "0" disables (legacy one-level
+# spare-filling backoff with rows initialized at MIX_ROW_INIT or 1).
+_MIX_ESC_ENV = os.environ.get("SPTC_MIX_ESC")
+
+
+def _esc_c() -> int:
+    from screenpressor_tpu.config import MIX_ESC_C
+
+    if _MIX_ESC_ENV is not None:
+        return int(_MIX_ESC_ENV)
+    return MIX_ESC_C
 
 
 def _kind_mixed(name: str) -> bool:
@@ -72,6 +84,7 @@ class Table:
         self.cnt = np.zeros((rows, alphabet), np.int32)
         self.cntsum = np.zeros((rows,), np.int32)
         if self.mix:
+            self.esc_c = _esc_c()
             self.row_init = _MIX_ROW_INIT or MIX_ROW_INIT
             self.gstep = _MIX_GSTEP or kind_gstep(name)
             self.n_globals = n_globals
@@ -90,13 +103,13 @@ class Table:
         # never satisfy the trigger (the batched implementations evaluate the
         # per-row predicate for parked lanes too)
         if self.mix:
-            f = max(self.row_init, 1)
+            f = 0 if self.esc_c else max(self.row_init, 1)
             g = max((PROB_SCALE - self.gstep - self.A) // self.A, 1)
             self.gcnt[:] = g
             self.gsum[:] = g * self.A
             if getattr(self, "mix2", 0):
-                self.g2cnt[:] = f
-                self.g2sum[:] = f * self.A
+                self.g2cnt[:] = max(f, 1)
+                self.g2sum[:] = max(f, 1) * self.A
         else:
             f = max((PROB_SCALE - self.step - self.A) // self.A, 1)
         self.cnt[:] = f
@@ -109,6 +122,15 @@ class Table:
         if not self.mix:
             return c
         gi = row // self.g_rows
+        if self.esc_c:
+            s_obs = int(self.cntsum[row])
+            target = ((PROB_SCALE - 2 * self.A) * s_obs) // (s_obs + self.esc_c)
+            sc_r = (target << 13) // max(s_obs, 1)
+            row_eff = (c.astype(np.int64) * sc_r) >> 13
+            spare = (PROB_SCALE - self.A) - int(row_eff.sum())
+            sc = (spare << 13) // int(self.gsum[gi])
+            g_eff = np.maximum((self.gcnt[gi].astype(np.int64) * sc) >> 13, 1)
+            return (row_eff + g_eff).astype(np.int32)
         if getattr(self, "mix2", 0):
             # row -> group -> global: the group prior (rows sharing the
             # high context bits) offers min(its mass, the row's spare) —
