@@ -87,7 +87,10 @@ def test_iframe_roundtrip_random_noise():
     f = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
     data = _roundtrip_frame(f)
     # worst case bounded: ~raw bytes + per-record and per-lane overhead
-    assert len(data) < 32 * 32 * 3 * 1.4
+    # (escalating backoff prices pure noise through the global row at a
+    # slightly higher margin than uniform rows did; the session-level raw
+    # escape bounds actual codec output at raw + 1 byte)
+    assert len(data) < 32 * 32 * 3 * 1.55
 
 
 def test_long_runs_cap_255():
