@@ -69,6 +69,26 @@ def main():
     w = int(os.environ.get("BENCH_W", 1920))
     n = int(os.environ.get("BENCH_FRAMES", 16))
 
+    # The axon PJRT client blocks forever inside C (GIL held — even
+    # SIGALRM can't fire) when the tunnel is down. Probe device init in a
+    # killable subprocess first so the bench fails fast and diagnosably.
+    import subprocess
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=180, capture_output=True,
+        )
+        ok = probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        raise SystemExit(
+            "bench: TPU backend init probe failed/timed out (the axon "
+            "tunnel hangs jax.devices() when down — see BACKLOG.md and "
+            "tools/tpu_checkup.sh)"
+        )
+
     _enable_compile_cache()
     import jax
     import jax.numpy as jnp
