@@ -1,4 +1,4 @@
-"""SPTC1 container packing/parsing (host side).
+"""SPTC container packing/parsing (host side).
 
 Framing per FORMAT.md. Reference analog: frame header nibbles and section
 layout of `screencap.cpp:1436-1557` (flat/I/P framing) — redesigned so every
