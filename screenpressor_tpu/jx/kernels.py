@@ -614,6 +614,66 @@ def _build_decode_kernel(codec_name: str, k: int, l: int, t_steps: int):
     return kernel, kinds, w
 
 
+@functools.lru_cache(maxsize=None)
+def _decode_call(codec_name: str, kp: int, lp: int, t_steps: int,
+                 cnt_shapes: tuple, interpret: bool):
+    """Pallas launcher for one section-decode geometry, with a custom vmap
+    rule: the unbatched form maps everything into VMEM directly (one
+    stream's state fits); the batched form (BatchedDecoder's S-stream vmap)
+    grids over the batch so per-step VMEM stays single-stream-sized —
+    without this rule XLA pins the whole batch in VMEM and a 64-stream
+    360p decode OOMs scoped VMEM (measured round 3: 19.7M vs the 16M cap)."""
+    import jax.custom_batching
+
+    kernel, _, w = _build_decode_kernel(codec_name, kp, lp, t_steps)
+    tp = -(-t_steps // PAYBLK) * PAYBLK
+    n_tab = len(cnt_shapes)
+    n_in = 2  # pay, lens
+    aliases = {n_in + i: 1 + i for i in range(n_tab)}
+
+    @jax.custom_batching.custom_vmap
+    def call(pay, lens2, *cnt_f32):
+        out_shapes = [jax.ShapeDtypeStruct((w, kp, tp), I32)] + [
+            jax.ShapeDtypeStruct(s, F32) for s in cnt_shapes
+        ]
+        return tuple(pl.pallas_call(
+            kernel,
+            out_shape=out_shapes,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_in + n_tab),
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + n_tab),
+            input_output_aliases=aliases,
+            interpret=interpret,
+        )(pay, lens2, *cnt_f32))
+
+    def _bspec(shape):
+        # leading None: the batch dim is squeezed out of the kernel block,
+        # so the single-stream kernel body serves the batched launch too
+        return pl.BlockSpec((None,) + shape, lambda i: (i,) + (0,) * len(shape))
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = tuple(
+            a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            for b, a in zip(in_batched, args)
+        )
+        out_shapes = [jax.ShapeDtypeStruct((axis_size, w, kp, tp), I32)] + [
+            jax.ShapeDtypeStruct((axis_size,) + s, F32) for s in cnt_shapes
+        ]
+        outs = pl.pallas_call(
+            kernel,
+            grid=(axis_size,),
+            out_shape=out_shapes,
+            in_specs=[_bspec((kp, lp)), _bspec((kp, 1))]
+            + [_bspec(s) for s in cnt_shapes],
+            out_specs=[_bspec((w, kp, tp))] + [_bspec(s) for s in cnt_shapes],
+            input_output_aliases=aliases,
+            interpret=interpret,
+        )(*args)
+        return tuple(outs), (True,) * (1 + n_tab)
+
+    return call
+
+
 @functools.partial(jax.jit, static_argnames=("codec_name", "k", "t_steps"))
 def decode_section_kernel(payload, lens, tables, codec_name: str, k: int,
                           t_steps: int):
@@ -632,21 +692,12 @@ def decode_section_kernel(payload, lens, tables, codec_name: str, k: int,
     names = _table_names(kinds)
     cnt_f32 = [_table_input(tables, nm) for nm in names]
 
-    kernel, kinds, w = _build_decode_kernel(codec_name, kp, lp, t_steps)
-    tp = -(-t_steps // PAYBLK) * PAYBLK
-    out_shapes = [jax.ShapeDtypeStruct((w, kp, tp), I32)] + [
-        jax.ShapeDtypeStruct(c.shape, F32) for c in cnt_f32
-    ]
-    n_in = 2  # pay, lens
-    aliases = {n_in + i: 1 + i for i in range(len(names))}
-    outs = pl.pallas_call(
-        kernel,
-        out_shape=out_shapes,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_in + len(names)),
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + len(names)),
-        input_output_aliases=aliases,
-        interpret=jax.default_backend() == "cpu",
-    )(pay, lens2, *cnt_f32)
+    call = _decode_call(
+        codec_name, kp, lp, t_steps,
+        tuple(c.shape for c in cnt_f32),
+        jax.default_backend() == "cpu",
+    )
+    outs = call(pay, lens2, *cnt_f32)
     recs = jnp.transpose(outs[0], (2, 1, 0))[:t_steps, :k, :]  # [T, K, W]
     tables = _tables_output(tables, names, outs[1:])
     return recs, tables

@@ -30,6 +30,33 @@ from screenpressor_tpu.jx.tables import renew_tables
 from screenpressor_tpu.spec.codec import FTYPE_I, FTYPE_P, apply_loss
 
 
+# Batched Pallas section kernels carry one stream's table block (3 MB)
+# double-buffered in+out across the stream grid, plus XLA pins the small
+# per-stream outputs in VMEM — measured 19.7 MB at the 64-stream 360p
+# profile vs the compiler's 16 MB default scoped-VMEM reservation (v5e has
+# 128 MB total). Raise the cap for the jits that wrap section kernels. The
+# CPU backend *rejects* (not ignores) the option, and the backend isn't
+# known at import time, so the jit is created lazily on first call.
+def _kernel_jit(fn, *, static_argnames):
+    jitted = None
+
+    @functools.wraps(fn)
+    def call(*args, **kwargs):
+        nonlocal jitted
+        if jitted is None:
+            opts = (
+                {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+                if jax.default_backend() != "cpu"
+                else None
+            )
+            jitted = jax.jit(
+                fn, static_argnames=static_argnames, compiler_options=opts
+            )
+        return jitted(*args, **kwargs)
+
+    return call
+
+
 @functools.partial(jax.jit, static_argnames=("loss",))
 def _batched_loss(frames, loss: int):
     from screenpressor_tpu.jx.codec import apply_loss_device
@@ -47,7 +74,7 @@ def _batched_counts(frames, h, w):
     return jax.vmap(one)(frames)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "t_rec", "t_col"))
+@functools.partial(_kernel_jit, static_argnames=("k", "t_rec", "t_col"))
 def _batched_encode_i(records_b, n_rec_b, lits_b, n_lit_b, skip, tables_b, k, t_rec, t_col):
     """skip: [S] bool — streams (e.g. flat frames) that must neither emit
     sections nor touch their tables (their lane lengths become 0)."""
@@ -182,7 +209,7 @@ def _batched_classify_blocks(frames, prevs, rects, sids, h, w, bcap):
     return jax.vmap(per_block)(rects, sids)
 
 
-@functools.partial(jax.jit, static_argnames=("kts",))
+@functools.partial(_kernel_jit, static_argnames=("kts",))
 def _batched_encode_sections(recs_cap, ns, tables_b, kts):
     def one(recs_s, ns_s, tables):
         bufs, starts, lens_out = {}, {}, {}
@@ -249,7 +276,7 @@ def _batched_classify_assemble(frames, prevs, rects_b, n_data_b, h, w, bcap):
     return jax.lax.map(one, (frames, prevs, rects_b, n_data_b))
 
 
-@functools.partial(jax.jit, static_argnames=("kts", "thr"))
+@functools.partial(_kernel_jit, static_argnames=("kts", "thr"))
 def _batched_sections_raw(recs_cap, ns, tables_b, kts, hdr_vals_b, thr):
     from screenpressor_tpu.jx.pframe import encode_sections_raw
 
@@ -645,7 +672,7 @@ class BatchedEncoder:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "k", "t_rec", "t_col"))
+@functools.partial(_kernel_jit, static_argnames=("h", "w", "k", "t_rec", "t_col"))
 def _batched_decode_i(pay_rec, pay_col, n_rec_b, n_lit_b, skip, tables_b,
                       h, w, k, t_rec, t_col):
     from screenpressor_tpu.jx.iframe import decode_i_device
@@ -662,9 +689,7 @@ def _batched_decode_i(pay_rec, pay_col, n_rec_b, n_lit_b, skip, tables_b,
     return jax.vmap(one)(pay_rec, pay_col, n_rec_b, n_lit_b, skip, tables_b)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("h", "w", "nbx", "nby", "kts", "caps", "mcap", "bcap")
-)
+@functools.partial(_kernel_jit, static_argnames=("h", "w", "nbx", "nby", "kts", "caps", "mcap", "bcap"))
 def _batched_decode_p(payloads_b, ns_b, xx1_b, xx2_b, n_data_b, prevs, tables_b,
                       h, w, nbx, nby, kts, caps, mcap, bcap):
     from screenpressor_tpu.jx.pframe import decode_p_device
