@@ -98,7 +98,10 @@ def main():
     from screenpressor_tpu.api import Decoder, Encoder
     from screenpressor_tpu.config import CodecConfig
 
-    cfg = CodecConfig(width=w, height=h)  # reference-strength motion (±256)
+    # reference-strength motion (±256); BENCH_K_MAX for lane-count A/Bs
+    cfg = CodecConfig(width=w, height=h)
+    if "BENCH_K_MAX" in os.environ:
+        cfg = CodecConfig(width=w, height=h, k_max=int(os.environ["BENCH_K_MAX"]))
     frames_np = synth_screencast(h, w, n)
     frames = [jax.block_until_ready(jnp.asarray(f)) for f in frames_np]
 
