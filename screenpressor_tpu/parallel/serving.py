@@ -74,8 +74,9 @@ def _batched_counts(frames, h, w):
     return jax.vmap(one)(frames)
 
 
-@functools.partial(_kernel_jit, static_argnames=("k", "t_rec", "t_col"))
-def _batched_encode_i(records_b, n_rec_b, lits_b, n_lit_b, skip, tables_b, k, t_rec, t_col):
+@functools.partial(_kernel_jit, static_argnames=("k", "t_rec", "t_col", "pack_cap"))
+def _batched_encode_i(records_b, n_rec_b, lits_b, n_lit_b, skip, tables_b,
+                      k, t_rec, t_col, pack_cap):
     """skip: [S] bool — streams (e.g. flat frames) that must neither emit
     sections nor touch their tables (their lane lengths become 0)."""
 
@@ -92,7 +93,17 @@ def _batched_encode_i(records_b, n_rec_b, lits_b, n_lit_b, skip, tables_b, k, t_
         buf_col, start_col, tables = jc.encode_section_auto(
             col_dealt, lens_col, tables, "col", k, t_col
         )
-        return (buf_rec, start_rec, lens_rec, buf_col, start_col, lens_col), tables
+        kts = (("rec", k, t_rec), ("col", k, t_col))
+        packed = _pack_sections_device(
+            {"rec": buf_rec, "col": buf_col},
+            {"rec": start_rec, "col": start_col},
+            {"rec": lens_rec, "col": lens_col},
+            kts, pack_cap,
+        )
+        return (
+            (buf_rec, start_rec, lens_rec, buf_col, start_col, lens_col),
+            tables, packed,
+        )
 
     return jax.vmap(one)(records_b, n_rec_b, lits_b, n_lit_b, skip, tables_b)
 
@@ -276,12 +287,75 @@ def _batched_classify_assemble(frames, prevs, rects_b, n_data_b, h, w, bcap):
     return jax.lax.map(one, (frames, prevs, rects_b, n_data_b))
 
 
-@functools.partial(_kernel_jit, static_argnames=("kts", "thr"))
-def _batched_sections_raw(recs_cap, ns, tables_b, kts, hdr_vals_b, thr):
+@functools.partial(jax.jit, static_argnames=("h", "w", "bcap"))
+def _batched_classify_eager(frames, prevs, rects_b, counts_b, flat_b, own_b,
+                            h, w, bcap):
+    """Classify dispatched BEFORE the analysis counts are pulled: the
+    per-stream data-block count comes from the device-resident analysis
+    counts (counts_b[:, 0]=any_change, [:, 6]=n_data; flat_b[:, 0]=flat),
+    masked by the host ownership vector. With a running-bucket bcap this
+    removes one tunnel sync per serving step (the dominant per-step cost on
+    a tunnel-attached rig is ~50 ms per fresh device->host pull)."""
+    from screenpressor_tpu.jx.pframe import classify_assemble
+
+    bcap = min(bcap, rects_b.shape[1])  # never beyond the frame's blocks
+    nd_eff = jnp.where(
+        own_b & (counts_b[:, 0] != 0) & (flat_b[:, 0] == 0),
+        counts_b[:, 6], 0,
+    ).astype(jnp.int32)
+
+    def one(args):
+        f, pv, rects, nd = args
+
+        def run():
+            return classify_assemble(f, pv, rects[:bcap], nd, h, w, bcap)
+
+        shapes = jax.eval_shape(run)
+        return jax.lax.cond(
+            nd > 0,
+            run,
+            lambda: jax.tree.map(
+                lambda sd: jnp.zeros(sd.shape, sd.dtype), shapes
+            ),
+        )
+
+    return jax.lax.map(one, (frames, prevs, rects_b, nd_eff))
+
+
+def _pack_sections_device(bufs, starts, lens_l, kts, pack_cap: int):
+    """Concatenate one stream's used section bytes (section-major, lane
+    slices in lane order — the exact container layout) into a [pack_cap]
+    buffer on device, so the host pulls payload bytes in the SAME device_get
+    as the starts/lens metadata instead of a second gather dispatch+pull."""
+    from screenpressor_tpu.jx.transfer import gather_segments
+
+    flat = jnp.concatenate([bufs[nm].reshape(-1) for nm, _, _ in kts])
+    src0_l, len_l = [], []
+    base = 0
+    for nm, k, _ in kts:
+        cap = bufs[nm].shape[1]
+        sizes = jnp.where(lens_l[nm] > 0, cap - starts[nm], 0)
+        src0_l.append(base + jnp.arange(k, dtype=jnp.int32) * cap + starts[nm])
+        len_l.append(sizes.astype(jnp.int32))
+        base += k * cap
+    src0 = jnp.concatenate(src0_l)
+    seg_lens = jnp.concatenate(len_l)
+    dst0 = jnp.cumsum(seg_lens) - seg_lens
+    segs = jnp.stack([src0, dst0, seg_lens], axis=1).astype(jnp.int32)
+    return gather_segments(flat, segs, pack_cap)
+
+
+@functools.partial(_kernel_jit, static_argnames=("kts", "thr", "pack_cap"))
+def _batched_sections_raw(recs_cap, ns, tables_b, kts, hdr_vals_b, thr,
+                          pack_cap):
     from screenpressor_tpu.jx.pframe import encode_sections_raw
 
     def one(rc, n, t, hv):
-        return encode_sections_raw(rc, n, t, kts, hv, thr)
+        bufs, starts, lens_out, stats, sel = encode_sections_raw(
+            rc, n, t, kts, hv, thr
+        )
+        packed = _pack_sections_device(bufs, starts, lens_out, kts, pack_cap)
+        return bufs, starts, lens_out, stats, sel, packed
 
     return jax.vmap(one)(recs_cap, ns, tables_b, hdr_vals_b)
 
@@ -353,6 +427,11 @@ def _section_bytes(tight, offs, sizes, i):
             + sizes[i].astype(f"<u{w}").tobytes() + tight[off:end].tobytes())
 
 
+# process-wide warm-start cache for the running shape buckets, keyed by
+# (h, w, k_fixed, n_streams) — see BatchedEncoder.__init__
+_BUCKET_CACHE: dict = {}
+
+
 class BatchedEncoder:
     """Encode a batch of streams in lockstep (keyframes synchronized by the
     shared config; flat/no-change shortcuts applied per stream).
@@ -390,6 +469,16 @@ class BatchedEncoder:
         self.fn = 0
         self.last_flat = np.zeros(n_streams, bool)
         self.flat_color = np.zeros((n_streams, 3), np.uint8)
+        # running shape buckets (grow-only): data-block classify capacity
+        # and the device-side payload pack capacity. Undersized steps are
+        # detected from the pulled counts and redone/fallen back — steady
+        # state is two tunnel pulls per P-batch. The buckets persist in a
+        # process-wide cache keyed by the codec geometry, so a new session
+        # starts warm (no re-grow redos / recompiles).
+        bkey = (cfg.height, cfg.width, cfg.k_fixed, n_streams)
+        self._bucket_key = bkey
+        cached = _BUCKET_CACHE.get(bkey, (256, 4096, 65536))
+        self._bcap, self._pack_cap, self._pack_cap_i = cached
 
     def _dput(self, a):
         x = jnp.asarray(a)
@@ -427,29 +516,61 @@ class BatchedEncoder:
         else:
             key_mask = np.zeros(s, bool)
         self.fn += 1
-        if not key_mask.any():
-            out = self._encode_p_batch(frames, np.ones(s, bool))
-            self.prev = frames
-            return out
-        if key_mask.all():
-            out = self._encode_i_batch(frames, key_mask)
-            self.prev = frames
-            return out
-        # mixed batch: P path first (it reads self.prev), then I path
-        out_p = self._encode_p_batch(frames, ~key_mask)
-        out_i = self._encode_i_batch(frames, key_mask)
+        # staged pipelines: each stage returns (pull_tree, cont) and the
+        # driver advances every pipeline with ONE device_get per round, so a
+        # mixed I/P batch (staggered keyframes hit one most steps) costs the
+        # same two tunnel syncs as a pure-P batch.
+        pipes = []
+        if (~key_mask).any() and self.prev is not None:
+            pipes.append(self._p_stage1(frames, ~key_mask))
+        if key_mask.any():
+            pipes.append(self._i_stage1(frames, key_mask))
+        outs = self._drive(pipes)
         self.prev = frames
-        return [a if a is not None else b for a, b in zip(out_i, out_p)]
+        if len(outs) == 1:
+            return outs[0]
+        return [a if a is not None else b for a, b in zip(outs[1], outs[0])]
 
-    def _encode_i_batch(self, frames: np.ndarray, own: np.ndarray):
-        """I-encode the streams selected by `own`; other entries are None
-        and their tables/state are untouched (skip-masked device calls)."""
+    @staticmethod
+    def _drive(pipes):
+        """Advance generator pipelines in lockstep; each `yield tree` is a
+        pull request and every round issues ONE device_get for all live
+        pipelines. Order matters: earlier pipelines resume first each round
+        (the I stage reads the table tree the P stage's section dispatch
+        wrote)."""
+        pipes = list(pipes)
+        outs = [None] * len(pipes)
+        trees = [None] * len(pipes)
+        for j, p in enumerate(pipes):
+            try:
+                trees[j] = p.send(None)
+            except StopIteration as e:
+                outs[j] = e.value
+                pipes[j] = None
+        while any(p is not None for p in pipes):
+            pulled = jax.device_get(trees)
+            for j, p in enumerate(pipes):
+                if p is None:
+                    continue
+                try:
+                    trees[j] = p.send(pulled[j])
+                except StopIteration as e:
+                    outs[j] = e.value
+                    pipes[j] = None
+                    trees[j] = None
+        return outs
+
+    def _i_stage1(self, frames: np.ndarray, own: np.ndarray):
+        """I-encode the streams selected by `own` (generator pipeline for
+        _drive; each yield is a pull request). Other entries are None and
+        their tables/state are untouched (skip-masked device calls)."""
         cfg = self.cfg
         s, h, w = self.s, cfg.height, cfg.width
         dev_frames = frames
         records_b, n_rec_d, lits_b, n_lit_d, flat_d, c0_d = _batched_counts(
             dev_frames, h, w)
-        n_rec, n_lit, flat, c0 = jax.device_get((n_rec_d, n_lit_d, flat_d, c0_d))
+
+        n_rec, n_lit, flat, c0 = yield (n_rec_d, n_lit_d, flat_d, c0_d)
         flat = np.asarray(flat)
 
         # flat shortcut per stream (reference `IsFlat` semantics)
@@ -472,42 +593,77 @@ class BatchedEncoder:
         self._renew_streams(jnp.asarray(renew_mask))
 
         coded = own & ~flat
-        if coded.any():
-            k = cfg.k_fixed
-            t_rec = jc._pad_steps(int(-(-max(n_rec[coded].max(), 1) // k)))
-            t_col = jc._pad_steps(int(-(-max(n_lit[coded].max(), 1) // k)))
-            res, self.tables_b = _batched_encode_i(
-                records_b, n_rec_d, lits_b, n_lit_d, self._dput(~coded),
-                self.tables_b, k, t_rec, t_col,
-            )
-            buf_rec, start_rec_d, lens_rec_d, buf_col, start_col_d, lens_col_d = res
-            start_rec, lens_rec, start_col, lens_col = jax.device_get(
-                (start_rec_d, lens_rec_d, start_col_d, lens_col_d)
+        if not coded.any():
+            return out
+        k = cfg.k_fixed
+        t_rec = jc._pad_steps(int(-(-max(n_rec[coded].max(), 1) // k)))
+        t_col = jc._pad_steps(int(-(-max(n_lit[coded].max(), 1) // k)))
+        pack_cap = self._pack_cap_i
+        res, self.tables_b, packed = _batched_encode_i(
+            records_b, n_rec_d, lits_b, n_lit_d, self._dput(~coded),
+            self.tables_b, k, t_rec, t_col, pack_cap,
+        )
+        buf_rec, start_rec_d, lens_rec_d, buf_col, start_col_d, lens_col_d = res
+        # pull the packed payloads of the coded streams only (a
+        # staggered-keyframe step codes 1-2 of S streams)
+        coded_idx = np.nonzero(coded)[0]
+        packed_rows = packed[jnp.asarray(coded_idx)]
+
+        start_rec, lens_rec, start_col, lens_col, rows = yield (
+            start_rec_d, lens_rec_d, start_col_d, lens_col_d, packed_rows,
+        )
+        caps = (buf_rec.shape[2], buf_col.shape[2])
+        sizes_rec = np.where(lens_rec > 0, caps[0] - start_rec, 0)
+        sizes_col = np.where(lens_col > 0, caps[1] - start_col, 0)
+        tot = sizes_rec.sum(axis=1) + sizes_col.sum(axis=1)
+        if int(tot[coded].max(initial=0)) > pack_cap:
+            self._pack_cap_i = int(next_pow2(int(tot[coded].max())))
+            _BUCKET_CACHE[self._bucket_key] = (
+                self._bcap, self._pack_cap, self._pack_cap_i,
             )
             tight, offs, sizes, _ = _tight_pull(
-                [buf_rec, buf_col], [start_rec, start_col], [lens_rec, lens_col]
+                [buf_rec, buf_col], [start_rec, start_col],
+                [lens_rec, lens_col],
             )
-            for i in range(s):
-                if not coded[i]:
-                    continue
-                data = b"".join(
-                    [
-                        bytes([bs.header_byte(ALG_I)]),
-                        bs.pack_varint(int(n_rec[i]), int(n_lit[i])),
-                        _section_bytes(tight, offs[0], sizes[0], i),
-                        _section_bytes(tight, offs[1], sizes[1], i),
-                    ]
-                )
-                out[i] = (data, FTYPE_I)
+
+            def payload_of(i):
+                return (_section_bytes(tight, offs[0], sizes[0], i)
+                        + _section_bytes(tight, offs[1], sizes[1], i))
+        else:
+            row_of = {int(i): j for j, i in enumerate(coded_idx)}
+
+            def payload_of(i):
+                row = rows[row_of[i]]
+                sr, sc = sizes_rec[i], sizes_col[i]
+                wr = bs.size_width(int(sr.max(initial=0)))
+                wc = bs.size_width(int(sc.max(initial=0)))
+                nrec_bytes = int(sr.sum())
+                return b"".join([
+                    bytes([bs.section_status_byte(k, wr)]),
+                    sr.astype(f"<u{wr}").tobytes(),
+                    row[:nrec_bytes].tobytes(),
+                    bytes([bs.section_status_byte(k, wc)]),
+                    sc.astype(f"<u{wc}").tobytes(),
+                    row[nrec_bytes : nrec_bytes + int(sc.sum())].tobytes(),
+                ])
+
+        for i in coded_idx:
+            out[i] = (
+                bytes([bs.header_byte(ALG_I)])
+                + bs.pack_varint(int(n_rec[i]), int(n_lit[i]))
+                + payload_of(i),
+                FTYPE_I,
+            )
         return out
 
     # ------------------------------------------------------------------ P --
-    def _encode_p_batch(self, frames: np.ndarray, own: np.ndarray):
+    def _p_stage1(self, frames: np.ndarray, own: np.ndarray):
         """Vmapped phase pipeline over the streams selected by `own` (same
         architecture as the single-stream batch path in jx.codec):
-        analysis+compaction, data-block classification, section encode with
-        device-side raw select, then ONE tight byte pull for every stream's
-        payload. Non-owned entries return None with state untouched."""
+        analysis+compaction, eagerly-dispatched data-block classification,
+        section encode with device-side raw select and payload packing.
+        Generator pipeline for _drive: two yields = two tunnel pulls per
+        step. Non-owned entries return None with state untouched."""
         from screenpressor_tpu.config import ALG_P, ALG_RAW
         from screenpressor_tpu.jx.pframe import (
             _SECTION_NAMES,
@@ -532,8 +688,20 @@ class BatchedEncoder:
             dev_frames, dev_prevs, cands, cols, h, w, nby, nbx, rmax, nbp,
             cfg.msr_x, cfg.msr_y, mlow,
         )
-        ch = np.asarray(jnp.concatenate([counts, flat4], axis=1))  # [S, 11]
-        mark("serve A analyze+pull")
+        # phase B dispatched eagerly (before any pull) with the running
+        # block-capacity bucket: one tunnel sync covers analysis AND
+        # classification counts. Overflow (a bigger change than any prior
+        # step) is detected from the pulled counts and redone below.
+        own_d = self._dput(jnp.asarray(own))
+        bcap = self._bcap
+        pix_cap, lit_cap, plc_d = _batched_classify_eager(
+            dev_frames, dev_prevs, arrs["data_rects"], counts, flat4, own_d,
+            h, w, bcap,
+        )
+        ch, plc = yield (jnp.concatenate([counts, flat4], axis=1), plc_d)
+        ch = np.asarray(ch)  # [S, 11]
+        plc = np.asarray(plc)
+        mark("serve A+B analyze+classify pull")
 
         out: list = [None] * s
         renew_mask = np.zeros(s, bool)
@@ -559,22 +727,20 @@ class BatchedEncoder:
         if not active.any():
             return out
 
-        # phase B: classify data blocks (shared bcap; inactive streams n=0)
+        # phase B counts arrived with phase A's pull; redo classification
+        # only when this step's change exceeds the running bucket
         n_data = np.where(active, ch[:, 6], 0).astype(np.int32)
-        n_pix = np.zeros(s, np.int64)
-        n_lit = np.zeros(s, np.int64)
-        if n_data.any():
-            bcap = next_pow2(int(n_data.max()))
-            pix_cap, lit_cap, plc = _batched_classify_assemble(
-                dev_frames, dev_prevs, arrs["data_rects"], jnp.asarray(n_data),
-                h, w, bcap,
+        if int(n_data.max()) > bcap:
+            self._bcap = bcap = next_pow2(int(n_data.max()))
+            _BUCKET_CACHE[self._bucket_key] = (
+                self._bcap, self._pack_cap, self._pack_cap_i)
+            pix_cap, lit_cap, plc_d = _batched_classify_eager(
+                dev_frames, dev_prevs, arrs["data_rects"], counts, flat4,
+                own_d, h, w, bcap,
             )
-            plc = np.asarray(plc)
-            n_pix, n_lit = plc[:, 0], plc[:, 1]
-        else:
-            pix_cap = jnp.zeros((s, 1, 2), jnp.int32)
-            lit_cap = jnp.zeros((s, 1, 3), jnp.int32)
-        mark("serve B classify+pull")
+            plc = np.asarray(jax.device_get(plc_d))
+            mark("serve B reclassify (bcap grow)")
+        n_pix, n_lit = plc[:, 0].astype(np.int64), plc[:, 1].astype(np.int64)
 
         # phase C: sections with per-stream skip (ns=0) + raw select
         nums = {
@@ -600,19 +766,25 @@ class BatchedEncoder:
         hdr_vals_b = self._dput(np.stack(
             [ch[:, 1], ch[:, 2], nums["bt"], nums["sxy"], nums["mv"],
              nums["rec"], nums["col"], n_data], axis=1).astype(np.int32))
-        bufs, starts, lens_l, stats, self.tables_b = _batched_sections_raw(
-            recs_cap, ns_d, self.tables_b, tuple(kts), hdr_vals_b,
-            raw_threshold,
+        pack_cap = self._pack_cap
+        bufs, starts, lens_l, stats, self.tables_b, packed = (
+            _batched_sections_raw(
+                recs_cap, ns_d, self.tables_b, tuple(kts), hdr_vals_b,
+                raw_threshold, pack_cap,
+            )
         )
 
         mark("serve C sections dispatch")
-        small = jax.device_get(
+        # ONE pull: starts/lens/stats metadata AND the device-packed payload
+        # bytes together (each fresh pull costs ~50 ms on the tunnel rig)
+        small, packed_h = yield (
             jnp.concatenate(
                 [jnp.concatenate([starts[nm].reshape(s, -1), lens_l[nm].reshape(s, -1)], axis=1)
                  for nm, _, _ in kts] + [stats], axis=1
-            )
+            ),
+            packed,
         )
-        mark("serve C small pull")
+        mark("serve C pull (meta+packed)")
         pos = 0
         starts_h, lens_h = {}, {}
         for nm, kk, _ in kts:
@@ -620,28 +792,75 @@ class BatchedEncoder:
             lens_h[nm] = small[:, pos : pos + kk]; pos += kk
         stats_h = small[:, pos : pos + 2]
         is_raw = (stats_h[:, 1] != 0) & active
+        sec_sizes = []  # per section: [S, k] used-byte counts
+        for j, (nm, kk, _) in enumerate(kts):
+            cap = bufs[nm].shape[2]
+            sec_sizes.append(
+                np.where(lens_h[nm] > 0, cap - starts_h[nm], 0).astype(np.int64)
+            )
+        tot_bytes = sum(ss.sum(axis=1) for ss in sec_sizes)  # [S]
+        overflow = active & ~is_raw & (tot_bytes > pack_cap)
 
-        extra = []
-        raw_ids = np.nonzero(is_raw)[0]
-        for i in raw_ids:
-            extra.append((dev_frames[i].reshape(-1), h * w * 3))
-        tight, offs, sizes, extra_offs = _tight_pull(
-            [bufs[nm] for nm, _, _ in kts],
-            [starts_h[nm] for nm, _, _ in kts],
-            [lens_h[nm] for nm, _, _ in kts],
-            extra,
-        )
+        if overflow.any():
+            from screenpressor_tpu.jx.transfer import pow2_bucket
 
-        mark("serve D tight pull")
-        raw_pos = {int(i): j for j, i in enumerate(raw_ids)}
+            # running pack bucket overflowed: exact tight gather fallback
+            # (also grows the bucket for subsequent steps)
+            self._pack_cap = pow2_bucket(
+                int(tot_bytes[active & ~is_raw].max())
+            )
+            _BUCKET_CACHE[self._bucket_key] = (
+                self._bcap, self._pack_cap, self._pack_cap_i)
+            extra = [(dev_frames[i].reshape(-1), h * w * 3)
+                     for i in np.nonzero(is_raw)[0]]
+            tight, offs, sizes, extra_offs = _tight_pull(
+                [bufs[nm] for nm, _, _ in kts],
+                [starts_h[nm] for nm, _, _ in kts],
+                [lens_h[nm] for nm, _, _ in kts],
+                extra,
+            )
+            mark("serve D fallback tight pull (pack_cap grow)")
+            raw_pos = {int(i): j for j, i in enumerate(np.nonzero(is_raw)[0])}
+
+            def payload_of(i):
+                return b"".join(
+                    _section_bytes(tight, offs[j], sizes[j], i)
+                    for j in range(len(kts))
+                )
+
+            def raw_bytes(i):
+                off = extra_offs[raw_pos[i]]
+                return tight[off : off + h * w * 3].tobytes()
+        else:
+            sec_payoff = np.zeros((s, len(kts) + 1), np.int64)
+            for j, ss in enumerate(sec_sizes):
+                sec_payoff[:, j + 1] = sec_payoff[:, j] + ss.sum(axis=1)
+
+            def payload_of(i):
+                # per section: status byte + minimal-width size table
+                # (host-known) + the device-packed lane payload chunk
+                parts = []
+                for j, (nm, kk, _) in enumerate(kts):
+                    sz = sec_sizes[j][i]
+                    wd = bs.size_width(int(sz.max(initial=0)))
+                    parts.append(bytes([bs.section_status_byte(kk, wd)]))
+                    parts.append(sz.astype(f"<u{wd}").tobytes())
+                    parts.append(
+                        packed_h[i, sec_payoff[i, j] : sec_payoff[i, j + 1]]
+                        .tobytes()
+                    )
+                return b"".join(parts)
+
+            def raw_bytes(i):
+                # raw frames are rare (photo-class content): pull directly
+                return np.asarray(dev_frames[i]).tobytes()
+
         for i in range(s):
             if not active[i]:
                 continue
             if is_raw[i]:
-                off = extra_offs[raw_pos[i]]
                 out[i] = (
-                    bytes([bs.header_byte(ALG_RAW)])
-                    + tight[off : off + h * w * 3].tobytes(),
+                    bytes([bs.header_byte(ALG_RAW)]) + raw_bytes(i),
                     FTYPE_I,
                 )
                 continue
@@ -655,10 +874,7 @@ class BatchedEncoder:
                         int(nums["rec"][i]), int(nums["col"][i]),
                         int(n_data[i]),
                     ),
-                ]
-                + [
-                    _section_bytes(tight, offs[j], sizes[j], i)
-                    for j in range(len(kts))
+                    payload_of(i),
                 ]
             )
             assert len(data) == int(stats_h[i, 0]), (len(data), stats_h[i, 0])
