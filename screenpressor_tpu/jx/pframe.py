@@ -335,26 +335,11 @@ def rebuild_frame_device(prev, mo_rects, mo_mvs, d_rects, d_pt, d_rl, d_lt,
 MOTION_DISTINCT_CAP = 12  # shifted-select iterations before gather fallback
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "mcap"))
-def apply_motion(frame, prev, rects, mvs, h: int, w: int, mcap: int):
-    """Copy motion blocks from prev (shifted) into frame.
-    rects [mcap,4]; mvs [mcap,2]; padded rows must have x2<=x1.
-
-    Screen motion is dominated by a handful of distinct MVs (scroll = 1), so
-    the hot path iterates distinct MVs applying one whole-frame shifted
-    SLICE + masked select each (a [mcap,16,16,3] gather lowers to ~100 ms on
-    TPU; slices+selects are ~1 ms). Blocks beyond MOTION_DISTINCT_CAP
-    distinct MVs fall back to the gather path inside a lax.cond."""
-    rpad = 256 + BLOCK  # covers the reference's msr; larger MVs use fallback
+def _motion_pixel_maps(rects, mvs, valid_b, h: int, w: int):
+    """Per-pixel block-rect membership and MV maps (shared by the
+    distinct-MV loop and the gather fallback)."""
     ys = jnp.arange(h)[:, None]
     xs = jnp.arange(w)[None, :]
-    valid_b = rects[:, 2] > rects[:, 0]
-    sel_b = (
-        valid_b
-        & (jnp.abs(mvs[:, 0]) <= rpad) & (jnp.abs(mvs[:, 1]) <= rpad)
-    )
-    # scatter compacted blocks onto the block grid; expand to pixels by
-    # broadcast-reshape (no pixel-granularity gathers — they lower poorly)
     nbx = -(-w // BLOCK)
     nby = -(-h // BLOCK)
     nb = nbx * nby
@@ -375,6 +360,28 @@ def apply_motion(frame, prev, rects, mvs, h: int, w: int, mcap: int):
     ) & (xs >= rpix[0]) & (xs < rpix[2]) & (ys >= rpix[1]) & (ys < rpix[3])
     mvx_pix = expand(grid_mv[:, 0])
     mvy_pix = expand(grid_mv[:, 1])
+    return bi, nb, in_rect, mvx_pix, mvy_pix
+
+
+def apply_motion_loop(frame, prev, rects, mvs, h: int, w: int, mcap: int):
+    """Distinct-MV shifted-select motion apply (the hot path). Returns
+    (out, resolved [mcap] bool); blocks left unresolved (beyond
+    MOTION_DISTINCT_CAP distinct MVs or out-of-rpad MVs) need
+    apply_motion_gather. Split from apply_motion so batched (vmapped)
+    decoders can lift the gather fallback to a TOP-LEVEL lax.cond — under
+    vmap a per-stream cond flattens to a select and the ~150 ms per-pixel
+    gather would run every step (measured at 64x360p)."""
+    rpad = 256 + BLOCK  # covers the reference's msr; larger MVs use fallback
+    valid_b = rects[:, 2] > rects[:, 0]
+    sel_b = (
+        valid_b
+        & (jnp.abs(mvs[:, 0]) <= rpad) & (jnp.abs(mvs[:, 1]) <= rpad)
+    )
+    # scatter compacted blocks onto the block grid; expand to pixels by
+    # broadcast-reshape (no pixel-granularity gathers — they lower poorly)
+    _, _, in_rect, mvx_pix, mvy_pix = _motion_pixel_maps(
+        rects, mvs, valid_b, h, w
+    )
 
     prev_pad = jnp.pad(prev, ((rpad, rpad), (rpad, rpad), (0, 0)))
     lin = jnp.arange(mcap)
@@ -400,20 +407,50 @@ def apply_motion(frame, prev, rects, mvs, h: int, w: int, mcap: int):
         select_cond, select_body,
         (frame, jnp.zeros((mcap,), bool), jnp.int32(0)),
     )
+    return out, resolved | ~valid_b
 
-    def gather_rest(out):
-        # rare fallback: per-pixel gather for uncommon or very large MVs
-        left_b = valid_b & ~resolved
-        leftg = jnp.zeros((nb + 1,), bool).at[bi].set(left_b, mode="drop")
-        pixm = in_rect & (expand(leftg.astype(jnp.int32)) > 0)
-        src = jnp.clip((ys + mvy_pix) * w + xs + mvx_pix, 0, h * w - 1)
-        vals = prev.reshape(h * w, 3)[src.reshape(-1)].reshape(h, w, 3)
-        return jnp.where(pixm[..., None], vals, out)
 
-    out = jax.lax.cond(
-        jnp.any(valid_b & ~resolved), gather_rest, lambda o: o, out
+def apply_motion_gather(out, prev, rects, mvs, resolved, h: int, w: int,
+                        mcap: int):
+    """Per-pixel gather fallback for motion blocks apply_motion_loop left
+    unresolved (uncommon or very large MVs)."""
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    valid_b = rects[:, 2] > rects[:, 0]
+    left_b = valid_b & ~resolved
+    bi, nb, in_rect, mvx_pix, mvy_pix = _motion_pixel_maps(
+        rects, mvs, valid_b, h, w
     )
-    return out
+    nbx = -(-w // BLOCK)
+    nby = -(-h // BLOCK)
+    leftg = jnp.zeros((nb + 1,), bool).at[bi].set(left_b, mode="drop")
+    g = leftg[:nb].reshape(nby, 1, nbx, 1)
+    g = jnp.broadcast_to(g, (nby, BLOCK, nbx, BLOCK))
+    leftpix = g.reshape(nby * BLOCK, nbx * BLOCK)[:h, :w]
+    pixm = in_rect & leftpix
+    src = jnp.clip((ys + mvy_pix) * w + xs + mvx_pix, 0, h * w - 1)
+    vals = prev.reshape(h * w, 3)[src.reshape(-1)].reshape(h, w, 3)
+    return jnp.where(pixm[..., None], vals, out)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "mcap"))
+def apply_motion(frame, prev, rects, mvs, h: int, w: int, mcap: int):
+    """Copy motion blocks from prev (shifted) into frame.
+    rects [mcap,4]; mvs [mcap,2]; padded rows must have x2<=x1.
+
+    Screen motion is dominated by a handful of distinct MVs (scroll = 1), so
+    the hot path iterates distinct MVs applying one whole-frame shifted
+    SLICE + masked select each (a [mcap,16,16,3] gather lowers to ~100 ms on
+    TPU; slices+selects are ~1 ms). Blocks beyond MOTION_DISTINCT_CAP
+    distinct MVs fall back to the gather path inside a lax.cond (real at
+    this single-stream level; batched decoders lift it above their vmap)."""
+    out, resolved = apply_motion_loop(frame, prev, rects, mvs, h, w, mcap)
+    return jax.lax.cond(
+        jnp.any(~resolved),
+        lambda o: apply_motion_gather(o, prev, rects, mvs, resolved, h, w, mcap),
+        lambda o: o,
+        out,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -454,18 +491,14 @@ def classify_assemble(frame, prev, rects_cap, n_data, h: int, w: int, bcap: int)
     return pix_cap, lit_cap, counts
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("h", "w", "nbx", "nby", "kts", "caps", "mcap", "bcap"),
-)
-def decode_p_device(payloads, ns, xx1, xx2, n_data, prev, tables,
-                    h: int, w: int, nbx: int, nby: int, kts, caps, mcap: int, bcap: int):
-    """Fully fused P-frame decode: five section scans, BT-run expansion,
-    per-block rect/record resolution (cumsum + searchsorted + scatter — the
-    tensor replacement for the reference's serial block walk,
-    `DecompressP`, screencap.cpp:1275-1432), motion apply and data-block
-    reconstruction. Stream-consistency violations set bits in `err` instead
-    of raising (the host raises CorruptStreamError on err != 0)."""
+def decode_p_resolve(payloads, ns, xx1, xx2, n_data, prev, tables,
+                     h: int, w: int, nbx: int, nby: int, kts, caps,
+                     mcap: int, bcap: int):
+    """Section scans + BT-run expansion + per-block rect/record resolution
+    (everything up to the pixel rebuild). Returns
+    ((mo_rects, mo_mvs, d_rects, pt, rlg, lt), err, tables) — the inputs
+    rebuild_frame_device needs; split out so batched decoders can vmap the
+    resolution but lift rare rebuild fallbacks above the vmap."""
     recs, tables = decode_sections_device(payloads, ns, tables, kts, caps)
     bt, sxy, mv = recs["bt"], recs["sxy"], recs["mv"]
     pix, lit = recs["rec"], recs["col"]
@@ -567,9 +600,26 @@ def decode_p_device(payloads, ns, xx1, xx2, n_data, prev, tables,
         jnp.where(is_lit_rec[:, None], litv, 0), mode="drop"
     )
 
-    out = rebuild_frame_device(
-        prev, mo_rects, mo_mvs, d_rects, pt, rlg, lt, h, w, mcap, bcap
+    return (mo_rects, mo_mvs, d_rects, pt, rlg, lt), err, tables
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "w", "nbx", "nby", "kts", "caps", "mcap", "bcap"),
+)
+def decode_p_device(payloads, ns, xx1, xx2, n_data, prev, tables,
+                    h: int, w: int, nbx: int, nby: int, kts, caps, mcap: int, bcap: int):
+    """Fully fused P-frame decode: five section scans, BT-run expansion,
+    per-block rect/record resolution (cumsum + searchsorted + scatter — the
+    tensor replacement for the reference's serial block walk,
+    `DecompressP`, screencap.cpp:1275-1432), motion apply and data-block
+    reconstruction. Stream-consistency violations set bits in `err` instead
+    of raising (the host raises CorruptStreamError on err != 0)."""
+    parts, err, tables = decode_p_resolve(
+        payloads, ns, xx1, xx2, n_data, prev, tables, h, w, nbx, nby, kts,
+        caps, mcap, bcap,
     )
+    out = rebuild_frame_device(prev, *parts, h, w, mcap, bcap)
     return out, err, tables
 
 
@@ -628,6 +678,20 @@ def encode_p_dispatch(frame, prev, cfg: CodecConfig):
     return arrs, counts, flat
 
 
+def _map_chunk(h: int, w: int) -> int:
+    """lax.map batch_size for per-frame analysis: chunked map vmaps inside
+    each chunk, so busy frames parallelize instead of serializing (a
+    lockstep scroll batch costs chunks, not frames, of dense probe passes)
+    while a chunk of idle frames still takes the cheap tier. Sized by frame
+    area to bound the dense-path intermediates; SPTC_MAP_CHUNK overrides."""
+    import os
+
+    env = os.environ.get("SPTC_MAP_CHUNK")
+    if env:
+        return max(1, int(env))
+    return max(1, min(8, (1 << 22) // max(h * w, 1)))
+
+
 @functools.partial(jax.jit, static_argnames=(
     "h", "w", "nby", "nbx", "rmax", "nbp", "msr_x", "msr_y", "mlow"))
 def _p_dispatch_map(frames, prevs, cands, cols, h, w, nby, nbx, rmax, nbp,
@@ -639,7 +703,7 @@ def _p_dispatch_map(frames, prevs, cands, cols, h, w, nby, nbx, rmax, nbp,
         )
         return arrs, jnp.concatenate([counts, flat])
 
-    return jax.lax.map(one, (frames, prevs))
+    return jax.lax.map(one, (frames, prevs), batch_size=_map_chunk(h, w))
 
 
 @functools.partial(jax.jit, static_argnames=("m",))

@@ -65,13 +65,30 @@ def _batched_loss(frames, loss: int):
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w"))
-def _batched_counts(frames, h, w):
-    def one(frame):
-        records, n_rec, lits, n_lit = classify_i(frame, h, w)
-        flat = jnp.all(frame == frame[0, 0])
+def _batched_counts(frames, own, h, w):
+    """I-frame record classification for the streams selected by `own`.
+
+    lax.map + cond so non-keyframe streams skip classify_i entirely: on a
+    staggered-keyframe step only 1-2 of S streams keyframe, and a vmapped
+    whole-frame classify for all S costs ~1.1 s at 64x360p (measured) while
+    the two real ones cost ~30 ms."""
+
+    def one(args):
+        frame, ow = args
+
+        def run():
+            records, n_rec, lits, n_lit = classify_i(frame, h, w)
+            return records, n_rec, lits, n_lit
+
+        shapes = jax.eval_shape(run)
+        records, n_rec, lits, n_lit = jax.lax.cond(
+            ow, run,
+            lambda: jax.tree.map(lambda sd: jnp.zeros(sd.shape, sd.dtype), shapes),
+        )
+        flat = ow & jnp.all(frame == frame[0, 0])
         return records, n_rec, lits, n_lit, flat, frame[0, 0]
 
-    return jax.vmap(one)(frames)
+    return jax.lax.map(one, (frames, own))
 
 
 @functools.partial(_kernel_jit, static_argnames=("k", "t_rec", "t_col", "pack_cap"))
@@ -260,6 +277,33 @@ def _batched_analyze(frames, prevs, cands, cols, h, w, nby, nbx, rmax, nbp,
         return arrs, counts, flat
 
     return jax.lax.map(one, (frames, prevs))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "h", "w", "nby", "nbx", "rmax", "nbp", "msr_x", "msr_y", "mlow"))
+def _batched_analyze_dense(frames, prevs, cands, cols, h, w, nby, nbx, rmax,
+                           nbp, msr_x, msr_y, mlow):
+    """Vmapped analysis for busy batches (measured at 64x360p: 88 ms vs the
+    serial map's 250 ms on an all-streams-typing step). force_dense keeps a
+    single probe tier so vmap doesn't run both as selects; MV choice is
+    bitstream-identical to the tiered path (first-match order preserved —
+    see motion_search_pruned). The encoder picks this variant when the
+    previous step had many active streams (_DENSE_BATCH_MIN)."""
+    from screenpressor_tpu.jx import blocks as jb2
+
+    def one(f, pv):
+        return jb2.analyze_compact(
+            f, pv, cands, cols, h, w, nby, nbx, rmax, nbp, msr_x, msr_y,
+            mlow, force_dense=True,
+        )
+
+    return jax.vmap(one)(frames, prevs)
+
+
+# switch to the vmapped dense analysis when at least this many streams were
+# active on the previous step (sticky heuristic; mispredicts cost time only,
+# never bytes — both paths make identical MV choices)
+_DENSE_BATCH_MIN = 16
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "bcap"))
@@ -479,6 +523,9 @@ class BatchedEncoder:
         self._bucket_key = bkey
         cached = _BUCKET_CACHE.get(bkey, (256, 4096, 65536))
         self._bcap, self._pack_cap, self._pack_cap_i = cached
+        # active-stream count of the previous step (vmapped-vs-serial
+        # analysis heuristic; see _batched_analyze_dense)
+        self._last_active = 0
 
     def _dput(self, a):
         x = jnp.asarray(a)
@@ -568,7 +615,7 @@ class BatchedEncoder:
         s, h, w = self.s, cfg.height, cfg.width
         dev_frames = frames
         records_b, n_rec_d, lits_b, n_lit_d, flat_d, c0_d = _batched_counts(
-            dev_frames, h, w)
+            dev_frames, self._dput(jnp.asarray(own)), h, w)
 
         n_rec, n_lit, flat, c0 = yield (n_rec_d, n_lit_d, flat_d, c0_d)
         flat = np.asarray(flat)
@@ -684,7 +731,10 @@ class BatchedEncoder:
         from screenpressor_tpu.jx.codec import _phase_timer
         mark = _phase_timer()
 
-        arrs, counts, flat4 = _batched_analyze(
+        analyze = (_batched_analyze_dense
+                   if self._last_active >= _DENSE_BATCH_MIN
+                   else _batched_analyze)
+        arrs, counts, flat4 = analyze(
             dev_frames, dev_prevs, cands, cols, h, w, nby, nbx, rmax, nbp,
             cfg.msr_x, cfg.msr_y, mlow,
         )
@@ -724,6 +774,7 @@ class BatchedEncoder:
                 continue
             active[i] = True
         self._renew_streams(jnp.asarray(renew_mask))
+        self._last_active = int(active.sum())
         if not active.any():
             return out
 
@@ -908,15 +959,48 @@ def _batched_decode_i(pay_rec, pay_col, n_rec_b, n_lit_b, skip, tables_b,
 @functools.partial(_kernel_jit, static_argnames=("h", "w", "nbx", "nby", "kts", "caps", "mcap", "bcap"))
 def _batched_decode_p(payloads_b, ns_b, xx1_b, xx2_b, n_data_b, prevs, tables_b,
                       h, w, nbx, nby, kts, caps, mcap, bcap):
-    from screenpressor_tpu.jx.pframe import decode_p_device
+    """Batched P decode with the motion gather fallback lifted ABOVE the
+    stream vmap: under vmap apply_motion's per-stream lax.cond flattens to
+    a select, so the rare per-pixel gather (for >MOTION_DISTINCT_CAP
+    distinct or >rpad MVs) would run for all S streams every step — a
+    measured ~150 ms of the 196 ms step decode at 64x360p. At top level the
+    cond stays a real branch and the steady state never pays it."""
+    from screenpressor_tpu.jx.pframe import (
+        apply_motion_gather,
+        apply_motion_loop,
+        decode_p_resolve,
+        reconstruct_blocks,
+    )
 
-    def one(payloads, ns, xx1, xx2, n_data, prev, tables):
-        return decode_p_device(
+    def one_resolve(payloads, ns, xx1, xx2, n_data, prev, tables):
+        return decode_p_resolve(
             payloads, ns, xx1, xx2, n_data, prev, tables,
             h, w, nbx, nby, kts, caps, mcap, bcap,
         )
 
-    return jax.vmap(one)(payloads_b, ns_b, xx1_b, xx2_b, n_data_b, prevs, tables_b)
+    parts, err, tables2 = jax.vmap(one_resolve)(
+        payloads_b, ns_b, xx1_b, xx2_b, n_data_b, prevs, tables_b
+    )
+    mo_rects, mo_mvs, d_rects, pt, rlg, lt = parts
+    moved, resolved = jax.vmap(
+        lambda pv, r, m: apply_motion_loop(pv, pv, r, m, h, w, mcap)
+    )(prevs, mo_rects, mo_mvs)
+    moved = jax.lax.cond(
+        jnp.any(~resolved),
+        lambda o: jax.vmap(
+            lambda oo, pv, r, m, res: apply_motion_gather(
+                oo, pv, r, m, res, h, w, mcap
+            )
+        )(o, prevs, mo_rects, mo_mvs, resolved),
+        lambda o: o,
+        moved,
+    )
+    frames = jax.vmap(
+        lambda base, pv, a, b, c, d: reconstruct_blocks(
+            base, pv, a, b, c, d, h, w, bcap
+        )
+    )(moved, prevs, d_rects, pt, rlg, lt)
+    return frames, err, tables2
 
 
 class BatchedDecoder:

@@ -182,3 +182,26 @@ def test_serving_full_profile_64_streams_360p():
         nxt = np.roll(cur, 4, axis=1)  # scroll all streams
         nxt[:, 40:46, 50:58] = rng.integers(0, 256, (s, 6, 8, 3))
         cur = nxt
+
+
+def test_dense_batch_analysis_bytes_match_serial():
+    # the vmapped force_dense analysis (busy-batch heuristic) must make the
+    # exact MV/record choices of the serial tiered path: encode the same
+    # sequence with the heuristic forced on and off, bytes must be equal
+    s, h, w = 4, 32, 48
+    cfg = CodecConfig(width=w, height=h, k_fixed=8, msr_x=8, msr_y=8)
+    f0 = np.stack([synth_desktop(h, w, seed=i) for i in range(s)])
+    f1 = np.stack([np.roll(f, 4, axis=0) for f in f0])   # scroll everywhere
+    f2 = f1.copy()
+    f2[:, 6:10, 8:22] = (1, 250, 9)                      # data blocks
+
+    outs = {}
+    for forced in (0, 10**9):
+        enc = BatchedEncoder(s, cfg)
+        enc.encode(f0)
+        enc._last_active = forced  # force serial (0) / dense (huge) paths
+        o1 = enc.encode(f1)
+        enc._last_active = forced
+        o2 = enc.encode(f2)
+        outs[forced] = (o1, o2)
+    assert outs[0] == outs[10**9]
