@@ -195,7 +195,10 @@ def _rarity_probes(fr2d, pv2d, diff, h: int, w: int, nby: int, nbx: int):
     """
     q = ((fr2d >> 3) & 0x1F) | ((fr2d >> 6) & 0x3E0) | ((fr2d >> 9) & 0x7C00)
     qp = ((pv2d >> 3) & 0x1F) | ((pv2d >> 6) & 0x3E0) | ((pv2d >> 9) & 0x7C00)
-    sub = qp[::4, ::4].reshape(-1)
+    # ::8 subsample: dominant-color ranking is robust to it, and the
+    # scatter-add histogram is this function's dominant cost (prune-quality
+    # knob only — never changes bytes)
+    sub = qp[::8, ::8].reshape(-1)
     hist = jnp.zeros((32768,), jnp.int32).at[sub].add(1)
     _, doms = jax.lax.top_k(hist, 4)
     common = jnp.any(q[:, :, None] == doms[None, None, :], axis=-1)
@@ -219,119 +222,158 @@ def _rarity_probes(fr2d, pv2d, diff, h: int, w: int, nby: int, nbx: int):
     return p1, p2
 
 
-def _probe_ok_dense(pv2d, fr_pack, pflat, h: int, w: int, nby: int, nbx: int,
-                    msr_x: int, msr_y: int, mlow: int):
-    """[nb, ncol] probe-plausibility rows for one probe per block, gather-free.
+def _fold16(v):
+    """24-bit packed pixel -> int16 prune key. Collisions only ADD plausible
+    candidates (the exact verify rejects them), so folding is bitstream-
+    neutral; it halves the traffic of the dense probe select-chains."""
+    return (v ^ (v >> 13)).astype(jnp.int16)
 
-    Replaces per-block window gathers (~2 us/row on TPU: 44 ms at 1080p)
-    with dense reshape/one-hot extractions whose cost depends only on the
-    frame area (~2-3 ms at 1080p):
+
+def _probe_ok_dense(pv2d, fr_pack, probes2, h: int, w: int, nby: int,
+                    nbx: int, msr_x: int, msr_y: int, mlow: int):
+    """[nb, ncol] dual-probe plausibility rows, gather-free.
+
+    probes2: (p1, p2) flat probe indices per block — BOTH probes are
+    evaluated in one pass so the sliced prev tensors (the dominant traffic)
+    are read once. Replaces per-block window gathers (~2 us/row on TPU:
+    44 ms at 1080p) with dense reshape extractions whose cost depends only
+    on the frame area:
       - the probe's block index is static per row, so each block's
         candidate window is a `_diag_windows` strided reshape;
       - the probe's position inside the block takes only BLOCK values, so
-        one-hot einsum (MXU) selects the probe row/column and
-        `_shift_select` aligns the compare result.
+        a where-chain of BLOCK static slices selects the probe row/column
+        and `_shift_select` aligns the compare result;
+      - compares run on int16-folded values (`_fold16`) — prune-only, so
+        fold collisions are bitstream-safe.
     Rows of unchanged blocks are garbage; callers mask with the change map.
     """
     nb = nby * nbx
     wsz = 2 * mlow + 1
-    neg1 = jnp.int32(-1)
-    px = (pflat % w).reshape(nby, nbx)
-    py = (pflat // w).reshape(nby, nbx)
-    bxg = jnp.arange(nbx)[None, :]
-    byg = jnp.arange(nby)[:, None]
-    rx = px - bxg * BLOCK  # [nby, nbx] in [0, BLOCK)
-    ry = py - byg * BLOCK
-    fr_probe_i = fr_pack[pflat].reshape(nby, nbx)
+    neg1 = jnp.int16(-1)
+    pv16 = _fold16(pv2d)
+
+    rxs, rys, frp = [], [], []
+    for pflat in probes2:
+        px = (pflat % w).reshape(nby, nbx)
+        py = (pflat // w).reshape(nby, nbx)
+        rxs.append(px - jnp.arange(nbx)[None, :] * BLOCK)  # in [0, BLOCK)
+        rys.append(py - jnp.arange(nby)[:, None] * BLOCK)
+        frp.append(_fold16(fr_pack[pflat]).reshape(nby, nbx))
 
     # ---- vertical candidates: dy in [-msr_y, msr_y) ----
     lc = max(h + 2 * msr_y, BLOCK * (nby - 1) + 2 * msr_y + BLOCK)
     pvt = jnp.full((nbx * BLOCK, lc), neg1).at[:w, msr_y : msr_y + h].set(
-        pv2d.T
+        pv16.T
     )
     t16 = pvt.reshape(nbx, BLOCK, lc)
-    # c1[by, bx, y] = pvT[bx*16 + rx[by,bx], y]: rx takes only BLOCK values,
-    # so a where-chain of BLOCK static slices replaces the row gather
-    # (int32 select — an MXU one-hot matmul would round at bf16 precision)
-    c1 = jnp.broadcast_to(t16[None, :, 0, :], (nby, nbx, lc))
-    for s in range(1, BLOCK):
-        c1 = jnp.where((rx == s)[..., None], t16[None, :, s, :], c1)
-    vc = _diag_windows(
-        c1.transpose(1, 0, 2), BLOCK, 2 * msr_y + BLOCK
-    ).transpose(1, 0, 2)  # [nby, nbx, 2*msr_y + 16]
-    eqc = vc == fr_probe_i[..., None]
-    col_ok = _shift_select(eqc, ry, 2 * msr_y).reshape(nb, 2 * msr_y)
+    col_ok = None
+    for rx, ry, fp in zip(rxs, rys, frp):
+        # c1[by, bx, y] = pvT[bx*16 + rx[by,bx], y]: rx takes only BLOCK
+        # values, so a where-chain of BLOCK static slices replaces the gather
+        c1 = jnp.broadcast_to(t16[None, :, 0, :], (nby, nbx, lc))
+        for s in range(1, BLOCK):
+            c1 = jnp.where((rx == s)[..., None], t16[None, :, s, :], c1)
+        vc = _diag_windows(
+            c1.transpose(1, 0, 2), BLOCK, 2 * msr_y + BLOCK
+        ).transpose(1, 0, 2)  # [nby, nbx, 2*msr_y + 16]
+        eqc = vc == fp[..., None]
+        ok = _shift_select(eqc, ry, 2 * msr_y).reshape(nb, 2 * msr_y)
+        col_ok = ok if col_ok is None else (col_ok & ok)
 
     # ---- horizontal candidates: dx in [-msr_x, msr_x) ----
     lr = max(w + 2 * msr_x, BLOCK * (nbx - 1) + 2 * msr_x + BLOCK)
     pvh = jnp.full((nby * BLOCK, lr), neg1).at[:h, msr_x : msr_x + w].set(
-        pv2d
+        pv16
     )
     h16 = pvh.reshape(nby, BLOCK, lr)
-    r1 = jnp.broadcast_to(h16[:, None, 0, :], (nby, nbx, lr))
-    for s in range(1, BLOCK):
-        r1 = jnp.where((ry == s)[..., None], h16[:, None, s, :], r1)
-    vr = _diag_windows(r1, BLOCK, 2 * msr_x + BLOCK)
-    eqr = vr == fr_probe_i[..., None]
-    row_ok = _shift_select(eqr, rx, 2 * msr_x).reshape(nb, 2 * msr_x)
+    row_ok = None
+    for rx, ry, fp in zip(rxs, rys, frp):
+        r1 = jnp.broadcast_to(h16[:, None, 0, :], (nby, nbx, lr))
+        for s in range(1, BLOCK):
+            r1 = jnp.where((ry == s)[..., None], h16[:, None, s, :], r1)
+        vr = _diag_windows(r1, BLOCK, 2 * msr_x + BLOCK)
+        eqr = vr == fp[..., None]
+        ok = _shift_select(eqr, rx, 2 * msr_x).reshape(nb, 2 * msr_x)
+        row_ok = ok if row_ok is None else (row_ok & ok)
 
     # ---- low window: (dy, dx) in [-mlow, mlow]^2 (mlow <= 8) ----
     hb, wb = nby * BLOCK, nbx * BLOCK
     pvw = jnp.full((hb + 2 * BLOCK, wb + 2 * BLOCK), neg1).at[
         mlow : mlow + h, mlow : mlow + w
-    ].set(pv2d)
+    ].set(pv16)
     ty = pvw.reshape(nby + 2, BLOCK, wb + 2 * BLOCK)
     w32 = jnp.concatenate([ty[:-2], ty[1:-1]], axis=1)  # [nby, 32, wb+32]
     tx = w32.reshape(nby, 2 * BLOCK, nbx + 2, BLOCK)
     w32x = jnp.concatenate([tx[..., :-2, :], tx[..., 1:-1, :]], axis=-1)
-    # [nby, 32, nbx, 32]; row u = pv2d[16*by + u - mlow], col e likewise
-    eqw = w32x == fr_probe_i[:, None, :, None]
-    # ry-select rows (u = ry + d, d in [0, wsz)):
-    wy = jnp.zeros((nby, wsz, nbx, 2 * BLOCK), bool)
-    for s in range(BLOCK):
-        wy = wy | ((ry == s)[:, None, :, None] & eqw[:, s : s + wsz])
-    # rx-select cols (e = rx + i, i in [0, wsz)):
-    ww = jnp.zeros((nby, wsz, nbx, wsz), bool)
-    for s in range(BLOCK):
-        ww = ww | ((rx == s)[:, None, :, None] & wy[..., s : s + wsz])
-    win_ok = ww.transpose(0, 2, 1, 3).reshape(nb, wsz * wsz)
+    win_ok = None
+    for rx, ry, fp in zip(rxs, rys, frp):
+        # [nby, 32, nbx, 32]; row u = pv2d[16*by + u - mlow], col e likewise
+        eqw = w32x == fp[:, None, :, None]
+        # ry-select rows (u = ry + d, d in [0, wsz)):
+        wy = jnp.zeros((nby, wsz, nbx, 2 * BLOCK), bool)
+        for s in range(BLOCK):
+            wy = wy | ((ry == s)[:, None, :, None] & eqw[:, s : s + wsz])
+        # rx-select cols (e = rx + i, i in [0, wsz)):
+        ww = jnp.zeros((nby, wsz, nbx, wsz), bool)
+        for s in range(BLOCK):
+            ww = ww | ((rx == s)[:, None, :, None] & wy[..., s : s + wsz])
+        ok = ww.transpose(0, 2, 1, 3).reshape(nb, wsz * wsz)
+        win_ok = ok if win_ok is None else (win_ok & ok)
 
     return jnp.concatenate([col_ok, row_ok, win_ok], axis=1)
 
 
+def _mv_cands_static(msr_x: int, msr_y: int, low_x: int, low_y: int):
+    """Trace-time candidate list (python ints) for static-slice pre-sweeps.
+    Must equal spec.mv_candidates for the same config — guaranteed by
+    calling it."""
+    import types
+
+    cfg = types.SimpleNamespace(
+        msr_x=msr_x, msr_y=msr_y, msr_low_x=low_x, msr_low_y=low_y
+    )
+    return mv_candidates(cfg)
+
+
 def motion_search_pruned(frame, prev, rects, in_sub, changed, probes, cands,
                          h: int, w: int, nby: int, nbx: int, rmax: int,
-                         cand_cols, msr_x: int, msr_y: int, mlow: int,
-                         force_dense: bool = False):
-    """First-match motion search with a probe pre-screen.
+                         cand_cols, msr_x: int, msr_y: int, low_x: int,
+                         low_y: int, force_dense: bool = False):
+    """First-match motion search: vectorized pre-sweep + probe pre-screen.
 
-    For each (candidate, block) two changed probe pixels are compared
-    first; the whole-frame shifted compare runs only for candidates some
-    unresolved block could still match. Identical choice to spec.find_mv
-    (same order, full verification before acceptance): probe pruning is
-    bitstream-neutral because a block that truly matches a candidate MV
-    matches at every changed pixel, so a probe only removes candidates the
-    full verify would reject anyway.
+    Stage 1 (pre-sweep): the first PRE spec-order candidates are verified
+    for every changed block in one vectorized pass — candidates are static
+    python values, so each shifted compare is a static slice (no loop
+    sequencing, ~25 us each at 1080p). Screen content (scrolls, window
+    moves) usually resolves here.
+    Stage 2: blocks still unresolved take a probe-pruned sweep over the
+    remaining candidates. Tier by UNRESOLVED count (a 6000-changed-block
+    scroll usually leaves <100 unresolved):
+      - small tier (<= _PROBE_SMALL_CAP unresolved): per-block window
+        gathers for dual probes AND for sweep verification (~20 us per
+        candidate vs ~190 us whole-frame);
+      - dense tier: rarity-selected dual probes (`_rarity_probes`) +
+        gather-free probe matrix (`_probe_ok_dense`) + whole-frame verify.
+    Identical choice to spec.find_mv (same order, full verification before
+    acceptance): probe pruning is bitstream-neutral because a block that
+    truly matches a candidate MV matches at every changed pixel, so a probe
+    only removes candidates the full verify would reject anyway. Both sweeps
+    track per-block LAST plausible indices so blocks with no remaining
+    plausible candidate are dead and cannot keep the sweep alive.
 
     probes: pair of [nby, nbx] flat indices of changed pixels per block
     (first and last changed pixel; used by the small tier).
     cand_cols: [C] static column of each candidate in the concatenated
     [vert | horz | window] ok-matrix (host-computed).
+    force_dense: static flag for vmapped callers (serving) — lax.cond
+    flattens to a select under vmap, so the tier cond would run BOTH tiers
+    per stream; dense-only keeps one code path.
     Returns choice [nby, nbx] int32 (C = no match).
-
-    Perf model (1080p measurements):
-      - small tier (<= _PROBE_SMALL_CAP changed blocks): per-block window
-        gathers over just the changed blocks (dual probe);
-      - dense tier: rarity-selected dual probes (`_rarity_probes`) +
-        gather-free probe matrix (`_probe_ok_dense`);
-      - the verify sweep compares channel-packed int32 frames (~0.03 ms
-        per candidate vs 0.7 ms for 3x int16) and tracks per-block
-        last-plausible indices, so blocks with no remaining plausible
-        candidate are dead and cannot keep the sweep alive (the old static
-        exit condition made one unresolvable block cost a full ~1300
-        candidate sweep, ~344 ms).
     """
+    mlow = max(low_x, low_y)
     c_count = cands.shape[0]
+    cands_np = _mv_cands_static(msr_x, msr_y, low_x, low_y)
+    assert len(cands_np) == c_count, (len(cands_np), c_count)
     nb = nby * nbx
     rects_f = rects.reshape(nb, 4)
     x1, y1, x2, y2 = (rects_f[:, 0], rects_f[:, 1], rects_f[:, 2],
@@ -370,132 +412,217 @@ def motion_search_pruned(frame, prev, rects, in_sub, changed, probes, cands,
     chb = changed.reshape(nb)
     pcap = min(_PROBE_SMALL_CAP, nb)
 
-    def small_probe():
-        idx = jnp.cumsum(chb) - 1
-        sel = jnp.full((pcap,), nb, jnp.int32).at[
-            jnp.where(chb, idx, pcap)
-        ].set(jnp.arange(nb, dtype=jnp.int32), mode="drop")
-        ok_rows_valid = sel < nb
-        selc = jnp.clip(sel, 0, nb - 1)
-        oks = (
-            probe_rows(probes[0].reshape(nb)[selc])
-            & probe_rows(probes[1].reshape(nb)[selc])
-            & ok_rows_valid[:, None]
-        )
-        return jnp.zeros((nb, ncol), bool).at[
-            jnp.where(ok_rows_valid, selc, nb)
-        ].set(oks, mode="drop")
+    # prev padded once for whole-frame verifies AND windowed gathers (the
+    # +BLOCK slop lets 16x16 window slices anchored anywhere in-frame)
+    pvP = jnp.pad(
+        pv2d, ((rmax, rmax + BLOCK), (rmax, rmax + BLOCK)), constant_values=-1
+    )
+    hpad, wpad = nby * BLOCK - h, nbx * BLOCK - w
 
-    def dense_probe():
-        if mlow > BLOCK // 2:  # static config guard: low window exceeds the
-            # two-tile decomposition of _probe_ok_dense; fall back to the
-            # single-probe gather pass
-            return probe_rows(probes[0].reshape(nb)) & chb[:, None]
-        diff = jnp.any(frame != prev, axis=-1)
-        r1, r2 = _rarity_probes(fr2d, pv2d, diff, h, w, nby, nbx)
-        ok = _probe_ok_dense(pv2d, fr_pack, r1.reshape(nb), h, w, nby, nbx,
-                             msr_x, msr_y, mlow)
-        ok &= _probe_ok_dense(pv2d, fr_pack, r2.reshape(nb), h, w, nby, nbx,
-                              msr_x, msr_y, mlow)
-        return ok & chb[:, None]
-
-    pvP = jnp.pad(pv2d, ((rmax, rmax), (rmax, rmax)), constant_values=-1)
-    sub_pad = jnp.zeros((nby * BLOCK, nbx * BLOCK), bool).at[:h, :w].set(in_sub)
+    def block_any(px_bool_hw):
+        """[h, w] bool -> [nb] per-block any (pads with False)."""
+        p = jnp.pad(px_bool_hw, ((0, hpad), (0, wpad)))
+        return p.reshape(nby, BLOCK, nbx, BLOCK).any(axis=(1, 3)).reshape(nb)
 
     def full_check(ci):
         """[nb] per-block exact-match verdict for candidate ci (whole-frame
-        shifted compare; ~0.03 ms at 1080p)."""
+        shifted compare; ~0.03 ms at 1080p). Traced ci."""
         mx, my = cands[ci, 0], cands[ci, 1]
         win = jax.lax.dynamic_slice(pvP, (rmax + my, rmax + mx), (h, w))
-        neq = win != fr2d
-        neq_pad = jnp.ones((nby * BLOCK, nbx * BLOCK), bool).at[:h, :w].set(neq)
-        bad = (neq_pad & sub_pad).reshape(
-            nby, BLOCK, nbx, BLOCK
-        ).any(axis=(1, 3)).reshape(nb)
+        bad = block_any((win != fr2d) & in_sub)
         inb_ci = (
             (x1 + mx >= 0) & (x2 + mx <= w) & (y1 + my >= 0) & (y2 + my <= h)
         )
         return ~bad & inb_ci & chb
 
+    # ---- stage 1: vectorized pre-sweep over static candidates ----
+    # First-match order is preserved (min matching index) -> bitstream-
+    # neutral. Always on: with static slices there is no loop overhead to
+    # skip, and under vmap it shrinks every stream's plausible set.
+    def presweep(base, lo: int, hi: int):
+        """Verify static candidates [lo, hi) for every changed block still
+        unresolved in `base`; returns min-index merge (spec order)."""
+        matches = []
+        for ci in range(lo, hi):
+            mx, my = cands_np[ci]
+            win = jax.lax.slice(
+                pvP, (rmax + my, rmax + mx), (rmax + my + h, rmax + mx + w)
+            )
+            bad = block_any((win != fr2d) & in_sub)
+            inb_ci = (
+                (x1 + mx >= 0) & (x2 + mx <= w)
+                & (y1 + my >= 0) & (y2 + my <= h)
+            )
+            matches.append(~bad & inb_ci & chb)
+        m_pre = jnp.stack(matches)  # [hi-lo, nb]
+        ii = jnp.arange(lo, hi, dtype=jnp.int32)[:, None]
+        found = jnp.min(jnp.where(m_pre, ii, c_count), axis=0).astype(jnp.int32)
+        return jnp.where(base == c_count, found, base)
+
+    pre1 = min(24, c_count)
+    pre2 = min(64, c_count)
     best0 = jnp.full((nb,), c_count, jnp.int32)
-
-    # ---- pre-sweep: directly verify the top-priority candidates before
-    # paying for the probe matrices. Screen content (scrolls, window moves)
-    # usually resolves every changed block within the first few spec-order
-    # candidates, letting the cond below skip the probe passes entirely
-    # (~7 ms at 1080p). First-match order is unchanged -> bitstream-neutral.
-    # Skipped under vmap (force_dense): lax.cond flattens to a select there,
-    # so the probe passes would run anyway and the pre-sweep is pure cost.
-    pre = 0 if force_dense else min(24, c_count)
-    if pre:
-        def pre_body(carry):
-            best, ci = carry
-            match = full_check(ci)
-            best = jnp.where(match & (best == c_count), ci, best)
-            return best, ci + 1
-
-        def pre_cond(carry):
-            best, ci = carry
-            return (ci < pre) & jnp.any(chb & (best == c_count))
-
-        best0, _ = jax.lax.while_loop(pre_cond, pre_body, (best0, jnp.int32(0)))
+    if pre1:
+        best0 = presweep(best0, 0, pre1)
+    n1 = (chb & (best0 == c_count)).sum()
+    # stage 2 (busy frames only): extend the verified prefix through the
+    # vertical +-32 candidates — scrolls are THE dominant screen motion and
+    # usually land here, skipping the probe passes entirely. Runtime cond:
+    # small edits go straight to the gather tier without paying 40 more
+    # whole-frame compares.
+    if pre2 > pre1 and not force_dense:
+        best0 = jax.lax.cond(
+            n1 > 96,
+            lambda: presweep(best0, pre1, pre2),
+            lambda: best0,
+        )
+        verified_upto = jnp.where(n1 > 96, pre2, pre1)
+    elif force_dense and pre2 > pre1:
+        best0 = presweep(best0, pre1, pre2)
+        verified_upto = jnp.int32(pre2)
+    else:
+        verified_upto = jnp.int32(pre1)
     unresolved = chb & (best0 == c_count)
+    n_unres = unresolved.sum()
 
-    def probes_all():
-        if force_dense:
-            # vmapped callers (serving): lax.cond flattens to a select under
-            # vmap, so BOTH tiers would run for every stream — the small
-            # tier's per-block gathers are pure waste there
-            return dense_probe()
-        return jax.lax.cond(chb.sum() <= pcap, small_probe, dense_probe)
-
-    ok_all = jax.lax.cond(
-        jnp.any(unresolved), probes_all, lambda: jnp.zeros((nb, ncol), bool)
-    )
-
-    # [nb, C] plausibility: probe says possible AND shifted sub-rect stays
-    # inside the frame AND the block is still unresolved
     mxs, mys = cands[:, 0], cands[:, 1]
-    inb = (
+    inb_all = (
         (x1[:, None] + mxs[None, :] >= 0)
         & (x2[:, None] + mxs[None, :] <= w)
         & (y1[:, None] + mys[None, :] >= 0)
         & (y2[:, None] + mys[None, :] <= h)
     )
-    plaus = ok_all[:, cand_cols] & inb & unresolved[:, None]
-
     iota_c = jnp.arange(c_count, dtype=jnp.int32)
-    # static jump table over candidates any block finds plausible, plus a
-    # per-block LAST plausible index: a block past its last plausible is
-    # dead and no longer holds the sweep open
-    anyp = jnp.any(plaus, axis=0)
-    lastp = jnp.max(jnp.where(plaus, iota_c[None, :], -1), axis=1)  # [nb]
     idxc = jnp.arange(c_count + 1, dtype=jnp.int32)
-    nxt = jax.lax.cummin(
-        jnp.concatenate([jnp.where(anyp, idxc[:c_count], c_count),
-                         jnp.array([c_count], jnp.int32)]),
-        axis=0, reverse=True,
-    )  # [c_count + 1]
 
-    def verify(best, ci):
-        col = jax.lax.dynamic_slice(plaus, (0, ci), (nb, 1))[:, 0]
-        match = full_check(ci) & col
-        return jnp.where(match & (best == c_count), ci, best)
+    def sweep_tables(plaus):
+        """(anyp-jump-table nxt [C+1], per-row last plausible [rows])."""
+        anyp = jnp.any(plaus, axis=0)
+        lastp = jnp.max(jnp.where(plaus, iota_c[None, :], -1), axis=1)
+        nxt = jax.lax.cummin(
+            jnp.concatenate([jnp.where(anyp, idxc[:c_count], c_count),
+                             jnp.array([c_count], jnp.int32)]),
+            axis=0, reverse=True,
+        )
+        return nxt, lastp
 
-    def body(carry):
-        best, ci = carry
-        best = verify(best, ci)
-        return best, nxt[jnp.minimum(ci + 1, c_count)]
+    # ---- small tier: probe + verify via per-block window gathers.
+    # Cost scales with `pcap` (the probe gathers run for every padded row:
+    # ~2 us each), so a cascade of capacities keeps 1-2-block edits from
+    # paying the full 512-row gather bill. ----
+    def small_tier(pcap):
+        idx = jnp.cumsum(unresolved) - 1
+        sel = jnp.full((pcap,), nb, jnp.int32).at[
+            jnp.where(unresolved, idx, pcap)
+        ].set(jnp.arange(nb, dtype=jnp.int32), mode="drop")
+        row_valid = sel < nb
+        selc = jnp.clip(sel, 0, nb - 1)
+        ok = (
+            probe_rows(probes[0].reshape(nb)[selc])
+            & probe_rows(probes[1].reshape(nb)[selc])
+            & row_valid[:, None]
+        )
+        bx1, by1 = x1[selc], y1[selc]
+        bw_s, bh_s = x2[selc] - bx1, y2[selc] - by1
+        plaus = (
+            ok[:, cand_cols]
+            & inb_all[selc]
+            # pre-sweep already verified everything below verified_upto
+            & (iota_c >= verified_upto)[None, :]
+        )
+        nxt, lastp = sweep_tables(plaus)
 
-    def cond(carry):
-        best, ci = carry
-        # alive = unresolved AND still has a plausible candidate >= ci
-        return (ci < c_count) & jnp.any((best == c_count) & (lastp >= ci))
+        # frame windows gathered once (padded +BLOCK so any anchor fits)
+        fpadW = jnp.pad(
+            fr2d, ((0, BLOCK), (0, BLOCK)), constant_values=-2
+        )
+        cur = jax.vmap(
+            lambda xx, yy: jax.lax.dynamic_slice(fpadW, (yy, xx), (BLOCK, BLOCK))
+        )(bx1, by1)  # [pcap, 16, 16]
+        masks = (
+            (jnp.arange(BLOCK)[None, :, None] < bh_s[:, None, None])
+            & (jnp.arange(BLOCK)[None, None, :] < bw_s[:, None, None])
+        )
 
-    # candidates below `pre` were already fully verified for every block
-    best, _ = jax.lax.while_loop(
-        cond, body, (best0, nxt[jnp.minimum(jnp.int32(pre), c_count)])
-    )
+        def verify(ci):
+            mx, my = cands[ci, 0], cands[ci, 1]
+            win = jax.vmap(
+                lambda xx, yy: jax.lax.dynamic_slice(
+                    pvP, (rmax + yy + my, rmax + xx + mx), (BLOCK, BLOCK)
+                )
+            )(bx1, by1)
+            bad = jnp.any((win != cur) & masks, axis=(1, 2))
+            col = jax.lax.dynamic_slice(plaus, (0, ci), (pcap, 1))[:, 0]
+            return ~bad & col
+
+        def body(carry):
+            best, ci = carry
+            match = verify(ci)
+            best = jnp.where(match & (best == c_count), ci, best)
+            return best, nxt[jnp.minimum(ci + 1, c_count)]
+
+        def cond(carry):
+            best, ci = carry
+            return (ci < c_count) & jnp.any((best == c_count) & (lastp >= ci))
+
+        bs0 = jnp.full((pcap,), c_count, jnp.int32)
+        best_s, _ = jax.lax.while_loop(cond, body, (bs0, nxt[0]))
+        return best0.at[jnp.where(row_valid, selc, nb)].set(
+            best_s, mode="drop"
+        )
+
+    # ---- dense tier: rarity probes + gather-free matrix + whole-frame ----
+    def dense_probe():
+        if mlow > BLOCK // 2:  # static config guard: low window exceeds the
+            # two-tile decomposition of _probe_ok_dense; fall back to the
+            # single-probe gather pass
+            return probe_rows(probes[0].reshape(nb)) & unresolved[:, None]
+        diff = jnp.any(frame != prev, axis=-1)
+        r1, r2 = _rarity_probes(fr2d, pv2d, diff, h, w, nby, nbx)
+        ok = _probe_ok_dense(
+            pv2d, fr_pack, (r1.reshape(nb), r2.reshape(nb)), h, w, nby, nbx,
+            msr_x, msr_y, mlow,
+        )
+        return ok & unresolved[:, None]
+
+    def dense_tier():
+        plaus = (
+            dense_probe()[:, cand_cols]
+            & inb_all
+            & unresolved[:, None]
+            & (iota_c >= verified_upto)[None, :]
+        )
+        nxt, lastp = sweep_tables(plaus)
+
+        def verify(best, ci):
+            col = jax.lax.dynamic_slice(plaus, (0, ci), (nb, 1))[:, 0]
+            match = full_check(ci) & col
+            return jnp.where(match & (best == c_count), ci, best)
+
+        def body(carry):
+            best, ci = carry
+            best = verify(best, ci)
+            return best, nxt[jnp.minimum(ci + 1, c_count)]
+
+        def cond(carry):
+            best, ci = carry
+            return (ci < c_count) & jnp.any((best == c_count) & (lastp >= ci))
+
+        best, _ = jax.lax.while_loop(cond, body, (best0, nxt[0]))
+        return best
+
+    if force_dense:
+        tiered = dense_tier
+    else:
+        caps = sorted({min(96, pcap), pcap})
+        tiered = dense_tier
+        for cap in reversed(caps):
+            def tiered(cap=cap, nxt_tier=tiered):
+                return jax.lax.cond(
+                    n_unres <= cap, lambda: small_tier(cap), nxt_tier
+                )
+
+    best = jax.lax.cond(jnp.any(unresolved), tiered, lambda: best0)
     return best.reshape(nby, nbx)
 
 
@@ -525,11 +652,11 @@ def mv_cand_cols(cands_np, msr_x: int, msr_y: int, mlow: int):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "h", "w", "nby", "nbx", "rmax", "nbp", "msr_x", "msr_y", "mlow",
-    "force_dense"))
+    "h", "w", "nby", "nbx", "rmax", "nbp", "msr_x", "msr_y", "low_x",
+    "low_y", "force_dense"))
 def analyze_compact(frame, prev, cands, cand_cols, h: int, w: int, nby: int,
                     nbx: int, rmax: int, nbp: int, msr_x: int, msr_y: int,
-                    mlow: int, force_dense: bool = False):
+                    low_x: int, low_y: int, force_dense: bool = False):
     """Full P-frame analysis + record compaction, one device call.
 
     Replaces the host loop of `analyze_p` (VERDICT round-1 weak #2): change
@@ -575,7 +702,7 @@ def analyze_compact(frame, prev, cands, cand_cols, h: int, w: int, nby: int,
         )
         return motion_search_pruned(
             frame, prev, rects, in_sub, changed, (p1, p2), cands, h, w, nby,
-            nbx, rmax, cand_cols, msr_x, msr_y, mlow, force_dense,
+            nbx, rmax, cand_cols, msr_x, msr_y, low_x, low_y, force_dense,
         ).reshape(nb)
 
     def with_changes():

@@ -661,7 +661,8 @@ def _cands_rmax(cfg: CodecConfig):
         mlow = int(max(cfg.msr_low_x, cfg.msr_low_y))
         cols = jb.mv_cand_cols(cands_np, cfg.msr_x, cfg.msr_y, mlow)
         rmax = int(max(cfg.msr_x, cfg.msr_y, cfg.msr_low_x, cfg.msr_low_y)) + BLOCK
-        hit = (jnp.asarray(cands_np), jnp.asarray(cols), rmax, mlow)
+        hit = (jnp.asarray(cands_np), jnp.asarray(cols), rmax,
+               (int(cfg.msr_low_x), int(cfg.msr_low_y)))
         _CANDS_CACHE[key] = hit
     return hit
 
@@ -669,37 +670,40 @@ def _cands_rmax(cfg: CodecConfig):
 def encode_p_dispatch(frame, prev, cfg: CodecConfig):
     """Phase A: device analysis + compaction. Returns (arrs, counts_dev)."""
     h, w = cfg.height, cfg.width
-    cands, cols, rmax, mlow = _cands_rmax(cfg)
+    cands, cols, rmax, lows = _cands_rmax(cfg)
     nbp = next_pow2(cfg.nbx * cfg.nby)
     arrs, counts, flat = jb.analyze_compact(
         frame, prev, cands, cols, h, w, cfg.nby, cfg.nbx, rmax, nbp,
-        cfg.msr_x, cfg.msr_y, mlow,
+        cfg.msr_x, cfg.msr_y, lows[0], lows[1],
     )
     return arrs, counts, flat
 
 
-def _map_chunk(h: int, w: int) -> int:
-    """lax.map batch_size for per-frame analysis: chunked map vmaps inside
-    each chunk, so busy frames parallelize instead of serializing (a
-    lockstep scroll batch costs chunks, not frames, of dense probe passes)
-    while a chunk of idle frames still takes the cheap tier. Sized by frame
-    area to bound the dense-path intermediates; SPTC_MAP_CHUNK overrides."""
+def _map_chunk(h: int, w: int):
+    """lax.map batch_size for per-frame analysis. None (default) = pure
+    scan: analyze_compact's idle/small/dense tiers stay REAL branches per
+    frame (any chunked vmap flattens lax.cond to a select, making every
+    frame — idle ones included — pay the dense path: measured 15.5 ms/frame
+    at batch_size=1 vs 6.5 scan on TPU v5e, and ~1.5 with the vectorized
+    pre-sweep + unresolved-count tiers). SPTC_MAP_CHUNK=N forces a chunked
+    vmap for A/B runs."""
     import os
 
     env = os.environ.get("SPTC_MAP_CHUNK")
-    if env:
-        return max(1, int(env))
-    return max(1, min(8, (1 << 22) // max(h * w, 1)))
+    if env and int(env) > 0:
+        return int(env)
+    return None
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "h", "w", "nby", "nbx", "rmax", "nbp", "msr_x", "msr_y", "mlow"))
+    "h", "w", "nby", "nbx", "rmax", "nbp", "msr_x", "msr_y", "low_x", "low_y"))
 def _p_dispatch_map(frames, prevs, cands, cols, h, w, nby, nbx, rmax, nbp,
-                    msr_x, msr_y, mlow):
+                    msr_x, msr_y, low_x, low_y):
     def one(fp):
         f, p = fp
         arrs, counts, flat = jb.analyze_compact(
-            f, p, cands, cols, h, w, nby, nbx, rmax, nbp, msr_x, msr_y, mlow
+            f, p, cands, cols, h, w, nby, nbx, rmax, nbp, msr_x, msr_y,
+            low_x, low_y
         )
         return arrs, jnp.concatenate([counts, flat])
 
@@ -734,7 +738,7 @@ def encode_p_dispatch_batch(pairs, cfg: CodecConfig):
     from screenpressor_tpu.jx.transfer import pow2_bucket
 
     h, w = cfg.height, cfg.width
-    cands, cols, rmax, mlow = _cands_rmax(cfg)
+    cands, cols, rmax, lows = _cands_rmax(cfg)
     nbp = next_pow2(cfg.nbx * cfg.nby)
     m = len(pairs)
     cap = pow2_bucket(m)
@@ -743,7 +747,7 @@ def encode_p_dispatch_batch(pairs, cfg: CodecConfig):
     prevs = jnp.stack([p for _, p in pairs] + [p for _, p in pad])
     arrs, counts = _p_dispatch_map(
         frames, prevs, cands, cols, h, w, cfg.nby, cfg.nbx, rmax, nbp,
-        cfg.msr_x, cfg.msr_y, mlow,
+        cfg.msr_x, cfg.msr_y, lows[0], lows[1],
     )
     return arrs, counts
 

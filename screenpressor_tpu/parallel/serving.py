@@ -257,9 +257,9 @@ def _batched_encode_sections(recs_cap, ns, tables_b, kts):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "h", "w", "nby", "nbx", "rmax", "nbp", "msr_x", "msr_y", "mlow"))
+    "h", "w", "nby", "nbx", "rmax", "nbp", "msr_x", "msr_y", "low_x", "low_y"))
 def _batched_analyze(frames, prevs, cands, cols, h, w, nby, nbx, rmax, nbp,
-                     msr_x, msr_y, mlow):
+                     msr_x, msr_y, low_x, low_y):
     """Per-stream analysis via lax.map (scan), NOT vmap: a conferencing
     batch is dominated by idle / tiny-change streams, and lax.map keeps
     analyze_compact's runtime branches real per stream — the no-change
@@ -272,7 +272,8 @@ def _batched_analyze(frames, prevs, cands, cols, h, w, nby, nbx, rmax, nbp,
     def one(fp):
         f, pv = fp
         arrs, counts, flat = jb2.analyze_compact(
-            f, pv, cands, cols, h, w, nby, nbx, rmax, nbp, msr_x, msr_y, mlow,
+            f, pv, cands, cols, h, w, nby, nbx, rmax, nbp, msr_x, msr_y,
+            low_x, low_y,
         )
         return arrs, counts, flat
 
@@ -280,9 +281,9 @@ def _batched_analyze(frames, prevs, cands, cols, h, w, nby, nbx, rmax, nbp,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "h", "w", "nby", "nbx", "rmax", "nbp", "msr_x", "msr_y", "mlow"))
+    "h", "w", "nby", "nbx", "rmax", "nbp", "msr_x", "msr_y", "low_x", "low_y"))
 def _batched_analyze_dense(frames, prevs, cands, cols, h, w, nby, nbx, rmax,
-                           nbp, msr_x, msr_y, mlow):
+                           nbp, msr_x, msr_y, low_x, low_y):
     """Vmapped analysis for busy batches (measured at 64x360p: 88 ms vs the
     serial map's 250 ms on an all-streams-typing step). force_dense keeps a
     single probe tier so vmap doesn't run both as selects; MV choice is
@@ -294,7 +295,7 @@ def _batched_analyze_dense(frames, prevs, cands, cols, h, w, nby, nbx, rmax,
     def one(f, pv):
         return jb2.analyze_compact(
             f, pv, cands, cols, h, w, nby, nbx, rmax, nbp, msr_x, msr_y,
-            mlow, force_dense=True,
+            low_x, low_y, force_dense=True,
         )
 
     return jax.vmap(one)(frames, prevs)
@@ -727,7 +728,7 @@ class BatchedEncoder:
         k = cfg.k_fixed
         dev_frames = frames
         dev_prevs = self.prev
-        cands, cols, rmax, mlow = _cands_rmax(cfg)
+        cands, cols, rmax, lows = _cands_rmax(cfg)
         from screenpressor_tpu.jx.codec import _phase_timer
         mark = _phase_timer()
 
@@ -736,7 +737,7 @@ class BatchedEncoder:
                    else _batched_analyze)
         arrs, counts, flat4 = analyze(
             dev_frames, dev_prevs, cands, cols, h, w, nby, nbx, rmax, nbp,
-            cfg.msr_x, cfg.msr_y, mlow,
+            cfg.msr_x, cfg.msr_y, lows[0], lows[1],
         )
         # phase B dispatched eagerly (before any pull) with the running
         # block-capacity bucket: one tunnel sync covers analysis AND
