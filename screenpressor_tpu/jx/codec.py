@@ -198,6 +198,7 @@ class JaxEncoder:
             pulled = jax.device_get([c for _, c in pb_counts])
             for (i, _), c in zip(pb_counts, pulled):
                 pl_host[i] = c
+        mark("B pull")
 
         # ---- phase C: section encode, tables chained in frame order ----
         tables = self.tables
@@ -245,7 +246,7 @@ class JaxEncoder:
                     small_pull.extend([starts[name], lens_l[name]])
                 small_pull.append(stats)
 
-        mark("B pull + C dispatch")
+        mark("C dispatch")
         # ---- sync: pull all starts/lens/stats in one device_get (a
         # concatenate would recompile per batch shape mix) ----
         meta = {}

@@ -94,20 +94,37 @@ def main():
         cfg.nby, cfg.nbx, cfg.msr_x, cfg.msr_y, mlow))
     print(f"probe_ok_dense (dual): {t(pod):.1f} ms", flush=True)
 
-    # batched shapes: 8 frames of each mix at several chunk sizes
-    seq = synth_screencast(h, w, 17)
-    fs = jnp.stack([jnp.asarray(x) for x in seq[1:17]])
-    ps = jnp.stack([jnp.asarray(x) for x in seq[0:16]])
+    # per-kind batched cost inside ONE program (no tunnel RTT per frame):
+    # scan (real branches) vs vmap/force_dense (select-flattened) over B
+    # copies of the same pair — the serving/bench phase-A cost model.
+    B = int(os.environ.get("PROBE_B", 16))
 
-    for bs in (1, 2, 4, 8):
-        def mapped(fs, ps, bs=bs):
-            def one(fp):
-                arrs, counts, flat = ac(*fp)
-                return jnp.concatenate([counts, flat])
-            return jax.lax.map(one, (fs, ps), batch_size=bs)
-        ms = t(jax.jit(mapped), fs, ps, n=3)
-        print(f"map16 batch_size={bs}: {ms:.1f} ms ({ms/16:.1f}/frame)",
-              flush=True)
+    def scanned(fs, ps):
+        def one(fp):
+            arrs, counts, flat = ac(*fp)
+            return jnp.concatenate([counts, flat])
+        return jax.lax.map(one, (fs, ps))
+
+    def vmapped(fs, ps):
+        def one(f, p):
+            arrs, counts, flat = ac(f, p, force_dense=True)
+            return jnp.concatenate([counts, flat])
+        return jax.vmap(one)(fs, ps)
+
+    for kind, (f, p) in dev.items():
+        fs = jnp.broadcast_to(f[None], (B,) + f.shape)
+        ps = jnp.broadcast_to(p[None], (B,) + p.shape)
+        ms = t(jax.jit(scanned), fs, ps, n=3)
+        msv = t(jax.jit(vmapped), fs, ps, n=3)
+        print(f"scan{B}[{kind}]: {ms:.1f} ms ({ms/B:.2f}/frame)  "
+              f"vmap{B}: {msv:.1f} ms ({msv/B:.2f}/frame)", flush=True)
+
+    # mixed-content scan (the bench's actual phase A)
+    seq = synth_screencast(h, w, B + 1)
+    fs = jnp.stack([jnp.asarray(x) for x in seq[1:B + 1]])
+    ps = jnp.stack([jnp.asarray(x) for x in seq[0:B]])
+    ms = t(jax.jit(scanned), fs, ps, n=3)
+    print(f"scan{B}[mixed]: {ms:.1f} ms ({ms/B:.2f}/frame)", flush=True)
 
 
 if __name__ == "__main__":
