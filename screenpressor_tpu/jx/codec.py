@@ -225,7 +225,7 @@ class JaxEncoder:
                 records, lits = payload
                 tables = renew_tables_cached()
                 out = encode_i_raw(
-                    records, jnp.int32(n_rec), lits, jnp.int32(n_lit), tables,
+                    records, np.int32(n_rec), lits, np.int32(n_lit), tables,
                     k_rec, t_rec, k_col, t_col, raw_size,
                 )
                 tables = out[7]
@@ -460,7 +460,7 @@ class JaxDecoder:
                     parse_i_header(data, 1, cfg)
                 )
                 frame, total, tables = decode_i_device(
-                    pay_rec, pay_col, jnp.int32(n_rec), jnp.int32(n_lit), tables,
+                    pay_rec, pay_col, np.int32(n_rec), np.int32(n_lit), tables,
                     h, w, k_rec, t_rec, k_col, t_col,
                 )
                 checks.append((i, jnp.where(total != w * h, 1, 0).astype(jnp.int32)))
@@ -489,7 +489,7 @@ class JaxDecoder:
             mcap = pad_cap(n_mv)
             bcap = pad_cap(n_data)
             frame, err, tables = decode_p_device(
-                payloads, ns, jnp.int32(xx1), jnp.int32(xx2), jnp.int32(n_data),
+                payloads, ns, np.int32(xx1), np.int32(xx2), np.int32(n_data),
                 jnp.asarray(prev), tables,
                 h, w, cfg.nbx, cfg.nby, kts, caps, mcap, bcap,
             )

@@ -516,8 +516,12 @@ def use_kernels() -> bool:
 
 # Single-kernel VMEM ceiling: a section whose state (payload/records +
 # table + MXU transients) exceeds this falls back to the scan path rather
-# than risking a Mosaic VMEM OOM (~16M per core; leave headroom)
-_KERNEL_VMEM_LIMIT = 12 * 1024 * 1024
+# than risking a Mosaic VMEM OOM. Every program that can reach a section
+# kernel is compiled with a 32 MB scoped-VMEM cap (jitopts.kernel_jit;
+# v5e has 128 MB VMEM), so the estimate budget is 24 MB — measured on
+# v5e: the 1080p I-frame col section (est 14.2 MB) runs as a kernel,
+# 67 -> 27 ms for the I-frame's sections, bytes identical.
+_KERNEL_VMEM_LIMIT = 24 * 1024 * 1024
 
 
 def _kernel_fits(codec_name: str, k: int, t_steps: int, pay_bytes: int = 0) -> bool:

@@ -18,6 +18,7 @@ from screenpressor_tpu import bitstream as bs
 from screenpressor_tpu.config import ALG_I, CodecConfig
 from screenpressor_tpu.jx import coder as jc
 from screenpressor_tpu.jx.classify import classify_i
+from screenpressor_tpu.jx.jitopts import kernel_jit
 from screenpressor_tpu.jx.recon import reconstruct_i
 
 
@@ -42,7 +43,7 @@ def i_phase(frame, h: int, w: int):
 
 
 @functools.partial(
-    jax.jit,
+    kernel_jit,
     static_argnames=("k_rec", "t_rec", "k_col", "t_col", "raw_threshold"),
 )
 def encode_i_raw(records, n_rec, lits, n_lit, tables,
@@ -123,7 +124,7 @@ def encode_i_from_records(records, n_rec, lits, n_lit, tables, k_rec, t_rec, k_c
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "w", "k_rec", "t_rec", "k_col", "t_col")
+    kernel_jit, static_argnames=("h", "w", "k_rec", "t_rec", "k_col", "t_col")
 )
 def decode_i_device(pay_rec, pay_col, n_rec, n_lit, tables, h, w, k_rec, t_rec, k_col, t_col):
     lens_rec = jc.lane_lens_device(n_rec, k_rec)

@@ -1034,9 +1034,10 @@ def _enc_vmem_estimate(kts):
     return total
 
 
-# fuse sections into one kernel only while the estimate stays well inside
-# the ~16M VMEM budget; larger sections fall back to one kernel each
-_FUSE_VMEM_LIMIT = 9 * 1024 * 1024
+# fuse sections into one kernel only while the estimate stays inside the
+# 32 MB scoped-VMEM cap set by jitopts.kernel_jit (with headroom for the
+# estimate's error); larger sections fall back to one kernel each
+_FUSE_VMEM_LIMIT = 24 * 1024 * 1024
 
 
 def encode_sections_fused(dealt_list, lens_list, tables, kts):

@@ -37,6 +37,7 @@ from screenpressor_tpu.config import (
 )
 from screenpressor_tpu.jx import blocks as jb
 from screenpressor_tpu.jx import coder as jc
+from screenpressor_tpu.jx.jitopts import kernel_jit
 from screenpressor_tpu.jx.recon import _row_affine
 from screenpressor_tpu.spec.blocks import rle_blocks
 
@@ -459,15 +460,17 @@ def apply_motion(frame, prev, rects, mvs, h: int, w: int, mcap: int):
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "bcap"))
-def classify_assemble(frame, prev, rects_cap, n_data, h: int, w: int, bcap: int):
+def classify_assemble(frame, prev, rects, n_data, h: int, w: int, bcap: int):
     """Classify all data blocks and assemble the global PIX/COL record arrays
     on device (replaces the round-1 host per-block assembly loop).
 
-    rects_cap: [bcap, 4] absolute sub-rects, first n_data valid.
+    rects: [*, 4] absolute sub-rects, first n_data valid; sliced to the
+    static bcap inside the program (a host-side `[:bcap]` view would queue
+    an extra device op per frame).
     Returns (pix_cap [bcap*256, 2], lit_cap [bcap*256, 3], counts [2]).
     """
     ptypes, rlens, n_recs, lits, is_lit = classify_blocks(
-        frame, prev, rects_cap, h, w, bcap
+        frame, prev, rects[:bcap], h, w, bcap
     )
     valid_b = jnp.arange(bcap) < n_data
     n_recs = jnp.where(valid_b, n_recs, 0)
@@ -604,7 +607,7 @@ def decode_p_resolve(payloads, ns, xx1, xx2, n_data, prev, tables,
 
 
 @functools.partial(
-    jax.jit,
+    kernel_jit,
     static_argnames=("h", "w", "nbx", "nby", "kts", "caps", "mcap", "bcap"),
 )
 def decode_p_device(payloads, ns, xx1, xx2, n_data, prev, tables,
@@ -752,17 +755,29 @@ def encode_p_dispatch_batch(pairs, cfg: CodecConfig):
     return arrs, counts
 
 
-@functools.partial(jax.jit, static_argnames=("kts", "raw_threshold"))
-def encode_sections_raw(recs_cap, ns, tables, kts, hdr_vals,
+@functools.partial(kernel_jit, static_argnames=("kts", "caps", "raw_threshold"))
+def encode_sections_raw(sources, hdr_vals, tables, kts, caps,
                         raw_threshold: int):
     """encode_sections_device + exact container size + raw-escape table
     select on device (the host applies the identical size rule when it
     assembles the container, so the table chain never waits on a pull).
-    hdr_vals: [8] int32 device vector of the P header fields (varint-coded
-    in the container)."""
+
+    sources: dict name -> FULL record arrays (sliced to the static `caps`
+    inside the program: the host-side `arr[:cap]` views this replaces cost
+    one queued device op each, ~5 tunnel-dispatched ops per frame).
+    hdr_vals: [8] int32 vector of the P header fields (xx1, xx2, n_bt,
+    n_sxy, n_mv, n_pix, n_lit, n_data) — the single per-frame upload; the
+    per-section counts are read from it on device."""
     from screenpressor_tpu.jx.iframe import section_bytes_device, varint_len_device
     from screenpressor_tpu.jx.tables import renew_tables
 
+    recs_cap = {
+        name: sources[name][:cap] for (name, _, _), cap in zip(kts, caps)
+    }
+    ns = {
+        name: hdr_vals[i]
+        for i, name in zip((2, 3, 4, 5, 6), _SECTION_NAMES)
+    }
     bufs, starts, lens_out, tables2 = encode_sections_device(recs_cap, ns, tables, kts)
     total = jnp.int32(2) + varint_len_device(hdr_vals).sum()
     for name, k, t in kts:
@@ -786,7 +801,7 @@ def encode_p_classify(frame, prev, arrs, counts_host, cfg: CodecConfig):
         return None
     bcap = next_pow2(n_data)
     return classify_assemble(
-        frame, prev, arrs["data_rects"][:bcap], jnp.int32(n_data), h, w, bcap
+        frame, prev, arrs["data_rects"], np.int32(n_data), h, w, bcap
     )
 
 
@@ -809,21 +824,19 @@ def encode_p_sections(arrs, counts_host, phase_b, pl_counts_host, tables,
         "bt": arrs["bt"], "sxy": arrs["sxy"], "mv": arrs["mv"],
         "rec": pix_cap, "col": lit_cap,
     }
-    kts, recs_cap, ns = [], {}, {}
+    kts, caps = [], []
     for name in _SECTION_NAMES:
         n = nums[name]
         k = cfg.lanes(n)
         t = jc._pad_steps(-(-n // k)) if n else 1
         kts.append((name, k, t))
-        cap = pad_cap(n)
-        recs_cap[name] = sources[name][:cap]
-        ns[name] = jnp.int32(n)
+        caps.append(min(pad_cap(n), sources[name].shape[0]))
     raw_threshold = 1 + cfg.width * cfg.height * 3
-    hdr_vals = jnp.asarray(
-        [xx1, xx2, n_bt, n_sxy, n_mv, n_pix, n_lit, n_data], jnp.int32
+    hdr_vals = np.asarray(
+        [xx1, xx2, n_bt, n_sxy, n_mv, n_pix, n_lit, n_data], np.int32
     )
     bufs, starts, lens_l, stats, tables = encode_sections_raw(
-        recs_cap, ns, tables, tuple(kts), hdr_vals, raw_threshold
+        sources, hdr_vals, tables, tuple(kts), tuple(caps), raw_threshold
     )
     handle = (kts, nums, (xx1, xx2, n_data), bufs, starts, lens_l, stats)
     return handle, tables
@@ -915,7 +928,7 @@ def decode_p(data: bytes, pos: int, prev, tables, cfg: CodecConfig):
     mcap = pad_cap(n_mv)
     bcap = pad_cap(n_data)
     out, err, tables = decode_p_device(
-        payloads, ns, jnp.int32(xx1), jnp.int32(xx2), jnp.int32(n_data),
+        payloads, ns, np.int32(xx1), np.int32(xx2), np.int32(n_data),
         jnp.asarray(prev), tables,
         cfg.height, cfg.width, cfg.nbx, cfg.nby, kts, caps, mcap, bcap,
     )

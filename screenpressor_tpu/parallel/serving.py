@@ -34,27 +34,9 @@ from screenpressor_tpu.spec.codec import FTYPE_I, FTYPE_P, apply_loss
 # double-buffered in+out across the stream grid, plus XLA pins the small
 # per-stream outputs in VMEM — measured 19.7 MB at the 64-stream 360p
 # profile vs the compiler's 16 MB default scoped-VMEM reservation (v5e has
-# 128 MB total). Raise the cap for the jits that wrap section kernels. The
-# CPU backend *rejects* (not ignores) the option, and the backend isn't
-# known at import time, so the jit is created lazily on first call.
-def _kernel_jit(fn, *, static_argnames):
-    jitted = None
-
-    @functools.wraps(fn)
-    def call(*args, **kwargs):
-        nonlocal jitted
-        if jitted is None:
-            opts = (
-                {"xla_tpu_scoped_vmem_limit_kib": "32768"}
-                if jax.default_backend() != "cpu"
-                else None
-            )
-            jitted = jax.jit(
-                fn, static_argnames=static_argnames, compiler_options=opts
-            )
-        return jitted(*args, **kwargs)
-
-    return call
+# 128 MB total). jitopts.kernel_jit raises the cap for the jits that wrap
+# section kernels.
+from screenpressor_tpu.jx.jitopts import kernel_jit as _kernel_jit
 
 
 @functools.partial(jax.jit, static_argnames=("loss",))
@@ -391,18 +373,21 @@ def _pack_sections_device(bufs, starts, lens_l, kts, pack_cap: int):
 
 
 @functools.partial(_kernel_jit, static_argnames=("kts", "thr", "pack_cap"))
-def _batched_sections_raw(recs_cap, ns, tables_b, kts, hdr_vals_b, thr,
+def _batched_sections_raw(recs_cap, tables_b, kts, hdr_vals_b, thr,
                           pack_cap):
     from screenpressor_tpu.jx.pframe import encode_sections_raw
 
-    def one(rc, n, t, hv):
+    def one(rc, t, hv):
+        # per-section counts live in the header vector (hv[2:7]); caps are
+        # the already-bucketed record array shapes
+        caps = tuple(rc[name].shape[0] for name, _, _ in kts)
         bufs, starts, lens_out, stats, sel = encode_sections_raw(
-            rc, n, t, kts, hv, thr
+            rc, hv, t, kts, caps, thr
         )
         packed = _pack_sections_device(bufs, starts, lens_out, kts, pack_cap)
         return bufs, starts, lens_out, stats, sel, packed
 
-    return jax.vmap(one)(recs_cap, ns, tables_b, hdr_vals_b)
+    return jax.vmap(one)(recs_cap, tables_b, hdr_vals_b)
 
 
 def _tight_pull(buf_list, starts_list, lens_list, extra_parts=()):
@@ -732,6 +717,8 @@ class BatchedEncoder:
         from screenpressor_tpu.jx.codec import _phase_timer
         mark = _phase_timer()
 
+        import os as _os
+        deep = _os.environ.get("SPTC_TIMING") == "2"
         analyze = (_batched_analyze_dense
                    if self._last_active >= _DENSE_BATCH_MIN
                    else _batched_analyze)
@@ -739,6 +726,9 @@ class BatchedEncoder:
             dev_frames, dev_prevs, cands, cols, h, w, nby, nbx, rmax, nbp,
             cfg.msr_x, cfg.msr_y, lows[0], lows[1],
         )
+        if deep:
+            jax.block_until_ready(counts)
+            mark("serve A analyze (sync)")
         # phase B dispatched eagerly (before any pull) with the running
         # block-capacity bucket: one tunnel sync covers analysis AND
         # classification counts. Overflow (a bigger change than any prior
@@ -749,6 +739,9 @@ class BatchedEncoder:
             dev_frames, dev_prevs, arrs["data_rects"], counts, flat4, own_d,
             h, w, bcap,
         )
+        if deep:
+            jax.block_until_ready(plc_d)
+            mark("serve B classify (sync)")
         ch, plc = yield (jnp.concatenate([counts, flat4], axis=1), plc_d)
         ch = np.asarray(ch)  # [S, 11]
         plc = np.asarray(plc)
@@ -806,14 +799,13 @@ class BatchedEncoder:
             "bt": arrs["bt"], "sxy": arrs["sxy"], "mv": arrs["mv"],
             "rec": pix_cap, "col": lit_cap,
         }
-        kts, recs_cap, ns_d = [], {}, {}
+        kts, recs_cap = [], {}
         for name in _SECTION_NAMES:
             nmax = int(nums[name].max())
             t = jc._pad_steps(-(-max(nmax, 1) // k)) if nmax else 1
             kts.append((name, k, t))
             cap = pad_cap(nmax)
             recs_cap[name] = sources[name][:, :cap]
-            ns_d[name] = jnp.asarray(nums[name].astype(np.int32))
         raw_threshold = 1 + w * h * 3
         hdr_vals_b = self._dput(np.stack(
             [ch[:, 1], ch[:, 2], nums["bt"], nums["sxy"], nums["mv"],
@@ -821,7 +813,7 @@ class BatchedEncoder:
         pack_cap = self._pack_cap
         bufs, starts, lens_l, stats, self.tables_b, packed = (
             _batched_sections_raw(
-                recs_cap, ns_d, self.tables_b, tuple(kts), hdr_vals_b,
+                recs_cap, self.tables_b, tuple(kts), hdr_vals_b,
                 raw_threshold, pack_cap,
             )
         )
