@@ -9,6 +9,13 @@ can reach a section kernel is created through kernel_jit.
 
 The CPU backend *rejects* (not ignores) the option, and the backend is
 not known at import time, so the jit is created lazily on first call.
+
+jax also rejects compiler_options on a NESTED jit (the option would be
+silently meaningless once the inner program is inlined), and several of
+these entry points are reused as building blocks inside larger programs
+(e.g. decode_i_device under the serving batch vmap, whose outer program
+is itself a kernel_jit). When called under an active trace, dispatch to
+a plain jit instead — the outermost program owns the option.
 """
 
 from __future__ import annotations
@@ -17,15 +24,32 @@ import functools
 
 import jax
 
+try:  # jax 0.9: no public alias; the serving path needs nested detection
+    from jax._src.core import trace_state_clean as _trace_state_clean
+except ImportError:  # pragma: no cover - future jax
+    _trace_state_clean = None
+
 SCOPED_VMEM_KIB = "32768"
+
+
+def _nested(args, kwargs) -> bool:
+    if _trace_state_clean is not None:
+        return not _trace_state_clean()
+    return any(
+        isinstance(x, jax.core.Tracer)
+        for x in jax.tree_util.tree_leaves((args, kwargs))
+    )
 
 
 def kernel_jit(fn, *, static_argnames):
     jitted = None
+    plain = jax.jit(fn, static_argnames=static_argnames)
 
     @functools.wraps(fn)
     def call(*args, **kwargs):
         nonlocal jitted
+        if _nested(args, kwargs):
+            return plain(*args, **kwargs)
         if jitted is None:
             opts = (
                 {"xla_tpu_scoped_vmem_limit_kib": SCOPED_VMEM_KIB}
