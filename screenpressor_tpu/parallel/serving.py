@@ -73,38 +73,77 @@ def _batched_counts(frames, own, h, w):
     return jax.lax.map(one, (frames, own))
 
 
+def _encode_i_one(records, n_rec, lits, n_lit, sk, tables, k, t_rec, t_col,
+                  pack_cap):
+    """One stream's I-frame section encode (vmapped by the wrappers below).
+    sk: stream must neither emit sections nor touch its tables."""
+    n_rec = jnp.where(sk, 0, n_rec)
+    n_lit = jnp.where(sk, 0, n_lit)
+    rec_dealt = jc.deal_device(records, n_rec, k, t_rec)
+    lens_rec = jc.lane_lens_device(n_rec, k)
+    buf_rec, start_rec, tables = jc.encode_section_auto(
+        rec_dealt, lens_rec, tables, "rec", k, t_rec
+    )
+    col_dealt = jc.deal_device(lits, n_lit, k, t_col)
+    lens_col = jc.lane_lens_device(n_lit, k)
+    buf_col, start_col, tables = jc.encode_section_auto(
+        col_dealt, lens_col, tables, "col", k, t_col
+    )
+    kts = (("rec", k, t_rec), ("col", k, t_col))
+    packed = _pack_sections_device(
+        {"rec": buf_rec, "col": buf_col},
+        {"rec": start_rec, "col": start_col},
+        {"rec": lens_rec, "col": lens_col},
+        kts, pack_cap,
+    )
+    return (
+        (buf_rec, start_rec, lens_rec, buf_col, start_col, lens_col),
+        tables, packed,
+    )
+
+
 @functools.partial(_kernel_jit, static_argnames=("k", "t_rec", "t_col", "pack_cap"))
 def _batched_encode_i(records_b, n_rec_b, lits_b, n_lit_b, skip, tables_b,
                       k, t_rec, t_col, pack_cap):
-    """skip: [S] bool — streams (e.g. flat frames) that must neither emit
-    sections nor touch their tables (their lane lengths become 0)."""
+    """Full-batch I encode (the sharded path: every [S, ...] operand keeps
+    its stream-axis sharding; a dynamic gather would insert collectives)."""
 
     def one(records, n_rec, lits, n_lit, sk, tables):
-        n_rec = jnp.where(sk, 0, n_rec)
-        n_lit = jnp.where(sk, 0, n_lit)
-        rec_dealt = jc.deal_device(records, n_rec, k, t_rec)
-        lens_rec = jc.lane_lens_device(n_rec, k)
-        buf_rec, start_rec, tables = jc.encode_section_auto(
-            rec_dealt, lens_rec, tables, "rec", k, t_rec
-        )
-        col_dealt = jc.deal_device(lits, n_lit, k, t_col)
-        lens_col = jc.lane_lens_device(n_lit, k)
-        buf_col, start_col, tables = jc.encode_section_auto(
-            col_dealt, lens_col, tables, "col", k, t_col
-        )
-        kts = (("rec", k, t_rec), ("col", k, t_col))
-        packed = _pack_sections_device(
-            {"rec": buf_rec, "col": buf_col},
-            {"rec": start_rec, "col": start_col},
-            {"rec": lens_rec, "col": lens_col},
-            kts, pack_cap,
-        )
-        return (
-            (buf_rec, start_rec, lens_rec, buf_col, start_col, lens_col),
-            tables, packed,
-        )
+        return _encode_i_one(records, n_rec, lits, n_lit, sk, tables,
+                             k, t_rec, t_col, pack_cap)
 
     return jax.vmap(one)(records_b, n_rec_b, lits_b, n_lit_b, skip, tables_b)
+
+
+@functools.partial(_kernel_jit, static_argnames=("k", "t_rec", "t_col", "pack_cap"))
+def _batched_encode_i_compact(records_b, n_rec_b, lits_b, n_lit_b, pad,
+                              tables_b, idx, k, t_rec, t_col, pack_cap):
+    """Compacted I encode for staggered-keyframe steps: on a steady-state
+    step only 1-2 of S streams keyframe, and the full-batch vmap would run
+    the whole record/color scan for all S streams (measured ~100 ms of the
+    64x360p serving step). Gathers just the keyframing streams (idx,
+    pow2-padded; pad marks duplicated padding rows), encodes them from
+    freshly renewed tables (an I-frame always starts renewed — no table
+    gather needed), and scatters the updated table rows back into the full
+    batch (padding rows dropped via out-of-bounds scatter, so duplicate
+    indices never race)."""
+    c = idx.shape[0]
+    s = n_rec_b.shape[0]
+    rec_s, nrec_s = records_b[idx], n_rec_b[idx]
+    lit_s, nlit_s = lits_b[idx], n_lit_b[idx]
+    fresh = renew_tables()
+    tabs_s = jax.tree.map(lambda a: jnp.broadcast_to(a, (c,) + a.shape), fresh)
+
+    def one(records, n_rec, lits, n_lit, sk, tables):
+        return _encode_i_one(records, n_rec, lits, n_lit, sk, tables,
+                             k, t_rec, t_col, pack_cap)
+
+    res, tabs2, packed = jax.vmap(one)(rec_s, nrec_s, lit_s, nlit_s, pad, tabs_s)
+    idx_drop = jnp.where(pad, s, idx)
+    tables_out = jax.tree.map(
+        lambda b, sm: b.at[idx_drop].set(sm, mode="drop"), tables_b, tabs2
+    )
+    return res, tables_out, packed
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "nby", "nbx"))
@@ -607,7 +646,7 @@ class BatchedEncoder:
         flat = np.asarray(flat)
 
         # flat shortcut per stream (reference `IsFlat` semantics)
-        renew_mask = np.zeros(s, bool)
+        renew_flat = np.zeros(s, bool)
         out: list = [None] * s
         for i in range(s):
             if not own[i]:
@@ -615,42 +654,61 @@ class BatchedEncoder:
             if flat[i]:
                 color = tuple(int(v) for v in c0[i])
                 if not (self.last_flat[i] and (self.flat_color[i] == color).all()):
-                    renew_mask[i] = True
+                    renew_flat[i] = True
                     self.flat_color[i] = color
                 self.last_flat[i] = True
                 out[i] = (bytes([bs.header_byte(ALG_FLAT), *color]), FTYPE_I)
             else:
                 self.last_flat[i] = False
-                renew_mask[i] = True  # keyframe renew
-
-        self._renew_streams(jnp.asarray(renew_mask))
 
         coded = own & ~flat
+        coded_idx = np.nonzero(coded)[0]
+        # the compact path renews the coded streams' table rows itself
+        # (fresh tables broadcast inside _batched_encode_i_compact)
+        compact = self.sharding is None and 0 < len(coded_idx) < s
+        renew_mask = renew_flat if compact else (renew_flat | coded)
+        self._renew_streams(jnp.asarray(renew_mask))
+
         if not coded.any():
             return out
         k = cfg.k_fixed
         t_rec = jc._pad_steps(int(-(-max(n_rec[coded].max(), 1) // k)))
         t_col = jc._pad_steps(int(-(-max(n_lit[coded].max(), 1) // k)))
         pack_cap = self._pack_cap_i
-        res, self.tables_b, packed = _batched_encode_i(
-            records_b, n_rec_d, lits_b, n_lit_d, self._dput(~coded),
-            self.tables_b, k, t_rec, t_col, pack_cap,
-        )
+        if compact:
+            ccap = next_pow2(len(coded_idx))
+            idx_g = np.resize(coded_idx, ccap).astype(np.int32)
+            pad = np.arange(ccap) >= len(coded_idx)
+            res, self.tables_b, packed = _batched_encode_i_compact(
+                records_b, n_rec_d, lits_b, n_lit_d, self._dput(pad),
+                self.tables_b, self._dput(idx_g), k, t_rec, t_col, pack_cap,
+            )
+            packed_rows = packed  # already compact (coded rows + pads)
+            row_of = {int(st): j for j, st in enumerate(coded_idx)}
+        else:
+            res, self.tables_b, packed = _batched_encode_i(
+                records_b, n_rec_d, lits_b, n_lit_d, self._dput(~coded),
+                self.tables_b, k, t_rec, t_col, pack_cap,
+            )
+            # pull the packed payloads of the coded streams only
+            packed_rows = packed[jnp.asarray(coded_idx)]
+            row_of = None
         buf_rec, start_rec_d, lens_rec_d, buf_col, start_col_d, lens_col_d = res
-        # pull the packed payloads of the coded streams only (a
-        # staggered-keyframe step codes 1-2 of S streams)
-        coded_idx = np.nonzero(coded)[0]
-        packed_rows = packed[jnp.asarray(coded_idx)]
 
         start_rec, lens_rec, start_col, lens_col, rows = yield (
             start_rec_d, lens_rec_d, start_col_d, lens_col_d, packed_rows,
         )
+        # sizes arrays are indexed by stream in the full path and by
+        # compact row in the compact path
+        srow = row_of if row_of is not None else {int(i): int(i) for i in coded_idx}
+        prow = {int(st): j for j, st in enumerate(coded_idx)}
         caps = (buf_rec.shape[2], buf_col.shape[2])
         sizes_rec = np.where(lens_rec > 0, caps[0] - start_rec, 0)
         sizes_col = np.where(lens_col > 0, caps[1] - start_col, 0)
         tot = sizes_rec.sum(axis=1) + sizes_col.sum(axis=1)
-        if int(tot[coded].max(initial=0)) > pack_cap:
-            self._pack_cap_i = int(next_pow2(int(tot[coded].max())))
+        used = np.asarray([tot[srow[int(i)]] for i in coded_idx], np.int64)
+        if int(used.max(initial=0)) > pack_cap:
+            self._pack_cap_i = int(next_pow2(int(used.max())))
             _BUCKET_CACHE[self._bucket_key] = (
                 self._bcap, self._pack_cap, self._pack_cap_i,
             )
@@ -660,14 +718,15 @@ class BatchedEncoder:
             )
 
             def payload_of(i):
-                return (_section_bytes(tight, offs[0], sizes[0], i)
-                        + _section_bytes(tight, offs[1], sizes[1], i))
+                j = srow[i]
+                return (_section_bytes(tight, offs[0], sizes[0], j)
+                        + _section_bytes(tight, offs[1], sizes[1], j))
         else:
-            row_of = {int(i): j for j, i in enumerate(coded_idx)}
 
             def payload_of(i):
-                row = rows[row_of[i]]
-                sr, sc = sizes_rec[i], sizes_col[i]
+                j = srow[i]
+                row = rows[prow[i]]
+                sr, sc = sizes_rec[j], sizes_col[j]
                 wr = bs.size_width(int(sr.max(initial=0)))
                 wc = bs.size_width(int(sc.max(initial=0)))
                 nrec_bytes = int(sr.sum())
@@ -949,6 +1008,46 @@ def _batched_decode_i(pay_rec, pay_col, n_rec_b, n_lit_b, skip, tables_b,
     return jax.vmap(one)(pay_rec, pay_col, n_rec_b, n_lit_b, skip, tables_b)
 
 
+@functools.partial(_kernel_jit, static_argnames=("h", "w", "k", "t_rec", "t_col"))
+def _batched_decode_i_compact(pay_rec, pay_col, n_rec_s, n_lit_s, pad, idx,
+                              prevs, tables_b, h, w, k, t_rec, t_col):
+    """Compacted I decode (mirror of _batched_encode_i_compact): the
+    payload/count arrays arrive already compacted to the coded-I streams
+    (pow2-padded, pad marks padding rows), each decodes from freshly
+    renewed tables, and both the decoded frames and the updated table rows
+    scatter back into the full batch (pads dropped out-of-bounds).
+    Returns ([S] frames with I rows replaced, [S] int32 error word,
+    updated full table tree)."""
+    from screenpressor_tpu.jx.iframe import decode_i_device
+
+    c = idx.shape[0]
+    s = prevs.shape[0]
+    fresh = renew_tables()
+    tabs_s = jax.tree.map(lambda a: jnp.broadcast_to(a, (c,) + a.shape), fresh)
+
+    def one(pr, pc, n_rec, n_lit, sk, tables):
+        n_rec = jnp.where(sk, 0, n_rec)
+        n_lit = jnp.where(sk, 0, n_lit)
+        frame, total, tables = decode_i_device(
+            pr, pc, n_rec, n_lit, tables, h, w, k, t_rec, k, t_col
+        )
+        ok = sk | (total == h * w)
+        return frame, ok, tables
+
+    frames_s, ok_s, tabs2 = jax.vmap(one)(
+        pay_rec, pay_col, n_rec_s, n_lit_s, pad, tabs_s
+    )
+    idx_drop = jnp.where(pad, s, idx)
+    frames = prevs.at[idx_drop].set(frames_s, mode="drop")
+    err = jnp.zeros((s,), jnp.int32).at[idx_drop].set(
+        (~ok_s).astype(jnp.int32), mode="drop"
+    )
+    tables_out = jax.tree.map(
+        lambda b, sm: b.at[idx_drop].set(sm, mode="drop"), tables_b, tabs2
+    )
+    return frames, err, tables_out
+
+
 @functools.partial(_kernel_jit, static_argnames=("h", "w", "nbx", "nby", "kts", "caps", "mcap", "bcap"))
 def _batched_decode_p(payloads_b, ns_b, xx1_b, xx2_b, n_data_b, prevs, tables_b,
                       h, w, nbx, nby, kts, caps, mcap, bcap):
@@ -1020,6 +1119,8 @@ class BatchedDecoder:
         self.prev = None  # device [S, H, W, 3] uint8
         self.last_flat = np.zeros(n_streams, bool)
         self.flat_color = np.zeros((n_streams, 3), np.uint8)
+        # deferred (device err words, p_mask) from a device_out decode
+        self._pending_err = None
 
     def _dput(self, a):
         x = jnp.asarray(a)
@@ -1043,9 +1144,9 @@ class BatchedDecoder:
         from screenpressor_tpu.jx.pframe import (
             _SECTION_NAMES,
             parse_p_header,
-            raise_p_error,
         )
 
+        self.validate()  # resolve the previous step's deferred error check
         cfg = self.cfg
         s, h, w = self.s, cfg.height, cfg.width
         assert len(payloads) == s
@@ -1097,14 +1198,23 @@ class BatchedDecoder:
             else:
                 p_parse[i] = parsed
 
-        self._renew_streams(renew_mask)
+        i_idx = [i for i, x in enumerate(i_parse) if x is not None]
+        # the compact path renews the coded-I streams' table rows itself
+        compact_i = self.sharding is None and 0 < len(i_idx) < s
+        if compact_i:
+            rm = renew_mask.copy()
+            rm[np.asarray(i_idx)] = False
+            self._renew_streams(rm)
+        else:
+            self._renew_streams(renew_mask)
         if self.prev is None:
             self.prev = self._dput(jnp.zeros((s, h, w, 3), jnp.uint8))
         frames = None
         checks = []
 
-        # ---- coded I streams (one vmapped call, skip-masked) ----
-        if any(x is not None for x in i_parse):
+        # ---- coded I streams (one vmapped call over the compacted coded
+        # rows on a staggered-keyframe step, full batch on the sharded path) ----
+        if i_idx:
             t_rec = t_col = 1
             lr = lc = 4
             for x in i_parse:
@@ -1116,29 +1226,48 @@ class BatchedDecoder:
                 lr = max(lr, pay_rec.shape[1])
                 lc = max(lc, pay_col.shape[1])
             lr, lc = next_pow2(lr), next_pow2(lc)
-            pr = np.zeros((s, k, lr), np.uint8)
-            pc = np.zeros((s, k, lc), np.uint8)
-            n_rec_b = np.zeros(s, np.int32)
-            n_lit_b = np.zeros(s, np.int32)
-            skip = np.ones(s, bool)
-            for i, x in enumerate(i_parse):
-                if x is None:
-                    continue
-                skip[i] = False
-                pr[i, :, : x[0].shape[1]] = np.asarray(x[0])
-                pc[i, :, : x[1].shape[1]] = np.asarray(x[1])
-                n_rec_b[i], n_lit_b[i] = x[2], x[3]
-            mark("serve dec parse")
-            dec_frames, ok, self.tables_b = _batched_decode_i(
-                self._dput(pr), self._dput(pc), self._dput(n_rec_b),
-                self._dput(n_lit_b), self._dput(skip), self.tables_b,
-                h, w, k, t_rec, t_col,
-            )
-            checks.append((~ok).astype(jnp.int32) * jnp.asarray(~skip, jnp.int32))
-            frames = dec_frames
-            i_mask = ~skip
-        else:
-            i_mask = np.zeros(s, bool)
+            if compact_i:
+                c = next_pow2(len(i_idx))
+                pr = np.zeros((c, k, lr), np.uint8)
+                pc = np.zeros((c, k, lc), np.uint8)
+                n_rec_b = np.zeros(c, np.int32)
+                n_lit_b = np.zeros(c, np.int32)
+                for j, i in enumerate(i_idx):
+                    x = i_parse[i]
+                    pr[j, :, : x[0].shape[1]] = np.asarray(x[0])
+                    pc[j, :, : x[1].shape[1]] = np.asarray(x[1])
+                    n_rec_b[j], n_lit_b[j] = x[2], x[3]
+                pad = np.arange(c) >= len(i_idx)
+                idx_g = np.resize(np.asarray(i_idx, np.int64), c).astype(np.int32)
+                mark("serve dec I stage")
+                frames, err_i, self.tables_b = _batched_decode_i_compact(
+                    self._dput(pr), self._dput(pc), self._dput(n_rec_b),
+                    self._dput(n_lit_b), self._dput(pad), self._dput(idx_g),
+                    self.prev, self.tables_b, h, w, k, t_rec, t_col,
+                )
+                checks.append(err_i)
+            else:
+                pr = np.zeros((s, k, lr), np.uint8)
+                pc = np.zeros((s, k, lc), np.uint8)
+                n_rec_b = np.zeros(s, np.int32)
+                n_lit_b = np.zeros(s, np.int32)
+                skip = np.ones(s, bool)
+                for i, x in enumerate(i_parse):
+                    if x is None:
+                        continue
+                    skip[i] = False
+                    pr[i, :, : x[0].shape[1]] = np.asarray(x[0])
+                    pc[i, :, : x[1].shape[1]] = np.asarray(x[1])
+                    n_rec_b[i], n_lit_b[i] = x[2], x[3]
+                mark("serve dec I stage")
+                dec_frames, ok, self.tables_b = _batched_decode_i(
+                    self._dput(pr), self._dput(pc), self._dput(n_rec_b),
+                    self._dput(n_lit_b), self._dput(skip), self.tables_b,
+                    h, w, k, t_rec, t_col,
+                )
+                checks.append(
+                    (~ok).astype(jnp.int32) * jnp.asarray(~skip, jnp.int32))
+                frames = dec_frames
 
         # ---- coded P streams (one vmapped call, skip-masked) ----
         if any(x is not None for x in p_parse):
@@ -1178,7 +1307,7 @@ class BatchedDecoder:
                     pay_b[name][i, :, : a.shape[1]] = a
                     ns_b[name][i] = int(ns[name])
                 xx1_b[i], xx2_b[i], nd_b[i] = xx1, xx2, n_data
-            mark("serve dec I dispatch")
+            mark("serve dec P stage")
             p_frames, err, self.tables_b = _batched_decode_p(
                 {n: self._dput(v) for n, v in pay_b.items()},
                 {n: self._dput(v) for n, v in ns_b.items()},
@@ -1202,22 +1331,52 @@ class BatchedDecoder:
             frames = jnp.where(ov, jnp.asarray(override_val), frames)
 
         mark("serve dec P dispatch")
-        if checks:
-            # per-stream error words: report the FIRST failing stream by
-            # index instead of max-conflating the batch (round-2 weak #9)
-            errs = np.asarray(jnp.stack(checks))  # [n_checks, S]
-            if errs.any():
-                sidx = int(np.nonzero(errs.any(axis=0))[0][0])
-                bad = int(errs[:, sidx].max())
-                if bad == 1 and not p_mask[sidx]:
-                    raise bs.CorruptStreamError(
-                        f"stream {sidx}: records do not tile frame")
-                try:
-                    raise_p_error(bad)
-                except bs.CorruptStreamError as e:
-                    raise bs.CorruptStreamError(f"stream {sidx}: {e}") from None
         self.prev = frames
+        if checks:
+            errs_d = jnp.stack(checks)  # [n_checks, S] device error words
+            if device_out:
+                # serving mode: defer the blocking error pull — it would
+                # otherwise sync on the whole step's decode compute
+                # (measured ~0.3 s/step at 64x360p). Start the host copy
+                # now; the NEXT decode()/validate() resolves it with ~zero
+                # wait. A corrupt stream therefore raises one step late in
+                # device_out mode (the session state is poisoned either
+                # way; api-level crash-latch semantics are unchanged).
+                try:
+                    errs_d.copy_to_host_async()
+                except Exception:
+                    pass
+                self._pending_err = (errs_d, p_mask)
+            else:
+                self._raise_errs(np.asarray(jax.device_get(errs_d)), p_mask)
         mark("serve dec checks pull")
         if device_out:
             return frames
         return np.asarray(frames)
+
+    def _raise_errs(self, errs: np.ndarray, p_mask: np.ndarray):
+        """Raise for the FIRST failing stream by index (round-2 weak #9:
+        never max-conflate the batch)."""
+        from screenpressor_tpu.jx.pframe import raise_p_error
+
+        if not errs.any():
+            return
+        sidx = int(np.nonzero(errs.any(axis=0))[0][0])
+        bad = int(errs[:, sidx].max())
+        if bad == 1 and not p_mask[sidx]:
+            raise bs.CorruptStreamError(
+                f"stream {sidx}: records do not tile frame")
+        try:
+            raise_p_error(bad)
+        except bs.CorruptStreamError as e:
+            raise bs.CorruptStreamError(f"stream {sidx}: {e}") from None
+
+    def validate(self):
+        """Resolve a deferred error check from a prior device_out decode.
+        Called automatically at the start of the next decode(); call
+        explicitly after the last step of a serving session."""
+        pend = self._pending_err
+        self._pending_err = None
+        if pend is not None:
+            errs_d, p_mask = pend
+            self._raise_errs(np.asarray(jax.device_get(errs_d)), p_mask)

@@ -156,6 +156,59 @@ def test_staggered_keyframes_match_per_stream_sessions():
             np.testing.assert_array_equal(decs[i].decode(got), f[i])
 
 
+def test_staggered_keyframes_batched_decoder_roundtrip():
+    """Mixed I/P batches through BatchedDecoder: the compacted I decode
+    (only the keyframing streams run the record scan) must stay lossless
+    and keep per-stream table state identical to the full-batch path."""
+    from screenpressor_tpu.parallel.serving import BatchedDecoder
+
+    s, h, w = 4, 32, 48
+    cfg = CodecConfig(width=w, height=h, kf_interval=3, k_fixed=8,
+                      msr_x=8, msr_y=8)
+    offsets = [0, 1, 2, 0]
+    enc = BatchedEncoder(s, cfg, kf_offsets=offsets)
+    dec = BatchedDecoder(s, cfg)
+    frames = np.stack([synth_desktop(h, w, seed=20 + i) for i in range(s)])
+    for t in range(7):
+        f = frames.copy()
+        f[:, (t * 5) % (h - 4) : (t * 5) % (h - 4) + 3,
+          (t * 7) % (w - 6) : (t * 7) % (w - 6) + 4] = (t * 30 % 255, 10, 99)
+        frames = f
+        outs = enc.encode(f)
+        got = dec.decode([p for p, _ in outs])
+        np.testing.assert_array_equal(got, f, err_msg=f"step {t}")
+
+
+def test_deferred_error_check_device_out():
+    """device_out decode defers the corrupt-stream raise to the next
+    decode()/validate() call (the serving mode skips the blocking error
+    pull; see BatchedDecoder.validate)."""
+    from screenpressor_tpu import bitstream as bs
+    from screenpressor_tpu.parallel.serving import BatchedDecoder
+
+    s, h, w = 2, 32, 48
+    cfg = CodecConfig(width=w, height=h, kf_interval=0, k_fixed=4,
+                      msr_x=8, msr_y=8)
+    enc = BatchedEncoder(s, cfg)
+    dec = BatchedDecoder(s, cfg)
+    base = np.stack([synth_desktop(h, w, seed=i) for i in range(s)])
+    payloads = [p for p, _ in enc.encode(base)]
+    dec.decode(payloads, device_out=True)
+    dec.validate()  # clean step: no deferred error
+    # tamper stream 1's keyframe: decrementing n_rec shifts the lane deal,
+    # so the decoded records no longer tile the frame — a deterministic
+    # device-side error (host parse cannot see it)
+    (n_rec, n_lit), pos = bs.read_varint(payloads[1], 1, 2)
+    assert n_rec - 1 >= n_lit > 0
+    bad = payloads[1][:1] + bs.pack_varint(n_rec - 1, n_lit) + payloads[1][pos:]
+    dec2 = BatchedDecoder(s, cfg)
+    # the corrupt decode itself must NOT raise in device_out mode...
+    dec2.decode([payloads[0], bad], device_out=True)
+    # ...the next validate()/decode() resolves it, naming the stream
+    with pytest.raises(bs.CorruptStreamError, match="stream 1"):
+        dec2.validate()
+
+
 @pytest.mark.slow
 def test_serving_full_profile_64_streams_360p():
     """The BASELINE.md conferencing profile: 64 concurrent 360p streams,
