@@ -77,8 +77,12 @@ def main():
     import subprocess
 
     try:
+        # init AND a tiny data round-trip: a degraded tunnel can list
+        # devices fine yet hang every host pull (observed 2026-08-20)
         probe = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; jax.devices(); "
+             "assert jax.device_get(jnp.arange(4) + 1).sum() == 10"],
             timeout=180, capture_output=True,
         )
         ok = probe.returncode == 0
@@ -196,12 +200,15 @@ def serving_diag():
     batches = [jax.block_until_ready(jnp.asarray(b)) for b in host_batches]
 
     def run_serving():
+        from screenpressor_tpu.parallel.serving import serve_pipelined
+
         enc = BatchedEncoder(s, cfg, kf_offsets=offsets)
         dec = BatchedDecoder(s, cfg)
         t0 = time.perf_counter()
-        for b in batches:
-            outs = dec.decode([p for p, _ in enc.encode(b)], device_out=True)
+        for _, outs in serve_pipelined(enc, batches, dec):
+            pass
         jax.block_until_ready(outs)
+        dec.validate()
         return outs, time.perf_counter() - t0
 
     run_serving()  # warm (compile)

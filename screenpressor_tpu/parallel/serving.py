@@ -26,7 +26,7 @@ from screenpressor_tpu import bitstream as bs
 from screenpressor_tpu.config import ALG_FLAT, ALG_I, CodecConfig, next_pow2, pad_cap
 from screenpressor_tpu.jx import coder as jc
 from screenpressor_tpu.jx.classify import classify_i
-from screenpressor_tpu.jx.tables import renew_tables
+from screenpressor_tpu.jx.tables import renew_tables, renew_tables_cached
 from screenpressor_tpu.spec.codec import FTYPE_I, FTYPE_P, apply_loss
 
 
@@ -37,6 +37,19 @@ from screenpressor_tpu.spec.codec import FTYPE_I, FTYPE_P, apply_loss
 # 128 MB total). jitopts.kernel_jit raises the cap for the jits that wrap
 # section kernels.
 from screenpressor_tpu.jx.jitopts import kernel_jit as _kernel_jit
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _renew_rows(tables_b, fresh, sel):
+    """Reset the selected streams' table rows to the fresh state in ONE
+    device call (the per-leaf jnp.where tree costs ~25 dispatches — at
+    ~3-5 ms/dispatch over a tunnel that dominates every keyframe/flat step
+    of a staggered-kf serving batch). Donates the old batch buffers (the
+    color tables are the big HBM tenant: ~3 MB/stream/session)."""
+    return jax.tree.map(
+        lambda b, n: jnp.where(sel.reshape((-1,) + (1,) * n.ndim), n[None], b),
+        tables_b, fresh,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("loss",))
@@ -116,8 +129,8 @@ def _batched_encode_i(records_b, n_rec_b, lits_b, n_lit_b, skip, tables_b,
 
 
 @functools.partial(_kernel_jit, static_argnames=("k", "t_rec", "t_col", "pack_cap"))
-def _batched_encode_i_compact(records_b, n_rec_b, lits_b, n_lit_b, pad,
-                              tables_b, idx, k, t_rec, t_col, pack_cap):
+def _batched_encode_i_compact(records_b, n_rec_b, lits_b, n_lit_b, cmeta,
+                              tables_b, k, t_rec, t_col, pack_cap):
     """Compacted I encode for staggered-keyframe steps: on a steady-state
     step only 1-2 of S streams keyframe, and the full-batch vmap would run
     the whole record/color scan for all S streams (measured ~100 ms of the
@@ -127,6 +140,7 @@ def _batched_encode_i_compact(records_b, n_rec_b, lits_b, n_lit_b, pad,
     gather needed), and scatters the updated table rows back into the full
     batch (padding rows dropped via out-of-bounds scatter, so duplicate
     indices never race)."""
+    pad, idx = cmeta[:, 0].astype(bool), cmeta[:, 1]
     c = idx.shape[0]
     s = n_rec_b.shape[0]
     rec_s, nrec_s = records_b[idx], n_rec_b[idx]
@@ -411,10 +425,17 @@ def _pack_sections_device(bufs, starts, lens_l, kts, pack_cap: int):
     return gather_segments(flat, segs, pack_cap)
 
 
-@functools.partial(_kernel_jit, static_argnames=("kts", "thr", "pack_cap"))
-def _batched_sections_raw(recs_cap, tables_b, kts, hdr_vals_b, thr,
+@functools.partial(_kernel_jit, static_argnames=("kts", "sec_caps", "thr", "pack_cap"))
+def _batched_sections_raw(sources, tables_b, kts, sec_caps, hdr_vals_b, thr,
                           pack_cap):
     from screenpressor_tpu.jx.pframe import encode_sections_raw
+
+    # slice the record sources to their per-step caps INSIDE the jit (five
+    # host-side device slices would be five extra tunnel dispatches)
+    recs_cap = {
+        name: sources[name][:, :cap]
+        for (name, _, _), cap in zip(kts, sec_caps)
+    }
 
     def one(rc, t, hv):
         # per-section counts live in the header vector (hv[2:7]); caps are
@@ -424,7 +445,16 @@ def _batched_sections_raw(recs_cap, tables_b, kts, hdr_vals_b, thr,
             rc, hv, t, kts, caps, thr
         )
         packed = _pack_sections_device(bufs, starts, lens_out, kts, pack_cap)
-        return bufs, starts, lens_out, stats, sel, packed
+        # single pull-ready metadata vector (per-section starts+lens, then
+        # stats) — assembling it host-side from the dict outputs costs ~16
+        # small dispatches per step on a tunnel rig
+        meta = jnp.concatenate(
+            [jnp.concatenate([starts[nm].reshape(-1).astype(jnp.int32),
+                              lens_out[nm].reshape(-1).astype(jnp.int32)])
+             for nm, _, _ in kts]
+            + [stats.reshape(-1).astype(jnp.int32)]
+        )
+        return bufs, starts, lens_out, meta, sel, packed
 
     return jax.vmap(one)(recs_cap, tables_b, hdr_vals_b)
 
@@ -559,21 +589,31 @@ class BatchedEncoder:
     def _renew_streams(self, mask: np.ndarray):
         if not mask.any():
             return
-        fresh = renew_tables()
-        sel = jnp.asarray(mask)
-
-        def mix(batched, new):
-            return jnp.where(
-                sel.reshape((-1,) + (1,) * new.ndim), new[None], batched
-            )
-
-        self.tables_b = jax.tree.map(mix, self.tables_b, fresh)
+        self.tables_b = _renew_rows(
+            self.tables_b, renew_tables_cached(), jnp.asarray(mask)
+        )
 
     def encode(self, frames, force_key: bool = False):
         """frames: [S, H, W, 3] uint8 (numpy or device-resident jax array)
         -> list of (payload bytes, ftype). Device-resident batches skip the
         host->device upload entirely (the production model: frames arrive on
         device over PCIe/ICI; a dev-tunnel upload would measure the link)."""
+        return self.encode_finish(self.encode_begin(frames, force_key))
+
+    def encode_begin(self, frames, force_key: bool = False):
+        """Dispatch the table-free front half of a step (analysis +
+        classification for P streams, record/literal counting for I streams)
+        WITHOUT any tunnel pull, and return a pending handle for
+        encode_finish.
+
+        A serving loop calls encode_begin(batch[t+1]) before
+        encode_finish(pending[t]): step t+1's device compute is then already
+        queued while the host sits in step t's pulls and payload assembly,
+        so the chip never idles on tunnel RTT or host-side work
+        (cross-batch pipelining, DESIGN.md serving). Only the phases before
+        the first pull run here — they depend only on the frame pair, never
+        on the adaptive tables that step t's back half still has to update.
+        At most one encode may be pending at a time."""
         cfg = self.cfg
         s, h, w = self.s, cfg.height, cfg.width
         assert frames.shape == (s, h, w, 3)
@@ -597,19 +637,25 @@ class BatchedEncoder:
             pipes.append(self._p_stage1(frames, ~key_mask))
         if key_mask.any():
             pipes.append(self._i_stage1(frames, key_mask))
-        outs = self._drive(pipes)
+        pend = self._prime(pipes)
         self.prev = frames
+        return pend
+
+    def encode_finish(self, pend):
+        """Drive a pending encode (from encode_begin) to completion:
+        performs the tunnel pulls, the adaptive-table section dispatches and
+        the host-side payload assembly. Returns the encode() result list."""
+        outs = self._drain(*pend)
         if len(outs) == 1:
             return outs[0]
         return [a if a is not None else b for a, b in zip(outs[1], outs[0])]
 
     @staticmethod
-    def _drive(pipes):
-        """Advance generator pipelines in lockstep; each `yield tree` is a
-        pull request and every round issues ONE device_get for all live
-        pipelines. Order matters: earlier pipelines resume first each round
-        (the I stage reads the table tree the P stage's section dispatch
-        wrote)."""
+    def _prime(pipes):
+        """Start each pipeline up to its first pull request (dispatch-only;
+        no tunnel sync). Order matters: earlier pipelines resume first each
+        round (the I stage reads the table tree the P stage's section
+        dispatch wrote)."""
         pipes = list(pipes)
         outs = [None] * len(pipes)
         trees = [None] * len(pipes)
@@ -619,6 +665,13 @@ class BatchedEncoder:
             except StopIteration as e:
                 outs[j] = e.value
                 pipes[j] = None
+        return pipes, trees, outs
+
+    @staticmethod
+    def _drain(pipes, trees, outs):
+        """Advance primed pipelines to completion; each `yield tree` is a
+        pull request and every round issues ONE device_get for all live
+        pipelines."""
         while any(p is not None for p in pipes):
             pulled = jax.device_get(trees)
             for j, p in enumerate(pipes):
@@ -679,9 +732,10 @@ class BatchedEncoder:
             ccap = next_pow2(len(coded_idx))
             idx_g = np.resize(coded_idx, ccap).astype(np.int32)
             pad = np.arange(ccap) >= len(coded_idx)
+            cmeta = np.stack([pad, idx_g], axis=1).astype(np.int32)
             res, self.tables_b, packed = _batched_encode_i_compact(
-                records_b, n_rec_d, lits_b, n_lit_d, self._dput(pad),
-                self.tables_b, self._dput(idx_g), k, t_rec, t_col, pack_cap,
+                records_b, n_rec_d, lits_b, n_lit_d, self._dput(cmeta),
+                self.tables_b, k, t_rec, t_col, pack_cap,
             )
             packed_rows = packed  # already compact (coded rows + pads)
             row_of = {int(st): j for j, st in enumerate(coded_idx)}
@@ -858,35 +912,29 @@ class BatchedEncoder:
             "bt": arrs["bt"], "sxy": arrs["sxy"], "mv": arrs["mv"],
             "rec": pix_cap, "col": lit_cap,
         }
-        kts, recs_cap = [], {}
+        kts, sec_caps = [], []
         for name in _SECTION_NAMES:
             nmax = int(nums[name].max())
             t = jc._pad_steps(-(-max(nmax, 1) // k)) if nmax else 1
             kts.append((name, k, t))
-            cap = pad_cap(nmax)
-            recs_cap[name] = sources[name][:, :cap]
+            sec_caps.append(min(pad_cap(nmax), sources[name].shape[1]))
         raw_threshold = 1 + w * h * 3
         hdr_vals_b = self._dput(np.stack(
             [ch[:, 1], ch[:, 2], nums["bt"], nums["sxy"], nums["mv"],
              nums["rec"], nums["col"], n_data], axis=1).astype(np.int32))
         pack_cap = self._pack_cap
-        bufs, starts, lens_l, stats, self.tables_b, packed = (
+        bufs, starts, lens_l, meta, self.tables_b, packed = (
             _batched_sections_raw(
-                recs_cap, self.tables_b, tuple(kts), hdr_vals_b,
-                raw_threshold, pack_cap,
+                sources, self.tables_b, tuple(kts), tuple(sec_caps),
+                hdr_vals_b, raw_threshold, pack_cap,
             )
         )
 
         mark("serve C sections dispatch")
         # ONE pull: starts/lens/stats metadata AND the device-packed payload
-        # bytes together (each fresh pull costs ~50 ms on the tunnel rig)
-        small, packed_h = yield (
-            jnp.concatenate(
-                [jnp.concatenate([starts[nm].reshape(s, -1), lens_l[nm].reshape(s, -1)], axis=1)
-                 for nm, _, _ in kts] + [stats], axis=1
-            ),
-            packed,
-        )
+        # bytes together (each fresh pull costs ~50 ms on the tunnel rig);
+        # the metadata vector is concatenated inside the section jit
+        small, packed_h = yield (meta, packed)
         mark("serve C pull (meta+packed)")
         pos = 0
         starts_h, lens_h = {}, {}
@@ -991,10 +1039,17 @@ class BatchedEncoder:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(_kernel_jit, static_argnames=("h", "w", "k", "t_rec", "t_col"))
-def _batched_decode_i(pay_rec, pay_col, n_rec_b, n_lit_b, skip, tables_b,
-                      h, w, k, t_rec, t_col):
+@functools.partial(_kernel_jit, static_argnames=("h", "w", "k", "t_rec", "t_col", "lr", "lc"))
+def _batched_decode_i(pay, meta, tables_b, h, w, k, t_rec, t_col, lr, lc):
+    """pay: [S, k*(lr+lc)] uint8, each stream's record + literal lane
+    payloads flattened stream-major; meta: [S, 3] int32 (n_rec, n_lit,
+    skip). Two uploads instead of five (tunnel dispatch economy)."""
     from screenpressor_tpu.jx.iframe import decode_i_device
+
+    pay_rec = pay[:, : k * lr].reshape(-1, k, lr)
+    pay_col = pay[:, k * lr :].reshape(-1, k, lc)
+    n_rec_b, n_lit_b = meta[:, 0], meta[:, 1]
+    skip = meta[:, 2].astype(bool)
 
     def one(pr, pc, n_rec, n_lit, sk, tables):
         n_rec = jnp.where(sk, 0, n_rec)
@@ -1008,18 +1063,25 @@ def _batched_decode_i(pay_rec, pay_col, n_rec_b, n_lit_b, skip, tables_b,
     return jax.vmap(one)(pay_rec, pay_col, n_rec_b, n_lit_b, skip, tables_b)
 
 
-@functools.partial(_kernel_jit, static_argnames=("h", "w", "k", "t_rec", "t_col"))
-def _batched_decode_i_compact(pay_rec, pay_col, n_rec_s, n_lit_s, pad, idx,
-                              prevs, tables_b, h, w, k, t_rec, t_col):
+@functools.partial(_kernel_jit, static_argnames=("h", "w", "k", "t_rec", "t_col", "lr", "lc"))
+def _batched_decode_i_compact(pay, meta, prevs, tables_b, h, w, k,
+                              t_rec, t_col, lr, lc):
     """Compacted I decode (mirror of _batched_encode_i_compact): the
     payload/count arrays arrive already compacted to the coded-I streams
     (pow2-padded, pad marks padding rows), each decodes from freshly
     renewed tables, and both the decoded frames and the updated table rows
     scatter back into the full batch (pads dropped out-of-bounds).
+    pay: [C, k*(lr+lc)] uint8 flattened payloads; meta: [C, 4] int32
+    (n_rec, n_lit, pad, idx) — two uploads instead of six.
     Returns ([S] frames with I rows replaced, [S] int32 error word,
     updated full table tree)."""
     from screenpressor_tpu.jx.iframe import decode_i_device
 
+    pay_rec = pay[:, : k * lr].reshape(-1, k, lr)
+    pay_col = pay[:, k * lr :].reshape(-1, k, lc)
+    n_rec_s, n_lit_s = meta[:, 0], meta[:, 1]
+    pad = meta[:, 2].astype(bool)
+    idx = meta[:, 3]
     c = idx.shape[0]
     s = prevs.shape[0]
     fresh = renew_tables()
@@ -1048,21 +1110,39 @@ def _batched_decode_i_compact(pay_rec, pay_col, n_rec_s, n_lit_s, pad, idx,
     return frames, err, tables_out
 
 
-@functools.partial(_kernel_jit, static_argnames=("h", "w", "nbx", "nby", "kts", "caps", "mcap", "bcap"))
-def _batched_decode_p(payloads_b, ns_b, xx1_b, xx2_b, n_data_b, prevs, tables_b,
-                      h, w, nbx, nby, kts, caps, mcap, bcap):
+@functools.partial(_kernel_jit, static_argnames=("h", "w", "nbx", "nby", "kts", "caps", "lls", "mcap", "bcap"))
+def _batched_decode_p(pay_flat, meta, prevs, tables_b,
+                      h, w, nbx, nby, kts, caps, lls, mcap, bcap):
     """Batched P decode with the motion gather fallback lifted ABOVE the
     stream vmap: under vmap apply_motion's per-stream lax.cond flattens to
     a select, so the rare per-pixel gather (for >MOTION_DISTINCT_CAP
     distinct or >rpad MVs) would run for all S streams every step — a
     measured ~150 ms of the 196 ms step decode at 64x360p. At top level the
-    cond stays a real branch and the steady state never pays it."""
+    cond stays a real branch and the steady state never pays it.
+
+    The host hands over exactly TWO arrays — pay_flat [S, sum(k*L)]
+    (every section's [k, L] lane payload flattened per stream, stream-major
+    so a dp sharding on axis 0 keeps stream locality; per-section L in
+    static lls) and meta [S, 8] int32 (per-section counts, xx1, xx2,
+    n_data) — because each host->device upload is its own ~3-5 ms dispatch
+    on a tunnel rig."""
     from screenpressor_tpu.jx.pframe import (
+        _SECTION_NAMES,
         apply_motion_gather,
         apply_motion_loop,
         decode_p_resolve,
         reconstruct_blocks,
     )
+
+    s = prevs.shape[0]
+    payloads_b = {}
+    base = 0
+    for (name, k, _), ll in zip(kts, lls):
+        n = k * ll
+        payloads_b[name] = pay_flat[:, base : base + n].reshape(s, k, ll)
+        base += n
+    ns_b = {name: meta[:, j] for j, name in enumerate(_SECTION_NAMES)}
+    xx1_b, xx2_b, n_data_b = meta[:, 5], meta[:, 6], meta[:, 7]
 
     def one_resolve(payloads, ns, xx1, xx2, n_data, prev, tables):
         return decode_p_resolve(
@@ -1129,13 +1209,9 @@ class BatchedDecoder:
     def _renew_streams(self, mask: np.ndarray):
         if not mask.any():
             return
-        fresh = renew_tables()
-        sel = jnp.asarray(mask)
-
-        def mix(batched, new):
-            return jnp.where(sel.reshape((-1,) + (1,) * new.ndim), new[None], batched)
-
-        self.tables_b = jax.tree.map(mix, self.tables_b, fresh)
+        self.tables_b = _renew_rows(
+            self.tables_b, renew_tables_cached(), jnp.asarray(mask)
+        )
 
     def decode(self, payloads, device_out: bool = False):
         """payloads: list of S frame byte strings -> [S, H, W, 3] frames."""
@@ -1230,40 +1306,41 @@ class BatchedDecoder:
                 c = next_pow2(len(i_idx))
                 pr = np.zeros((c, k, lr), np.uint8)
                 pc = np.zeros((c, k, lc), np.uint8)
-                n_rec_b = np.zeros(c, np.int32)
-                n_lit_b = np.zeros(c, np.int32)
+                meta_i = np.zeros((c, 4), np.int32)
+                meta_i[:, 2] = np.arange(c) >= len(i_idx)  # pad rows
+                meta_i[:, 3] = np.resize(np.asarray(i_idx, np.int64), c)
                 for j, i in enumerate(i_idx):
                     x = i_parse[i]
                     pr[j, :, : x[0].shape[1]] = np.asarray(x[0])
                     pc[j, :, : x[1].shape[1]] = np.asarray(x[1])
-                    n_rec_b[j], n_lit_b[j] = x[2], x[3]
-                pad = np.arange(c) >= len(i_idx)
-                idx_g = np.resize(np.asarray(i_idx, np.int64), c).astype(np.int32)
+                    meta_i[j, 0], meta_i[j, 1] = x[2], x[3]
+                pay = np.concatenate(
+                    [pr.reshape(c, -1), pc.reshape(c, -1)], axis=1)
                 mark("serve dec I stage")
                 frames, err_i, self.tables_b = _batched_decode_i_compact(
-                    self._dput(pr), self._dput(pc), self._dput(n_rec_b),
-                    self._dput(n_lit_b), self._dput(pad), self._dput(idx_g),
-                    self.prev, self.tables_b, h, w, k, t_rec, t_col,
+                    self._dput(pay), self._dput(meta_i),
+                    self.prev, self.tables_b, h, w, k, t_rec, t_col, lr, lc,
                 )
                 checks.append(err_i)
             else:
                 pr = np.zeros((s, k, lr), np.uint8)
                 pc = np.zeros((s, k, lc), np.uint8)
-                n_rec_b = np.zeros(s, np.int32)
-                n_lit_b = np.zeros(s, np.int32)
-                skip = np.ones(s, bool)
+                meta_i = np.zeros((s, 3), np.int32)
+                meta_i[:, 2] = 1  # skip by default
                 for i, x in enumerate(i_parse):
                     if x is None:
                         continue
-                    skip[i] = False
+                    meta_i[i, 2] = 0
                     pr[i, :, : x[0].shape[1]] = np.asarray(x[0])
                     pc[i, :, : x[1].shape[1]] = np.asarray(x[1])
-                    n_rec_b[i], n_lit_b[i] = x[2], x[3]
+                    meta_i[i, 0], meta_i[i, 1] = x[2], x[3]
+                pay = np.concatenate(
+                    [pr.reshape(s, -1), pc.reshape(s, -1)], axis=1)
+                skip = meta_i[:, 2].astype(bool)
                 mark("serve dec I stage")
                 dec_frames, ok, self.tables_b = _batched_decode_i(
-                    self._dput(pr), self._dput(pc), self._dput(n_rec_b),
-                    self._dput(n_lit_b), self._dput(skip), self.tables_b,
-                    h, w, k, t_rec, t_col,
+                    self._dput(pay), self._dput(meta_i), self.tables_b,
+                    h, w, k, t_rec, t_col, lr, lc,
                 )
                 checks.append(
                     (~ok).astype(jnp.int32) * jnp.asarray(~skip, jnp.int32))
@@ -1287,33 +1364,35 @@ class BatchedDecoder:
                 (name, k, jc._pad_steps(-(-maxn[name] // k))) for name in _SECTION_NAMES
             )
             caps = tuple(next_pow2(maxn[name]) for name in _SECTION_NAMES)
+            lls = tuple(next_pow2(maxl[name]) for name in _SECTION_NAMES)
             mcap, bcap = next_pow2(max_mv), next_pow2(max_data)
             pay_b = {
-                name: np.zeros((s, k, next_pow2(maxl[name])), np.uint8)
-                for name in _SECTION_NAMES
+                name: np.zeros((s, k, ll), np.uint8)
+                for name, ll in zip(_SECTION_NAMES, lls)
             }
-            ns_b = {name: np.zeros(s, np.int32) for name in _SECTION_NAMES}
-            xx1_b = np.zeros(s, np.int32)
-            xx2_b = np.full(s, -1, np.int32)  # skip streams: empty xx range
-            nd_b = np.zeros(s, np.int32)
+            # two uploads total: flat payload bytes + int32 meta (counts,
+            # xx range, data blocks) — see _batched_decode_p
+            meta = np.zeros((s, 8), np.int32)
+            meta[:, 6] = -1  # skip streams: empty xx range
             p_mask = np.zeros(s, bool)
             for i, x in enumerate(p_parse):
                 if x is None:
                     continue
                 p_mask[i] = True
                 pl, ns, _kts, _caps, (xx1, xx2, n_mv, n_data) = x
-                for name in _SECTION_NAMES:
+                for j, name in enumerate(_SECTION_NAMES):
                     a = np.asarray(pl[name])
                     pay_b[name][i, :, : a.shape[1]] = a
-                    ns_b[name][i] = int(ns[name])
-                xx1_b[i], xx2_b[i], nd_b[i] = xx1, xx2, n_data
+                    meta[i, j] = int(ns[name])
+                meta[i, 5], meta[i, 6], meta[i, 7] = xx1, xx2, n_data
+            pay_flat = np.concatenate(
+                [pay_b[name].reshape(s, -1) for name in _SECTION_NAMES], axis=1
+            )
             mark("serve dec P stage")
             p_frames, err, self.tables_b = _batched_decode_p(
-                {n: self._dput(v) for n, v in pay_b.items()},
-                {n: self._dput(v) for n, v in ns_b.items()},
-                self._dput(xx1_b), self._dput(xx2_b), self._dput(nd_b),
+                self._dput(pay_flat), self._dput(meta),
                 self.prev, self.tables_b,
-                h, w, cfg.nbx, cfg.nby, kts, caps, mcap, bcap,
+                h, w, cfg.nbx, cfg.nby, kts, caps, lls, mcap, bcap,
             )
             checks.append(err * jnp.asarray(p_mask, jnp.int32))
             pm = jnp.asarray(p_mask).reshape(s, 1, 1, 1)
@@ -1324,8 +1403,9 @@ class BatchedDecoder:
         # ---- compose overrides / no-change streams ----
         if frames is None:
             frames = self.prev
-        sel_prev = jnp.asarray(use_prev).reshape(s, 1, 1, 1)
-        frames = jnp.where(sel_prev, self.prev, frames)
+        if use_prev.any() and frames is not self.prev:
+            sel_prev = jnp.asarray(use_prev).reshape(s, 1, 1, 1)
+            frames = jnp.where(sel_prev, self.prev, frames)
         if override.any():
             ov = jnp.asarray(override).reshape(s, 1, 1, 1)
             frames = jnp.where(ov, jnp.asarray(override_val), frames)
@@ -1380,3 +1460,32 @@ class BatchedDecoder:
         if pend is not None:
             errs_d, p_mask = pend
             self._raise_errs(np.asarray(jax.device_get(errs_d)), p_mask)
+
+
+def serve_pipelined(enc: BatchedEncoder, batches, dec: BatchedDecoder | None = None,
+                    device_out: bool = True):
+    """Drive a serving loop with one-step encoder lookahead.
+
+    Yields, per input batch and in order, `(outs, decoded)` where `outs` is
+    the encode() result list and `decoded` is dec's frame batch for it
+    (None when dec is None). Step t+1's analysis/classification device work
+    is dispatched BEFORE step t's tunnel pulls and host payload assembly,
+    so sync latency and host time hide behind queued device compute. Output
+    bytes are identical to calling enc.encode()/dec.decode() step by step
+    (the lookahead phases depend only on the frame pair, not the adaptive
+    tables).
+    """
+    pend = None
+    for frames in batches:
+        nxt = enc.encode_begin(frames)
+        if pend is not None:
+            outs = enc.encode_finish(pend)
+            dec_frames = (None if dec is None else
+                          dec.decode([p for p, _ in outs], device_out=device_out))
+            yield outs, dec_frames
+        pend = nxt
+    if pend is not None:
+        outs = enc.encode_finish(pend)
+        dec_frames = (None if dec is None else
+                      dec.decode([p for p, _ in outs], device_out=device_out))
+        yield outs, dec_frames

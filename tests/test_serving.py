@@ -258,3 +258,47 @@ def test_dense_batch_analysis_bytes_match_serial():
         o2 = enc.encode(f2)
         outs[forced] = (o1, o2)
     assert outs[0] == outs[10**9]
+
+
+def test_pipelined_serving_matches_sequential():
+    """serve_pipelined (one-step encoder lookahead) must produce bytes
+    identical to step-by-step encode()/decode() across mixed I/P batches
+    with staggered keyframes, flat transitions, and no-change streams."""
+    from screenpressor_tpu.parallel.serving import BatchedDecoder, serve_pipelined
+
+    s, h, w = 4, 32, 48
+    kf = 3
+    offsets = [0, 1, 2, 0]
+    cfg = CodecConfig(width=w, height=h, kf_interval=kf, k_fixed=8,
+                      msr_x=8, msr_y=8)
+    batches = []
+    frames = np.stack([synth_desktop(h, w, seed=40 + i) for i in range(s)])
+    for t in range(7):
+        f = frames.copy()
+        if t > 0:
+            f[:, (t * 5) % (h - 4) : (t * 5) % (h - 4) + 3,
+              (t * 7) % (w - 6) : (t * 7) % (w - 6) + 4] = (t * 30 % 255, 80, 10)
+            f[1] = np.roll(frames[1], 4, axis=0)  # motion stream
+        if t == 3:
+            f[2] = 9          # flat stream mid-session
+        if t == 5:
+            f[3] = batches[-1][3]  # no-change stream
+        frames = f
+        batches.append(f)
+
+    enc_seq = BatchedEncoder(s, cfg, kf_offsets=offsets)
+    dec_seq = BatchedDecoder(s, cfg)
+    want = []
+    for b in batches:
+        outs = enc_seq.encode(b)
+        back = dec_seq.decode([p for p, _ in outs])
+        want.append(outs)
+        np.testing.assert_array_equal(back, b)
+
+    enc = BatchedEncoder(s, cfg, kf_offsets=offsets)
+    dec = BatchedDecoder(s, cfg)
+    got = list(serve_pipelined(enc, batches, dec, device_out=False))
+    assert len(got) == len(batches)
+    for t, ((outs, back), b) in enumerate(zip(got, batches)):
+        assert outs == want[t], f"step {t}: pipelined bytes differ"
+        np.testing.assert_array_equal(back, b, err_msg=f"step {t}")
