@@ -53,9 +53,31 @@ def test_batched_pframes_match_per_stream():
         np.testing.assert_array_equal(dec.decode(b), f1[i])
 
 
+def staggered_session_batches(s, h, w, seed=40, steps=7):
+    """Deterministic mixed-kind session: typing edits everywhere, one motion
+    stream, one flat transition (t=3), one no-change stream (t=5). Shared by
+    the staggered/pipelined tests so their per-step section shapes (and thus
+    compiled programs) are identical — the suite compiles each program once."""
+    frames = np.stack([synth_desktop(h, w, seed=seed + i) for i in range(s)])
+    batches = []
+    for t in range(steps):
+        f = frames.copy()
+        if t > 0:
+            f[:, (t * 5) % (h - 4) : (t * 5) % (h - 4) + 3,
+              (t * 7) % (w - 6) : (t * 7) % (w - 6) + 4] = (t * 30 % 255, 80, 10)
+            f[1] = np.roll(frames[1], 4, axis=0)  # motion stream
+        if t == 3 and s > 2:
+            f[2] = 9          # flat stream mid-session
+        if t == 5 and s > 3:
+            f[3] = batches[-1][3]  # no-change stream
+        frames = f
+        batches.append(f)
+    return batches
+
+
 def test_batched_second_keyframe_keeps_table_lockstep():
     # two rounds of keyframes: flat streams must not perturb their tables
-    s, h, w = 3, 24, 32
+    s, h, w = 4, 32, 48
     cfg = CodecConfig(width=w, height=h, kf_interval=1, k_fixed=8)
     f0 = np.stack([synth_desktop(h, w, seed=i) for i in range(s)])
     f1 = np.stack([np.roll(synth_desktop(h, w, seed=i), 3, axis=1) for i in range(s)])
@@ -76,7 +98,8 @@ def test_batched_decoder_roundtrip():
     from screenpressor_tpu.parallel.serving import BatchedDecoder
 
     s, h, w = 4, 32, 48
-    cfg = CodecConfig(width=w, height=h, kf_interval=3, k_fixed=4)
+    cfg = CodecConfig(width=w, height=h, kf_interval=3, k_fixed=8,
+                      msr_x=8, msr_y=8)
     enc = BatchedEncoder(s, cfg)
     dec = BatchedDecoder(s, cfg)
     rng = np.random.default_rng(9)
@@ -104,8 +127,9 @@ def test_batched_decoder_matches_single_stream():
     from screenpressor_tpu.jx.codec import JaxDecoder
     from screenpressor_tpu.parallel.serving import BatchedDecoder
 
-    s, h, w = 3, 32, 48
-    cfg = CodecConfig(width=w, height=h, kf_interval=4, k_fixed=4)
+    s, h, w = 4, 32, 48
+    cfg = CodecConfig(width=w, height=h, kf_interval=4, k_fixed=8,
+                      msr_x=8, msr_y=8)
     enc = BatchedEncoder(s, cfg)
     dec_b = BatchedDecoder(s, cfg)
     dec_1 = [JaxDecoder(cfg) for _ in range(s)]
@@ -138,14 +162,7 @@ def test_staggered_keyframes_match_per_stream_sessions():
     singles = [SpecEncoder(cfg_single) for _ in range(s)]
     decs = [SpecDecoder(cfg_single) for _ in range(s)]
 
-    frames = np.stack([synth_desktop(h, w, seed=i) for i in range(s)])
-    for t in range(7):
-        f = frames.copy()
-        f[:, (t * 5) % (h - 4) : (t * 5) % (h - 4) + 3,
-          (t * 7) % (w - 6) : (t * 7) % (w - 6) + 4] = (t * 30 % 255, 80, 10)
-        if t == 3:
-            f[2] = 9  # flat stream mid-session
-        frames = f
+    for t, f in enumerate(staggered_session_batches(s, h, w)):
         outs = batched.encode(f)
         for i in range(s):
             # single-stream sessions express the phase via force_key
@@ -168,12 +185,7 @@ def test_staggered_keyframes_batched_decoder_roundtrip():
     offsets = [0, 1, 2, 0]
     enc = BatchedEncoder(s, cfg, kf_offsets=offsets)
     dec = BatchedDecoder(s, cfg)
-    frames = np.stack([synth_desktop(h, w, seed=20 + i) for i in range(s)])
-    for t in range(7):
-        f = frames.copy()
-        f[:, (t * 5) % (h - 4) : (t * 5) % (h - 4) + 3,
-          (t * 7) % (w - 6) : (t * 7) % (w - 6) + 4] = (t * 30 % 255, 10, 99)
-        frames = f
+    for t, f in enumerate(staggered_session_batches(s, h, w)):
         outs = enc.encode(f)
         got = dec.decode([p for p, _ in outs])
         np.testing.assert_array_equal(got, f, err_msg=f"step {t}")
@@ -271,20 +283,7 @@ def test_pipelined_serving_matches_sequential():
     offsets = [0, 1, 2, 0]
     cfg = CodecConfig(width=w, height=h, kf_interval=kf, k_fixed=8,
                       msr_x=8, msr_y=8)
-    batches = []
-    frames = np.stack([synth_desktop(h, w, seed=40 + i) for i in range(s)])
-    for t in range(7):
-        f = frames.copy()
-        if t > 0:
-            f[:, (t * 5) % (h - 4) : (t * 5) % (h - 4) + 3,
-              (t * 7) % (w - 6) : (t * 7) % (w - 6) + 4] = (t * 30 % 255, 80, 10)
-            f[1] = np.roll(frames[1], 4, axis=0)  # motion stream
-        if t == 3:
-            f[2] = 9          # flat stream mid-session
-        if t == 5:
-            f[3] = batches[-1][3]  # no-change stream
-        frames = f
-        batches.append(f)
+    batches = staggered_session_batches(s, h, w)
 
     enc_seq = BatchedEncoder(s, cfg, kf_offsets=offsets)
     dec_seq = BatchedDecoder(s, cfg)

@@ -37,12 +37,20 @@ COUNTS = {"dispatch": 0, "pull": 0}
 _orig_cpp = _pj._cpp_pjit
 
 
+TRACE: list = []  # (name,) per dispatch when SPTC_DISPATCH_TRACE=1
+_DO_TRACE = os.environ.get("SPTC_DISPATCH_TRACE") == "1"
+
+
 def _counting_cpp(fun, jit_info):
     inner = _orig_cpp(fun, jit_info)
+    name = str(getattr(jit_info, "fun_sourceinfo", None)
+               or getattr(fun, "__qualname__", "?"))
 
     @functools.wraps(inner)
     def wrapper(*a, **k):
         COUNTS["dispatch"] += 1
+        if _DO_TRACE:
+            TRACE.append(name)
         return inner(*a, **k)
 
     for attr in ("clear_cache", "_fun", "lower", "eval_shape", "trace"):
@@ -103,10 +111,16 @@ def main():
     print(f"{s} streams {w}x{h} kf={kf} staggered")
     for t in range(steps):
         before = dict(COUNTS)
+        tr0 = len(TRACE)
         next(it)
         d = COUNTS["dispatch"] - before["dispatch"]
         p = COUNTS["pull"] - before["pull"]
         print(f"step {t}: {d:4d} dispatches, {p} pulls")
+        if _DO_TRACE:
+            from collections import Counter
+
+            for name, n in Counter(TRACE[tr0:]).most_common():
+                print(f"    {n:3d}x {name}")
 
 
 if __name__ == "__main__":
