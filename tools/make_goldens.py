@@ -91,11 +91,13 @@ def procedural_entries():
     def serving():
         from screenpressor_tpu.parallel.serving import BatchedEncoder
 
-        cfg = CodecConfig(width=128, height=96, kf_interval=3, k_fixed=8,
-                          msr_x=16, msr_y=16)
-        enc = BatchedEncoder(3, cfg, kf_offsets=[0, 1, 2])
+        # same (s, h, w, k_fixed, msr) family as tests/test_serving.py so the
+        # suite compiles this program family exactly once (cold-run wall time)
+        cfg = CodecConfig(width=48, height=32, kf_interval=3, k_fixed=8,
+                          msr_x=8, msr_y=8)
+        enc = BatchedEncoder(4, cfg, kf_offsets=[0, 1, 2, 0])
         payloads = []
-        for fr in serving_session_frames():
+        for fr in serving_session_frames(h=32, w=48, s=4):
             payloads.extend(p for p, _ in enc.encode(fr))
         return payloads
 
