@@ -37,7 +37,7 @@ def _golden(name):
 
 
 @pytest.mark.parametrize("ver", [2, 3])
-@pytest.mark.parametrize("size", ["64x96", "49x67"])
+@pytest.mark.parametrize("size", ["48x64", "49x67"])
 def test_golden_streams_decode_losslessly_via_libavcodec(ver, size):
     data, info, frames = _golden(f"golden_scpr{ver}_{size}.bin")
     dec = avoracle.AvScprDecoder(info["w"], info["h"])

@@ -55,12 +55,12 @@ def test_golden_reencode_and_decode(name):
 
 
 def test_golden_jax_backend_matches_spec_fixture():
-    name = "golden_spec_64x96.bin"
+    name = "golden_spec_48x64.bin"
     meta = MANIFEST[name]
     with open(os.path.join(DATA, name), "rb") as fh:
         payloads = _split(fh.read(), meta["sizes"])
-    frames = np.load(os.path.join(DATA, "golden_frames_64x96.npy"))
-    cfg = CodecConfig(width=96, height=64, kf_interval=meta["kf_interval"])
+    frames = np.load(os.path.join(DATA, "golden_frames_48x64.npy"))
+    cfg = CodecConfig(width=64, height=48, kf_interval=meta["kf_interval"])
     enc = Encoder(cfg, backend="jax")
     got = enc.encode_batch(list(frames))
     for i, (p, _) in enumerate(got):

@@ -128,7 +128,7 @@ def procedural_entries():
 def main():
     os.makedirs(OUT, exist_ok=True)
     manifest = {}
-    for h, w in ((64, 96), (49, 67)):  # even and odd sizes
+    for h, w in ((48, 64), (49, 67)):  # even and odd sizes
         frames = session_frames(h, w)
         np.save(os.path.join(OUT, f"golden_frames_{h}x{w}.npy"),
                 np.stack(frames))
