@@ -58,6 +58,7 @@ def staggered_session_batches(s, h, w, seed=40, steps=7):
     stream, one flat transition (t=3), one no-change stream (t=5). Shared by
     the staggered/pipelined tests so their per-step section shapes (and thus
     compiled programs) are identical — the suite compiles each program once."""
+    assert s >= 4, "mixed-kind session needs streams 1..3 for motion/flat/no-change"
     frames = np.stack([synth_desktop(h, w, seed=seed + i) for i in range(s)])
     batches = []
     for t in range(steps):
@@ -66,9 +67,9 @@ def staggered_session_batches(s, h, w, seed=40, steps=7):
             f[:, (t * 5) % (h - 4) : (t * 5) % (h - 4) + 3,
               (t * 7) % (w - 6) : (t * 7) % (w - 6) + 4] = (t * 30 % 255, 80, 10)
             f[1] = np.roll(frames[1], 4, axis=0)  # motion stream
-        if t == 3 and s > 2:
+        if t == 3:
             f[2] = 9          # flat stream mid-session
-        if t == 5 and s > 3:
+        if t == 5:
             f[3] = batches[-1][3]  # no-change stream
         frames = f
         batches.append(f)

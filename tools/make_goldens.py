@@ -60,7 +60,11 @@ def serving_session_frames(h=96, w=128, s=3):
         np.roll(session_frames(h, w)[0], 7 * i, axis=1) for i in range(s)
     ])
     seq = [base]
-    f = base.copy(); f[:, 20:30, 40:90] = (250, 250, 250); seq.append(f)
+    # edit region scaled from h/w so the session content stays a wide edit
+    # at every fixture shape (ADVICE r3: the old absolute slice clipped to
+    # 8 columns at the h=32,w=48 serving-golden shape)
+    f = base.copy(); f[:, h // 5 : h // 3, w // 3 : 2 * w // 3] = (250, 250, 250)
+    seq.append(f)
     seq.append(np.roll(f, 5, axis=1))
     seq.append(seq[-1].copy())
     return seq
