@@ -185,9 +185,24 @@ class Encoder:
                 self._session.cfg = self.cfg
         internal = self._adapter.to_internal(frame)
         data, ftype = self._session.encode(internal, force_key=force_key)
+        data = self._with_format_prefix(data, ftype)
         self.frames_encoded += 1
         self.bytes_out += len(data)
         return data, ftype
+
+    def _with_format_prefix(self, data: bytes, ftype: int) -> bytes:
+        """Prefix keyframes with the format-extension chunk for non-RGB24
+        sources so decoders self-configure from the stream alone
+        (reference: `CompressGetFormat` mask embedding,
+        `screenpressor.cpp:317-339`). RGB24 streams are unchanged."""
+        if ftype != 0 or self.fmt.pixel_format is PixelFormat.RGB24:
+            return data
+        from screenpressor_tpu import bitstream as bs
+
+        if self.fmt.pixel_format is PixelFormat.RGB32:
+            return bs.pack_format_prefix(32) + data
+        return bs.pack_format_prefix(
+            16, self.fmt.rmask, self.fmt.gmask, self.fmt.bmask) + data
 
     def encode_batch(self, frames, force_key: bool = False):
         """Encode a list of frames; backends with a pipelined batch path
@@ -202,6 +217,8 @@ class Encoder:
                 self._session.encode(f, force_key=force_key and i == 0)
                 for i, f in enumerate(internals)
             ]
+        if self.fmt.pixel_format is not PixelFormat.RGB24:
+            results = [(self._with_format_prefix(d, t), t) for d, t in results]
         for data, _ in results:
             self.frames_encoded += 1
             self.bytes_out += len(data)
@@ -243,12 +260,35 @@ class Decoder:
         # keyframe (reference `crashed`, `screencap.cpp:1621-1710`)
         self.crashed = False
 
+    def _strip_format_prefix(self, data: bytes) -> bytes:
+        """Consume a leading format-extension chunk, reconfiguring this
+        decoder's output pixel format from the stream (FORMAT.md; reference
+        `screenpressor.cpp:317-339`)."""
+        from screenpressor_tpu import bitstream as bs
+
+        parsed, pos = bs.parse_format_prefix(data)
+        if parsed is None:
+            return data
+        bpp, rmask, gmask, bmask = parsed
+        if bpp == 32:
+            fmt = FormatParams(pixel_format=PixelFormat.RGB32)
+        else:
+            fmt = FormatParams(pixel_format=PixelFormat.RGB16,
+                               rmask=rmask, gmask=gmask, bmask=bmask)
+        if fmt != self.fmt:
+            self.fmt = fmt
+            self._adapter = _FormatAdapter(fmt)
+        return data[pos:]
+
     def _decode_one(self, data: bytes) -> np.ndarray:
         from screenpressor_tpu import bitstream as bs
         from screenpressor_tpu.config import SPTC_VERSION_NIBBLE
 
         if not data:
             raise bs.CorruptStreamError("empty frame")
+        data = self._strip_format_prefix(data)
+        if not data:
+            raise bs.CorruptStreamError("format prefix without frame payload")
         if (data[0] >> 4) == SPTC_VERSION_NIBBLE:
             return self._session.decode(data)
         # reference-format SCPR stream
@@ -289,6 +329,9 @@ class Decoder:
             raise ValueError("device_out requires RGB24")
         if self.crashed and datas and (not datas[0] or (datas[0][0] & 0x0F) == ALG_P):
             raise bs.CorruptStreamError("decoder poisoned; keyframe required")
+        datas = [self._strip_format_prefix(d) for d in datas]
+        if device_out and self.fmt.pixel_format is not PixelFormat.RGB24:
+            raise ValueError("device_out requires RGB24 (stream carries a format prefix)")
         from screenpressor_tpu.config import SPTC_VERSION_NIBBLE
 
         all_sptc = all(d and (d[0] >> 4) == SPTC_VERSION_NIBBLE for d in datas)

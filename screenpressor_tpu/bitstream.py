@@ -11,6 +11,7 @@ import struct
 
 from screenpressor_tpu.config import (
     ALG_FLAT,
+    ALG_FMT,
     ALG_I,
     ALG_P,
     SPTC_VERSION_NIBBLE,
@@ -37,6 +38,39 @@ class BadVersionError(Exception):
 
 class CorruptStreamError(Exception):
     pass
+
+
+def pack_format_prefix(bpp: int, rmask: int = 0, gmask: int = 0, bmask: int = 0) -> bytes:
+    """Format-extension chunk prefixed to a keyframe payload when the source
+    pixel format is not RGB24: header byte (version nibble | ALG_FMT), one
+    bpp byte (16/32), and for bpp=16 three little-endian u16 channel masks.
+    A decoder built without `FormatParams` self-configures from this chunk
+    (reference: mask embedding in `CompressGetFormat`,
+    `screenpressor.cpp:317-339`)."""
+    if bpp == 16:
+        return bytes([header_byte(ALG_FMT), 16]) + struct.pack(
+            "<3H", rmask, gmask, bmask)
+    if bpp == 32:
+        return bytes([header_byte(ALG_FMT), 32])
+    raise ValueError(f"format prefix only for bpp 16/32, got {bpp}")
+
+
+def parse_format_prefix(data: bytes):
+    """If `data` starts with a format-extension chunk, return
+    ((bpp, rmask, gmask, bmask), pos_past_prefix); else (None, 0)."""
+    if not data or (data[0] >> 4) != SPTC_VERSION_NIBBLE or (data[0] & 0x0F) != ALG_FMT:
+        return None, 0
+    if len(data) < 2:
+        raise CorruptStreamError("truncated format prefix")
+    bpp = data[1]
+    if bpp == 16:
+        if len(data) < 8:
+            raise CorruptStreamError("truncated format prefix masks")
+        rmask, gmask, bmask = struct.unpack_from("<3H", data, 2)
+        return (16, rmask, gmask, bmask), 8
+    if bpp == 32:
+        return (32, 0, 0, 0), 2
+    raise CorruptStreamError(f"bad format prefix bpp {bpp}")
 
 
 _WIDTHS = (1, 2, 4)

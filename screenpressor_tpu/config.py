@@ -57,6 +57,11 @@ ALG_FLAT = 1
 ALG_I = 2
 ALG_P = 3
 ALG_RAW = 4  # uncompressed escape: bounds worst-case output at raw + 5 bytes
+# format-extension prefix chunk: emitted before a keyframe when the source
+# pixel format is not RGB24, so a decoder can self-configure from the stream
+# alone (reference analog: `CompressGetFormat` embeds the 16-bit channel
+# masks as 12 extra header bytes, `screenpressor.cpp:317-339`)
+ALG_FMT = 5
 
 # Block geometry (reference: 16x16 blocks, `screencap.cpp:87-88`)
 BLOCK = 16
