@@ -117,7 +117,12 @@ class _LegacySession:
     def encode(self, frame, force_key: bool = False):
         from screenpressor_tpu.spec.codec import apply_loss
 
-        frame = apply_loss(np.asarray(frame, np.uint8), self.cfg.loss)
+        frame = np.asarray(frame, np.uint8)
+        # flat frames bypass loss in the reference (IsFlat short-circuits
+        # before DoLoss, screencap.cpp:1489-1501: the 3 color bytes and the
+        # prev buffer hold the RAW color) — match it for byte-identity
+        if self.cfg.loss and not (frame == frame.reshape(-1, 3)[0]).all():
+            frame = apply_loss(frame, self.cfg.loss)
         return self._impl.encode(frame, force_key=force_key)
 
     def decode(self, data: bytes):

@@ -41,7 +41,12 @@ def build(force: bool = False) -> str:
         if force or not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(src):
             try:
                 subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+                    # -DNDEBUG matches the shipped release DLLs: the
+                    # reference's own debug asserts fire on legal content
+                    # (v3 f0=64 Cx2->Cx6 upgrades with >=61 symbols make
+                    # totFr>PROB_SCALE, ans_contexts.h:497-501 — release
+                    # builds run through it and stay self-consistent)
+                    ["g++", "-O2", "-DNDEBUG", "-shared", "-fPIC", "-std=c++17",
                      "-DNOPROTECT", f"-DREF_DIR={_REF_DIR}", f"-I{_DIR}",
                      src, "-o", _SO, "-lpthread"],
                     check=True, cwd=_DIR, capture_output=True,
@@ -60,7 +65,7 @@ def _lib() -> ctypes.CDLL:
         build()
         lib = ctypes.CDLL(_SO)
         lib.refora_new.restype = ctypes.c_void_p
-        lib.refora_new.argtypes = [ctypes.c_int] * 5
+        lib.refora_new.argtypes = [ctypes.c_int] * 6
         lib.refora_free.argtypes = [ctypes.c_void_p]
         lib.refora_compress.restype = ctypes.c_long
         lib.refora_compress.argtypes = [
@@ -97,10 +102,10 @@ class RefCodec:
     """
 
     def __init__(self, version: int, width: int, height: int,
-                 msr: int = 256, msr_low: int = 8):
+                 msr: int = 256, msr_low: int = 8, loss: int = 0):
         assert version in (2, 3, 4)
         self.version, self.width, self.height = version, width, height
-        self._h = _lib().refora_new(version, width, height, msr, msr_low)
+        self._h = _lib().refora_new(version, width, height, msr, msr_low, loss)
         if not self._h:
             raise RefOracleUnavailable("refora_new failed")
 

@@ -111,7 +111,8 @@ struct RefHandle {
 
 extern "C" {
 
-void* refora_new(int version, int w, int h, int msr_hi, int msr_lo) {
+void* refora_new(int version, int w, int h, int msr_hi, int msr_lo,
+                 int loss) {
     RefHandle* rh = new RefHandle();
     rh->w = w;
     rh->h = h;
@@ -130,7 +131,7 @@ void* refora_new(int version, int w, int h, int msr_hi, int msr_lo) {
     p.redmask = p.greenmask = p.bluemask = 0;
     p.high_range_x = p.high_range_y = msr_hi;
     p.low_range_x = p.low_range_y = msr_lo;
-    p.loss = 0;
+    p.loss = loss;
     rh->sc->Init(&p);
     return rh;
 }
