@@ -54,11 +54,14 @@ def fits_planes_i(frame):
 
 
 def start_types_i(fits):
+    # no index-0 special case: global pixel 0 has all-False fits planes
+    # (fits_planes_i zeroes them), so it types PT_LITERAL by default — and
+    # a row-shard's local pixel 0 (classify_from_fits) must NOT be forced
     n = fits.shape[0]
     t = jnp.full((n,), PT_LITERAL, jnp.int32)
     for p in (PT_GRADIENT, PT_ABOVE, PT_ABOVELEFT, PT_LEFT):
         t = jnp.where(fits[:, p], p, t)
-    return t.at[0].set(PT_LITERAL)
+    return t
 
 
 def streak_tables(fits):
@@ -171,6 +174,46 @@ def segment(frame):
         (key, starts_at, jnp.where(is_start, st, 0), runlen), num_keys=1
     )
     return path, ptypes, rlens, n_records
+
+
+def classify_from_fits(fits, pix):
+    """Classification from precomputed fits planes: fits [n, 6] bool,
+    pix [n, 3] -> (records, n_records, lits, n_literals), same contract as
+    `classify_i`. Used by the row-sharded pipeline (parallel/mesh.py), where
+    fits come from a halo exchange: a shard whose pixel range starts on a
+    SEG_TILE boundary produces exactly the global records of its range
+    (runs break at SEG_TILE boundaries, so no run crosses a shard seam)."""
+    n = fits.shape[0]
+    st = start_types_i(fits)
+    bits = jnp.zeros((n,), jnp.int32)
+    for t in range(NUM_PTYPES):
+        bits = bits | (fits[:, t].astype(jnp.int32) << t)
+    is_start = _run_walk(bits, st, n)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    starts_at = jnp.where(is_start, idx, n)
+    nxt = jax.lax.cummin(
+        jnp.concatenate([starts_at[1:], jnp.array([n], jnp.int32)]),
+        axis=0, reverse=True,
+    )
+    runlen = jnp.where(is_start, nxt - idx, 0)
+    n_records = jnp.sum(is_start).astype(jnp.int32)
+    pos = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    key = jnp.where(is_start, pos, n)
+    _, ptypes, rlens = jax.lax.sort(
+        (key, jnp.where(is_start, st, 0), runlen), num_keys=1
+    )
+    is_lit = is_start & (st == PT_LITERAL)
+    lit_pos = jnp.cumsum(is_lit.astype(jnp.int32)) - 1
+    lkey = jnp.where(is_lit, lit_pos, n)
+    pix = pix.astype(jnp.int32)
+    masked = jnp.where(is_lit[:, None], pix, 0)
+    _, lr, lg, lb = jax.lax.sort(
+        (lkey, masked[:, 0], masked[:, 1], masked[:, 2]), num_keys=1
+    )
+    lits = jnp.stack([lr, lg, lb], axis=1)
+    n_literals = jnp.sum(is_lit).astype(jnp.int32)
+    records = jnp.stack([ptypes, rlens], axis=1)
+    return records, n_records, lits, n_literals
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w"))
