@@ -41,9 +41,12 @@ def _nested(args, kwargs) -> bool:
     )
 
 
-def kernel_jit(fn, *, static_argnames):
+def kernel_jit(fn, *, static_argnames, donate_argnums=None):
     jitted = None
-    plain = jax.jit(fn, static_argnames=static_argnames)
+    jkw = {"static_argnames": static_argnames}
+    if donate_argnums is not None:
+        jkw["donate_argnums"] = donate_argnums
+    plain = jax.jit(fn, **jkw)
 
     @functools.wraps(fn)
     def call(*args, **kwargs):
@@ -56,9 +59,7 @@ def kernel_jit(fn, *, static_argnames):
                 if jax.default_backend() != "cpu"
                 else None
             )
-            jitted = jax.jit(
-                fn, static_argnames=static_argnames, compiler_options=opts
-            )
+            jitted = jax.jit(fn, compiler_options=opts, **jkw)
         return jitted(*args, **kwargs)
 
     return call

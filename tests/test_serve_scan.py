@@ -1,0 +1,125 @@
+"""Window-scan serving (serve_scan) must match the sequential BatchedEncoder
+byte for byte within its static capacities, and fall back to the lossless
+raw escape beyond them."""
+
+import numpy as np
+import pytest
+
+from screenpressor_tpu.config import CodecConfig
+from screenpressor_tpu.parallel.serving import BatchedDecoder, BatchedEncoder
+from screenpressor_tpu.parallel.serve_scan import (
+    WindowConfig,
+    encode_window,
+    plan_windows,
+    serve_windowed,
+)
+from tests.test_serving import staggered_session_batches
+
+S, H, W = 4, 32, 48
+
+
+def _cfg(**kw):
+    kw.setdefault("kf_interval", 5)
+    kw.setdefault("k_fixed", 8)
+    kw.setdefault("msr_x", 8)
+    kw.setdefault("msr_y", 8)
+    return CodecConfig(width=W, height=H, **kw)
+
+
+def _wcfg(cfg, **kw):
+    kw.setdefault("f", 4)
+    kw.setdefault("c", 2)
+    kw.setdefault("rec_cap", 1024)
+    kw.setdefault("col_cap", 1024)
+    kw.setdefault("irec_cap", 2048)
+    kw.setdefault("icol_cap", 2048)
+    kw.setdefault("pack_cap", 8192)
+    return WindowConfig(cfg, S, **kw)
+
+
+def test_window_matches_sequential_bytes():
+    cfg = _cfg()
+    offsets = [0, 1, 2, 3]
+    batches = staggered_session_batches(S, H, W, steps=7)
+    seq = BatchedEncoder(S, cfg, kf_offsets=offsets)
+    win = BatchedEncoder(S, cfg, kf_offsets=offsets)
+    want = [seq.encode(b) for b in batches]
+    # step 0 keyframes all S streams -> per-step path; window the rest
+    got = [win.encode(batches[0])]
+    wcfg = _wcfg(cfg)
+    got += encode_window(win, batches[1:4], wcfg)
+    got += encode_window(win, batches[4:7], wcfg)
+    for t, (wt, gt) in enumerate(zip(want, got)):
+        for i, ((pw, fw), (pg, fg)) in enumerate(zip(wt, gt)):
+            assert fw == fg, (t, i)
+            assert pw == pg, (t, i, len(pw), len(pg))
+
+
+def test_window_covers_staggered_keyframes():
+    """Keyframes inside the window (per-stream staggered) must still match."""
+    cfg = _cfg(kf_interval=3)
+    offsets = [0, 1, 2, 0]
+    batches = staggered_session_batches(S, H, W, steps=7, seed=11)
+    seq = BatchedEncoder(S, cfg, kf_offsets=offsets)
+    win = BatchedEncoder(S, cfg, kf_offsets=offsets)
+    want = [seq.encode(b) for b in batches]
+    got = [win.encode(batches[0])]
+    got += encode_window(win, batches[1:7], _wcfg(cfg, f=6))
+    for t, (wt, gt) in enumerate(zip(want, got)):
+        for i, ((pw, fw), (pg, fg)) in enumerate(zip(wt, gt)):
+            assert (fw, pw) == (fg, pg), (t, i)
+
+
+def test_serve_windowed_decodes_lossless():
+    cfg = _cfg()
+    offsets = [0, 1, 2, 3]
+    batches = staggered_session_batches(S, H, W, steps=7)
+    enc = BatchedEncoder(S, cfg, kf_offsets=offsets)
+    dec = BatchedDecoder(S, cfg)
+    outs_all = []
+    for t, (outs, decoded) in enumerate(
+        serve_windowed(enc, batches, dec, _wcfg(cfg))
+    ):
+        assert np.array_equal(np.asarray(decoded), batches[t]), t
+        outs_all.append(outs)
+    dec.validate()
+    assert len(outs_all) == len(batches)
+
+
+def test_window_overflow_raw_escape():
+    """A stream-step exceeding the record capacity is emitted as a raw frame
+    (lossless, tables renewed) instead of corrupting the stream."""
+    cfg = _cfg(kf_interval=50)
+    rng = np.random.default_rng(5)
+    base = np.stack([
+        np.full((H, W, 3), 40, np.uint8) for _ in range(S)
+    ])
+    b1 = base.copy()
+    # stream 2: full-frame noise change -> far beyond rec_cap=64
+    b1[2] = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+    b1[0, 4:8, 4:8] = 200  # small typing edit stays in caps
+    b2 = b1.copy()
+    b2[1, 10:12, :] = 77
+    enc = BatchedEncoder(S, cfg)
+    dec = BatchedDecoder(S, cfg)
+    dec.decode([p for p, _ in enc.encode(base)])
+    wcfg = _wcfg(cfg, rec_cap=64, col_cap=64, pack_cap=4096)
+    steps = encode_window(enc, [b1, b2], wcfg)
+    for t, (outs, frames) in enumerate(zip(steps, [b1, b2])):
+        decoded = dec.decode([p for p, _ in outs])
+        assert np.array_equal(np.asarray(decoded), frames), t
+    # the noisy stream actually took the escape
+    assert steps[0][2][0][0] >> 4 == 0xA
+    assert (steps[0][2][0][0] & 0x0F) == 4  # ALG_RAW
+
+
+def test_plan_windows_shapes():
+    cfg = _cfg(kf_interval=3)
+    enc = BatchedEncoder(S, cfg, kf_offsets=[0, 1, 2, 0])
+    wcfg = _wcfg(cfg, c=1)
+    plan = plan_windows(enc, 6, wcfg)
+    # step 0 keyframes everyone -> fallback; offsets 0&3 collide -> 2 keys
+    # on fn%3==0 steps -> those steps are ineligible at c=1
+    assert plan[0] == ("step", 1)
+    total = sum(n for _, n in plan)
+    assert total == 6
