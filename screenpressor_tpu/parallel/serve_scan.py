@@ -472,8 +472,8 @@ def encode_window(enc, frames_list, wcfg: WindowConfig):
     )
     enc.prev = prev
     enc.tables_b = tables_b
-    enc.last_flat = np.asarray(last_flat)
-    enc.flat_color = np.asarray(flat_color)
+    enc.last_flat = np.array(last_flat)
+    enc.flat_color = np.array(flat_color)
 
     # ---- pull 1: the [F, S] length/kind matrices ----
     lens_h, kinds_h = jax.device_get((lens, kinds))
@@ -552,7 +552,8 @@ def plan_windows(enc, n_steps: int, wcfg: WindowConfig):
 def serve_windowed(enc, batches, dec=None, wcfg: WindowConfig | None = None,
                    device_out: bool = True):
     """Window-scan serving driver: like serve_pipelined but amortizing the
-    per-step pulls over F-step windows. Yields (outs, decoded) per step."""
+    per-step pulls over F-step windows on BOTH sides (encode_window +
+    decode_window). Yields (outs, decoded) per step."""
     if wcfg is None:
         wcfg = WindowConfig(enc.cfg, enc.s)
     batches = list(batches)
@@ -564,8 +565,237 @@ def serve_windowed(enc, batches, dec=None, wcfg: WindowConfig | None = None,
             steps = [outs]
         else:
             steps = encode_window(enc, batches[t: t + ln], wcfg)
-        for outs in steps:
-            decoded = (None if dec is None else
-                       dec.decode([p for p, _ in outs], device_out=device_out))
-            yield outs, decoded
+        if dec is None:
+            for outs in steps:
+                yield outs, None
+        elif kind == "step":
+            yield steps[0], dec.decode(
+                [p for p, _ in steps[0]], device_out=device_out)
+        else:
+            frames_fs = decode_window(
+                dec, [[p for p, _ in outs] for outs in steps])
+            for j, outs in enumerate(steps):
+                yield outs, frames_fs[j]
         t += ln
+
+
+# ---------------------------------------------------------------------------
+# Decode window: F decode steps in one scan (mirror of encode_window_scan)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    _kernel_jit,
+    static_argnames=("h", "w", "nbx", "nby", "k", "kts", "caps", "lls",
+                     "mcap", "bcap", "t_irec", "t_icol", "lr", "lc"),
+    donate_argnums=(8, 9, 10, 11),
+)
+def decode_window_scan(pay_fs, pmeta_fs, ipay_fs, imeta_fs, kinds_fs,
+                       colors_fs, rvals, rmeta, prev, tables_b, last_flat,
+                       flat_color, h, w, nbx, nby, k, kts, caps, lls,
+                       mcap, bcap, t_irec, t_icol, lr, lc):
+    """pay_fs: [F, S, sum(k*ll)] flattened P section payloads; pmeta_fs
+    [F, S, 8]; ipay_fs [F, C, k*(lr+lc)]; imeta_fs [F, C, 4] (n_rec, n_lit,
+    pad, idx); kinds/colors as pulled from the encoder; rvals/rmeta: raw
+    override frames + their (step, stream) coords. Carry mirrors
+    BatchedDecoder state. Returns carry', frames [F, S, H, W, 3], err [F, S].
+    """
+    from screenpressor_tpu.parallel.serving import (
+        _batched_decode_i_compact,
+        _batched_decode_p,
+    )
+
+    s = prev.shape[0]
+    fresh = renew_tables()
+
+    def step(carry, inp):
+        prev, tables_b, last_flat, flat_color = carry
+        pay_t, pmeta, ipay, imeta, kind, color, t = inp
+        is_flat = kind == K_FLAT
+        is_raw = kind == K_RAW
+        same = last_flat & jnp.all(flat_color == color, axis=1)
+        renew = (is_flat & ~same) | is_raw
+        tables_b = jax.tree.map(
+            lambda b, n: jnp.where(
+                renew.reshape((-1,) + (1,) * n.ndim), n[None], b),
+            tables_b, fresh,
+        )
+        last_flat = is_flat
+        flat_color = jnp.where(is_flat[:, None], color, flat_color)
+
+        # coded P rows (skip rows carry xx2 = -1 and all-zero counts)
+        p_frames, err_p, tables_b = _batched_decode_p(
+            pay_t, pmeta, prev, tables_b, h, w, nbx, nby, kts, caps, lls,
+            mcap, bcap,
+        )
+        # compact coded-I rows (decode from fresh tables, scatter back)
+        base, err_i, tables_b = _batched_decode_i_compact(
+            ipay, imeta, prev, tables_b, h, w, k, t_irec, t_icol, lr, lc,
+        )
+        p_mask = kind == K_P
+        frames = jnp.where(p_mask[:, None, None, None], p_frames, base)
+        frames = jnp.where(
+            is_flat[:, None, None, None],
+            jnp.broadcast_to(color[:, None, None, :], frames.shape),
+            frames,
+        )
+        ridx = jnp.where(rmeta[:, 0] == t, rmeta[:, 1], s)
+        frames = frames.at[ridx].set(rvals, mode="drop")
+        err = (err_p * p_mask.astype(jnp.int32)
+               + err_i * (kind == K_I).astype(jnp.int32))
+        return (frames, tables_b, last_flat, flat_color), (frames, err)
+
+    f = kinds_fs.shape[0]
+    carry, (frames_fs, err_fs) = jax.lax.scan(
+        step, (prev, tables_b, last_flat, flat_color),
+        (pay_fs, pmeta_fs, ipay_fs, imeta_fs, kinds_fs, colors_fs,
+         jnp.arange(f, dtype=jnp.int32)),
+    )
+    return carry, frames_fs, err_fs
+
+
+def decode_window(dec, payload_lists):
+    """Decode F steps of S payloads each through a BatchedDecoder's device
+    state with ONE device program (plus uploads). Returns device-resident
+    frames [F, S, H, W, 3]; error checks are deferred exactly like
+    decode(device_out=True) — resolved by the next decode()/validate().
+    """
+    from screenpressor_tpu.jx.iframe import parse_i_header
+    from screenpressor_tpu.jx.pframe import _SECTION_NAMES, parse_p_header
+
+    cfg = dec.cfg
+    s, h, w = dec.s, cfg.height, cfg.width
+    k = cfg.k_fixed
+    f = len(payload_lists)
+    dec.validate()
+
+    kinds = np.zeros((f, s), np.int32)
+    colors = np.zeros((f, s, 3), np.uint8)
+    pmeta = np.zeros((f, s, 8), np.int32)
+    pmeta[:, :, 6] = -1  # skip rows: empty xx range
+    p_parse = {}
+    i_parse = {}
+    raws = []
+    for t, payloads in enumerate(payload_lists):
+        assert len(payloads) == s
+        for i, data in enumerate(payloads):
+            if not data:
+                raise bs.CorruptStreamError(f"step {t} stream {i}: empty frame")
+            alg = bs.parse_header_byte(data[0])
+            if alg == ALG_FLAT:
+                if len(data) < 4:
+                    raise bs.CorruptStreamError(
+                        f"step {t} stream {i}: truncated flat")
+                kinds[t, i] = K_FLAT
+                colors[t, i] = np.frombuffer(data[1:4], np.uint8)
+            elif alg == ALG_RAW:
+                npix = h * w * 3
+                if len(data) < 1 + npix:
+                    raise bs.CorruptStreamError(
+                        f"step {t} stream {i}: truncated raw")
+                kinds[t, i] = K_RAW
+                raws.append(
+                    (t, i, np.frombuffer(data, np.uint8, npix, 1)
+                     .reshape(h, w, 3)))
+            elif alg == ALG_I:
+                kinds[t, i] = K_I
+                i_parse[(t, i)] = parse_i_header(data, 1, cfg)
+            elif alg == ALG_P:
+                if dec.prev is None and t == 0:
+                    raise bs.CorruptStreamError(
+                        f"step {t} stream {i}: P-frame before keyframe")
+                parsed = parse_p_header(data, 1, cfg)
+                if parsed is None:
+                    kinds[t, i] = K_NOCHANGE
+                else:
+                    kinds[t, i] = K_P
+                    p_parse[(t, i)] = parsed
+            else:
+                raise bs.CorruptStreamError(
+                    f"step {t} stream {i}: unknown algorithm {alg}")
+
+    # ---- window buckets (shape-only; recompile when they grow) ----
+    maxn = {name: 1 for name in _SECTION_NAMES}
+    maxl = {name: 4 for name in _SECTION_NAMES}
+    max_mv = max_data = 1
+    for pl, ns, _kts, _caps, (xx1, xx2, n_mv, n_data) in p_parse.values():
+        for name in _SECTION_NAMES:
+            maxn[name] = max(maxn[name], int(ns[name]))
+            maxl[name] = max(maxl[name], pl[name].shape[1])
+        max_mv, max_data = max(max_mv, n_mv), max(max_data, n_data)
+    kts = tuple((name, k, jc._pad_steps(-(-maxn[name] // k)))
+                for name in _SECTION_NAMES)
+    caps = tuple(next_pow2(maxn[name]) for name in _SECTION_NAMES)
+    lls = tuple(next_pow2(maxl[name]) for name in _SECTION_NAMES)
+    mcap, bcap = next_pow2(max_mv), next_pow2(max_data)
+
+    pay = {name: np.zeros((f, s, k, ll), np.uint8)
+           for name, ll in zip(_SECTION_NAMES, lls)}
+    for (t, i), (pl, ns, _k, _c, (xx1, xx2, n_mv, n_data)) in p_parse.items():
+        for j, name in enumerate(_SECTION_NAMES):
+            a = np.asarray(pl[name])
+            pay[name][t, i, :, : a.shape[1]] = a
+            pmeta[t, i, j] = int(ns[name])
+        pmeta[t, i, 5], pmeta[t, i, 6], pmeta[t, i, 7] = xx1, xx2, n_data
+    pay_fs = np.concatenate(
+        [pay[name].reshape(f, s, -1) for name in _SECTION_NAMES], axis=2)
+
+    # ---- compact I slots ----
+    c = 1
+    per_step = [sum(1 for (t, i) in i_parse if t == tt) for tt in range(f)]
+    c = next_pow2(max([1] + per_step))
+    ipay = np.zeros((f, c, 0), np.uint8)
+    imeta = np.zeros((f, c, 4), np.int32)
+    imeta[:, :, 2] = 1  # pads
+    t_irec = t_icol = 1
+    lr = lc = 4
+    for x in i_parse.values():
+        t_irec = max(t_irec, jc._pad_steps(-(-max(x[2], 1) // k)))
+        t_icol = max(t_icol, jc._pad_steps(-(-max(x[3], 1) // k)))
+        lr = max(lr, x[0].shape[1])
+        lc = max(lc, x[1].shape[1])
+    lr, lc = next_pow2(lr), next_pow2(lc)
+    ipay = np.zeros((f, c, k * (lr + lc)), np.uint8)
+    slot = [0] * f
+    for (t, i), x in sorted(i_parse.items()):
+        j = slot[t]
+        slot[t] += 1
+        pr = np.zeros((k, lr), np.uint8)
+        pc = np.zeros((k, lc), np.uint8)
+        pr[:, : x[0].shape[1]] = np.asarray(x[0])
+        pc[:, : x[1].shape[1]] = np.asarray(x[1])
+        ipay[t, j] = np.concatenate([pr.reshape(-1), pc.reshape(-1)])
+        imeta[t, j] = (x[2], x[3], 0, i)
+
+    # ---- raw overrides ----
+    r = next_pow2(max(1, len(raws)))
+    rvals = np.zeros((r, h, w, 3), np.uint8)
+    rmeta = np.full((r, 2), -1, np.int32)
+    for j, (t, i, fr) in enumerate(raws):
+        rvals[j] = fr
+        rmeta[j] = (t, i)
+
+    if dec.prev is None:
+        dec.prev = dec._dput(jnp.zeros((s, h, w, 3), jnp.uint8))
+    (prev, tables_b, last_flat, flat_color), frames_fs, err_fs = (
+        decode_window_scan(
+            dec._dput(jnp.asarray(pay_fs)), dec._dput(jnp.asarray(pmeta)),
+            dec._dput(jnp.asarray(ipay)), dec._dput(jnp.asarray(imeta)),
+            jnp.asarray(kinds), jnp.asarray(colors),
+            dec._dput(jnp.asarray(rvals)), jnp.asarray(rmeta),
+            dec.prev, dec.tables_b,
+            jnp.asarray(dec.last_flat), jnp.asarray(dec.flat_color),
+            h, w, cfg.nbx, cfg.nby, k, kts, caps, lls, mcap, bcap,
+            t_irec, t_icol, lr, lc,
+        )
+    )
+    dec.prev = prev
+    dec.tables_b = tables_b
+    dec.last_flat = np.array(last_flat)
+    dec.flat_color = np.array(flat_color)
+    try:
+        err_fs.copy_to_host_async()
+    except Exception:
+        pass
+    dec._pending_err = (err_fs, (kinds == K_P).any(axis=0))
+    return frames_fs

@@ -42,6 +42,15 @@ _MIX2 = int(os.environ.get("SPTC_MIX2", "0"))  # 0 off; else group shift
 # SPTC_MIX_ESC overrides C for experiments; "0" disables (legacy one-level
 # spare-filling backoff with rows initialized at MIX_ROW_INIT or 1).
 _MIX_ESC_ENV = os.environ.get("SPTC_MIX_ESC")
+# seen-set escalation experiments (VERDICT r3 #3: the decode-affordable
+# analog of the reference's escalating per-context alphabets,
+# ans_contexts.h:98-160). SPTC_MIX_GATE grammar: "g" masks the global
+# backoff to the row's UNSEEN symbols (seen symbols are priced by row
+# counts alone, floor 1); "dN" scales the escalation constant by the row's
+# distinct-symbol count (C_eff = clip(C * d / N, 1, C)) so a small-alphabet
+# row takes nearly the whole code space after a handful of hits; "gdN"
+# combines both.
+_MIX_GATE_ENV = os.environ.get("SPTC_MIX_GATE", "")
 
 
 def _esc_c() -> int:
@@ -85,6 +94,11 @@ class Table:
         self.cntsum = np.zeros((rows,), np.int32)
         if self.mix:
             self.esc_c = _esc_c()
+            self.gate_g = "g" in _MIX_GATE_ENV
+            self.gate_d = (
+                int(_MIX_GATE_ENV.split("d", 1)[1])
+                if "d" in _MIX_GATE_ENV else 0
+            )
             self.row_init = _MIX_ROW_INIT or MIX_ROW_INIT
             self.gstep = _MIX_GSTEP or kind_gstep(name)
             self.n_globals = n_globals
@@ -124,10 +138,24 @@ class Table:
         gi = row // self.g_rows
         if self.esc_c:
             s_obs = int(self.cntsum[row])
-            target = ((PROB_SCALE - 2 * self.A) * s_obs) // (s_obs + self.esc_c)
+            c_eff = self.esc_c
+            if self.gate_d:
+                d = int((c > 0).sum())
+                c_eff = min(max((self.esc_c * d) // self.gate_d, 1), self.esc_c)
+            target = ((PROB_SCALE - 2 * self.A) * s_obs) // (s_obs + c_eff)
             sc_r = (target << 13) // max(s_obs, 1)
             row_eff = (c.astype(np.int64) * sc_r) >> 13
             spare = (PROB_SCALE - self.A) - int(row_eff.sum())
+            if self.gate_g:
+                unseen = c == 0
+                gsrc = self.gcnt[gi].astype(np.int64) * unseen
+                gs = int(gsrc.sum())
+                if gs > 0:
+                    sc = (spare << 13) // gs
+                    g_eff = np.where(
+                        unseen, np.maximum((gsrc * sc) >> 13, 1), 0)
+                    return np.maximum(row_eff + g_eff, 1).astype(np.int32)
+                return np.maximum(row_eff, 1).astype(np.int32)
             sc = (spare << 13) // int(self.gsum[gi])
             g_eff = np.maximum((self.gcnt[gi].astype(np.int64) * sc) >> 13, 1)
             return (row_eff + g_eff).astype(np.int32)

@@ -123,3 +123,85 @@ def test_plan_windows_shapes():
     assert plan[0] == ("step", 1)
     total = sum(n for _, n in plan)
     assert total == 6
+
+
+def test_decode_window_matches_sequential():
+    """decode_window must produce the sequential BatchedDecoder's frames and
+    leave identical session state (tables chained through mixed kinds)."""
+    import jax
+
+    cfg = _cfg(kf_interval=3)
+    offsets = [0, 1, 2, 0]
+    batches = staggered_session_batches(S, H, W, steps=7, seed=23)
+    enc = BatchedEncoder(S, cfg, kf_offsets=offsets)
+    payloads = [[p for p, _ in enc.encode(b)] for b in batches]
+    from screenpressor_tpu.parallel.serve_scan import decode_window
+
+    d_seq = BatchedDecoder(S, cfg)
+    d_win = BatchedDecoder(S, cfg)
+    want = [d_seq.decode(ps) for ps in payloads]
+    got0 = d_win.decode(payloads[0])
+    frames_fs = decode_window(d_win, payloads[1:])
+    d_win.validate()
+    assert np.array_equal(np.asarray(got0), want[0])
+    got = np.asarray(frames_fs)
+    for t in range(1, len(batches)):
+        assert np.array_equal(got[t - 1], want[t]), t
+        assert np.array_equal(want[t], batches[t]), t
+    # continue sequentially after the window: state must have advanced right
+    extra = batches[-1].copy()
+    extra[:, 5:9, 5:9] = 123
+    pe = [p for p, _ in enc.encode(extra)]
+    assert np.array_equal(np.asarray(d_win.decode(pe)), np.asarray(d_seq.decode(pe)))
+
+
+def test_decode_window_raw_and_flat():
+    cfg = _cfg(kf_interval=50)
+    from screenpressor_tpu.parallel.serve_scan import decode_window
+
+    rng = np.random.default_rng(9)
+    base = np.stack([np.full((H, W, 3), 20 + i, np.uint8) for i in range(S)])
+    b1 = base.copy()
+    b1[0] = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)  # raw escape
+    b1[1] = 77  # flat transition
+    b2 = b1.copy()
+    b2[2, 3:6, 3:6] = 250
+    enc = BatchedEncoder(S, cfg)
+    payloads = [[p for p, _ in enc.encode(b)] for b in (base, b1, b2)]
+    dec = BatchedDecoder(S, cfg)
+    dec.decode(payloads[0])
+    frames_fs = np.asarray(decode_window(dec, payloads[1:]))
+    dec.validate()
+    assert np.array_equal(frames_fs[0], b1)
+    assert np.array_equal(frames_fs[1], b2)
+
+
+def test_decode_window_corrupt_defers_error():
+    import pytest as _pytest
+
+    from screenpressor_tpu import bitstream as _bs
+    from screenpressor_tpu.parallel.serve_scan import decode_window
+
+    cfg = _cfg(kf_interval=50)
+    base = np.stack([synth_desktop_local(i) for i in range(S)])
+    b1 = base.copy()
+    b1[:, 4:8, 4:12] = 200
+    enc = BatchedEncoder(S, cfg)
+    payloads = [[p for p, _ in enc.encode(b)] for b in (base, b1)]
+    dec = BatchedDecoder(S, cfg)
+    dec.decode(payloads[0])
+    bad = bytearray(payloads[1][0])
+    bad[3] ^= 0xFF  # corrupt a P container body
+    payloads[1][0] = bytes(bad)
+    try:
+        decode_window(dec, [payloads[1]])
+        with _pytest.raises(_bs.CorruptStreamError):
+            dec.validate()
+    except _bs.CorruptStreamError:
+        pass  # parse-level rejection is equally acceptable
+
+
+def synth_desktop_local(i):
+    from tests.test_spec_iframe import synth_desktop
+
+    return synth_desktop(H, W, seed=40 + i)
