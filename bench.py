@@ -119,6 +119,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    if os.environ.get("BENCH_ONLY_SERVING") == "1":
+        # A/B convenience: skip the main 1080p bench, run the serving
+        # diagnostic only (no driver JSON line — diagnostics to stderr)
+        serving_diag()
+        return
+
     print(f"bench: backend={jax.default_backend()} {h}x{w} x{n} frames", file=sys.stderr)
 
     from screenpressor_tpu.api import Decoder, Encoder
@@ -130,6 +136,82 @@ def main():
         cfg = CodecConfig(width=w, height=h, k_max=int(os.environ["BENCH_K_MAX"]))
     frames_np = synth_screencast(h, w, n)
     frames = [jax.block_until_ready(jnp.asarray(f)) for f in frames_np]
+
+    use_bwin = os.environ.get("BENCH_WINDOW", "0") == "1"
+    if use_bwin:
+        # window mode: the 64-frame batch is ONE stream's 63-step window
+        # after a per-step keyframe — a single device program per side,
+        # collapsing the per-frame dispatch/pull chain (serve_scan). The
+        # stream uses the k_fixed=32 lane profile (window programs need a
+        # static lane count); sizes are reported so the ratio cost of the
+        # fixed-lane profile is visible.
+        from screenpressor_tpu.parallel.serve_scan import (
+            WindowConfig, decode_window, encode_window)
+        from screenpressor_tpu.parallel.serving import (
+            BatchedDecoder, BatchedEncoder)
+
+        cfgw = CodecConfig(width=w, height=h, k_fixed=32)
+        wcfg = WindowConfig(
+            cfgw, 1, f=n - 1, c=1,
+            rec_cap=int(os.environ.get("BENCH_WIN_REC_CAP", 16384)),
+            col_cap=int(os.environ.get("BENCH_WIN_COL_CAP", 16384)),
+            pack_cap=1 << 17,
+        )
+        frames_b = [f.reshape(1, h, w, 3) for f in frames]
+
+        def run():
+            enc = BatchedEncoder(1, cfgw)
+            dec = BatchedDecoder(1, cfgw)
+            t0 = time.perf_counter()
+            out0 = enc.encode(frames_b[0])
+            steps = [out0] + encode_window(enc, frames_b[1:], wcfg)
+            results = [s[0] for s in steps]
+            t1 = time.perf_counter()
+            dec0 = dec.decode([results[0][0]], device_out=True)
+            rest = decode_window(dec, [[p] for p, _ in results[1:]])
+            outs = [dec0[0]] + [rest[i, 0] for i in range(n - 1)]
+            jax.block_until_ready(outs)
+            t2 = time.perf_counter()
+            return results, outs, t1 - t0, t2 - t1
+
+        # warmup + timed (same protocol as the default path)
+        results, outs, _, _ = run()
+        results, outs, t_enc, t_dec = run()
+        ok = bool(
+            jax.device_get(
+                jnp.all(jnp.stack([jnp.all(o == f) for o, f in zip(outs, frames)]))
+            )
+        )
+        if not ok:
+            print("LOSSLESS CHECK FAILED", file=sys.stderr)
+            sys.exit(1)
+        total_bytes = sum(len(p) for p, _ in results)
+        pixels = n * h * w
+        mpix = pixels / (t_enc + t_dec) / 1e6
+        raw = pixels * 3
+        print(
+            f"bench-window: enc {pixels / t_enc / 1e6:.2f} Mpix/s, dec "
+            f"{pixels / t_dec / 1e6:.2f} Mpix/s, ratio {raw / total_bytes:.1f}x "
+            f"({total_bytes} B)",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "Mpixel/s/chip encode+decode 1080p screencast (lossless)",
+                    "value": round(mpix, 3),
+                    "unit": "Mpix/s",
+                    "vs_baseline": round(mpix / 1000.0, 5),
+                }
+            ),
+            flush=True,
+        )
+        if os.environ.get("BENCH_SERVING", "1") != "0":
+            try:
+                serving_diag()
+            except Exception as e:
+                print(f"bench-serving: skipped ({e})", file=sys.stderr)
+        return
 
     def run():
         enc = Encoder(cfg, backend="jax")
@@ -198,10 +280,15 @@ def serving_diag():
     from screenpressor_tpu.parallel.serving import BatchedDecoder, BatchedEncoder
 
     # the real conferencing profile (BASELINE.md): 64 concurrent 360p streams,
-    # reference-strength +-256 motion, staggered per-stream keyframes
+    # reference-strength +-256 motion, staggered per-stream keyframes.
+    # BENCH_SERVE_WINDOW=0 forces the per-step path (default: F-step window
+    # scan, serve_scan.serve_windowed — the round-4 dispatch-amortized loop).
+    use_window = os.environ.get("BENCH_SERVE_WINDOW", "1") != "0"
     s, h, w, steps = (
         int(os.environ.get("BENCH_STREAMS", 64)), 360, 640,
-        int(os.environ.get("BENCH_SERVE_STEPS", 4)),
+        # window mode: 1 + 2*F steps -> one fallback step + two full F=8
+        # windows (a single window program; no second compile for a tail)
+        int(os.environ.get("BENCH_SERVE_STEPS", 16 if use_window else 4)),
     )
     msr = int(os.environ.get("BENCH_SERVE_MSR", 256))
     kf = int(os.environ.get("BENCH_SERVE_KF", 150))
@@ -220,13 +307,21 @@ def serving_diag():
     batches = [jax.block_until_ready(jnp.asarray(b)) for b in host_batches]
 
     def run_serving():
+        from screenpressor_tpu.parallel.serve_scan import (
+            WindowConfig, serve_windowed)
         from screenpressor_tpu.parallel.serving import serve_pipelined
 
         enc = BatchedEncoder(s, cfg, kf_offsets=offsets)
         dec = BatchedDecoder(s, cfg)
         t0 = time.perf_counter()
-        for _, outs in serve_pipelined(enc, batches, dec):
-            pass
+        if use_window:
+            wcfg = WindowConfig(
+                cfg, s, f=int(os.environ.get("BENCH_SERVE_F", 8)), c=2)
+            for _, outs in serve_windowed(enc, batches, dec, wcfg):
+                pass
+        else:
+            for _, outs in serve_pipelined(enc, batches, dec):
+                pass
         jax.block_until_ready(outs)
         dec.validate()
         return outs, time.perf_counter() - t0

@@ -37,10 +37,15 @@ elif "SPTC_COLOR_CTX_HALF_BITS" in os.environ:
     _hb = int(os.environ["SPTC_COLOR_CTX_HALF_BITS"])
     COLOR_CTX_BITS_A = COLOR_CTX_BITS_B = _hb
 else:
-    # SPTC3 default: full precision on the first conditioning channel, 2
-    # bits on the second — measured best 10-bit split on the real-content
-    # corpus (tools/mix_experiment.py; beats symmetric 6,6 at 1/4 the rows)
-    COLOR_CTX_BITS_A, COLOR_CTX_BITS_B = 8, 2
+    # SPTC4 default (round 4): full precision on the first conditioning
+    # channel, 4 bits on the second. Round-4 sweep on the real-content
+    # corpus (512x288, vs reference v4 bytes): (8,2) 0.957 overall with
+    # code 1.023 / terminal 1.022; (8,3) 0.915; (8,4) 0.881 with EVERY
+    # class < 1.00 (code 0.940, terminal 0.963). (7,4) and the reference's
+    # symmetric (6,6) are worse — full precision on channel A dominates.
+    # The 4096-row/plane table still kernelizes (windowed per-plane
+    # access); the VMEM-guard scan fallback covers rigs where it doesn't.
+    COLOR_CTX_BITS_A, COLOR_CTX_BITS_B = 8, 4
 COLOR_CTX_ROWS = 1 << (COLOR_CTX_BITS_A + COLOR_CTX_BITS_B)
 # legacy symmetric aliases (jx/kernels uses the generalized pair)
 COLOR_CTX_HALF_BITS = COLOR_CTX_BITS_B

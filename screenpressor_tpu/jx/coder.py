@@ -517,23 +517,50 @@ def use_kernels() -> bool:
 # Single-kernel VMEM ceiling: a section whose state (payload/records +
 # table + MXU transients) exceeds this falls back to the scan path rather
 # than risking a Mosaic VMEM OOM. Every program that can reach a section
-# kernel is compiled with a 32 MB scoped-VMEM cap (jitopts.kernel_jit;
-# v5e has 128 MB VMEM), so the estimate budget is 24 MB — measured on
-# v5e: the 1080p I-frame col section (est 14.2 MB) runs as a kernel,
-# 67 -> 27 ms for the I-frame's sections, bytes identical.
-_KERNEL_VMEM_LIMIT = 24 * 1024 * 1024
+# kernel is compiled with a 96 MB scoped-VMEM cap (jitopts.kernel_jit;
+# v5e has 128 MB VMEM), so the estimate budget is 80 MB — sized for the
+# SPTC4 (8,4) color tables: ~30 MB single-stream, and the BATCHED serving
+# kernels (under a stream vmap) double-buffer the table block in+out
+# across the stream grid, which _kernel_fits accounts for by scaling the
+# resident-table term 4x when its operands are batch tracers (Mosaic
+# measured 65.9 MB at the 64x360p decode-I shapes).
+_KERNEL_VMEM_LIMIT = 80 * 1024 * 1024
 
 
-def _kernel_fits(codec_name: str, k: int, t_steps: int, pay_bytes: int = 0) -> bool:
+def _batched_args(*arrs) -> bool:
+    """True when any operand is a vmap BatchTracer (the serving batch
+    paths): the Pallas stream grid then double-buffers table blocks."""
+    try:
+        from jax.interpreters import batching
+
+        return any(
+            isinstance(a, batching.BatchTracer)
+            for a in jax.tree_util.tree_leaves(arrs)
+        )
+    except Exception:  # pragma: no cover - jax internals moved
+        return False
+
+
+def _kernel_fits(codec_name: str, k: int, t_steps: int, pay_bytes: int = 0,
+                 batched: bool = False) -> bool:
     from screenpressor_tpu.jx import kernels as kx
 
     est = kx._enc_vmem_estimate(((codec_name, k, t_steps),))
+    if batched:
+        # the stream-grid pipeline double-buffers the table block in AND
+        # out: add 3 more copies of the resident tables
+        from screenpressor_tpu.config import TABLE_KINDS
+
+        union = kx._union_kinds([codec_name])
+        est += 3 * sum(4 * TABLE_KINDS[kd][0] * TABLE_KINDS[kd][1]
+                       for kd in union)
     return est + 4 * max(k, 8) * pay_bytes <= _KERNEL_VMEM_LIMIT
 
 
 def decode_section_auto(payload, lens, tables, codec_name: str, k: int, t_steps: int):
     """Kernel/scan dispatch; identical contract and bytes either way."""
-    if use_kernels() and _kernel_fits(codec_name, k, t_steps, payload.shape[1]):
+    if use_kernels() and _kernel_fits(codec_name, k, t_steps, payload.shape[1],
+                                      _batched_args(payload, tables)):
         from screenpressor_tpu.jx import kernels as kx
 
         return kx.decode_section_kernel(payload, lens, tables, codec_name, k, t_steps)
@@ -543,7 +570,8 @@ def decode_section_auto(payload, lens, tables, codec_name: str, k: int, t_steps:
 def encode_section_auto(recs, lens, tables, codec_name: str, k: int, t_steps: int):
     """Kernel/scan dispatch -> (buf [K, cap], start [K], tables'). Blob bytes
     (buf[i, start[i]:]) are identical either way; only cap padding differs."""
-    if use_kernels() and _kernel_fits(codec_name, k, t_steps):
+    if use_kernels() and _kernel_fits(codec_name, k, t_steps,
+                                      batched=_batched_args(recs, tables)):
         from screenpressor_tpu.jx import kernels as kx
 
         return kx.encode_section_kernel(recs, lens, tables, codec_name, k, t_steps)

@@ -29,7 +29,14 @@ try:  # jax 0.9: no public alias; the serving path needs nested detection
 except ImportError:  # pragma: no cover - future jax
     _trace_state_clean = None
 
-SCOPED_VMEM_KIB = "32768"
+# 96 MB of v5e's 128 MB VMEM: the SPTC4 (8,4) color tables quadruple the
+# resident table block (12.6 MB f32/stream). Single-stream kernels need
+# ~30 MB (the old 32 MB cap pushed them to the scan path, measured -14%
+# on the 1080p bench); the BATCHED serving kernels additionally
+# double-buffer the per-stream table block in AND out across the stream
+# grid (~4x the table term — Mosaic measured 65.9 MB at 64x360p decode-I),
+# so the cap is sized for them with headroom.
+SCOPED_VMEM_KIB = "98304"
 
 
 def _nested(args, kwargs) -> bool:

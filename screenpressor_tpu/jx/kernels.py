@@ -1035,9 +1035,17 @@ def _enc_vmem_estimate(kts):
 
 
 # fuse sections into one kernel only while the estimate stays inside the
-# 32 MB scoped-VMEM cap set by jitopts.kernel_jit (with headroom for the
-# estimate's error); larger sections fall back to one kernel each
-_FUSE_VMEM_LIMIT = 24 * 1024 * 1024
+# 96 MB scoped-VMEM cap set by jitopts.kernel_jit (with headroom for the
+# estimate's error); larger sections fall back to one kernel each. Under a
+# stream vmap (serving) the stream-grid pipeline double-buffers the table
+# block in AND out, so the estimate gains 3 extra copies of the resident
+# tables (see coder._kernel_fits).
+_FUSE_VMEM_LIMIT = 48 * 1024 * 1024
+
+
+def _batch_table_overhead(kts) -> int:
+    union = _union_kinds([cn for cn, _, _ in kts])
+    return 3 * sum(4 * TABLE_KINDS[kd][0] * TABLE_KINDS[kd][1] for kd in union)
 
 
 def encode_sections_fused(dealt_list, lens_list, tables, kts):
@@ -1046,14 +1054,22 @@ def encode_sections_fused(dealt_list, lens_list, tables, kts):
     consecutive sections into fused kernels under a VMEM budget; falls back
     to per-section kernels for oversized groups. Bytes and table chaining
     are identical to sequential encode_section_kernel calls."""
+    from screenpressor_tpu.jx.coder import _batched_args
+
+    extra = (_batch_table_overhead(kts)
+             if _batched_args(dealt_list, tables) else 0)
+
+    def est(group):
+        return _enc_vmem_estimate(group) + extra
+
     bufs, starts = [], []
     i = 0
     while i < len(kts):
         j = i + 1
-        while j <= len(kts) and _enc_vmem_estimate(kts[i:j]) <= _FUSE_VMEM_LIMIT:
+        while j <= len(kts) and est(kts[i:j]) <= _FUSE_VMEM_LIMIT:
             j += 1
         j = max(j - 1, i + 1)
-        if j == i + 1 and _enc_vmem_estimate(kts[i:j]) > _FUSE_VMEM_LIMIT:
+        if j == i + 1 and est(kts[i:j]) > _FUSE_VMEM_LIMIT:
             # single section too big for VMEM: scan path (bytes identical)
             from screenpressor_tpu.jx import coder as jc
 

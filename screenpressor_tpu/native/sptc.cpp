@@ -27,7 +27,7 @@ constexpr uint32_t RANS_L = 1u << 23;
 constexpr int STEP = 512;
 constexpr int RESCALE_SHIFT = 13;
 constexpr int COLOR_CTX_BITS_A = 8;  // first conditioning channel (full)
-constexpr int COLOR_CTX_BITS_B = 2;  // second conditioning channel
+constexpr int COLOR_CTX_BITS_B = 4;  // second channel (SPTC4, round-4 sweep)
 constexpr int COLOR_CTX_SHIFT_A = 8 - COLOR_CTX_BITS_A;
 constexpr int COLOR_CTX_SHIFT = 8 - COLOR_CTX_BITS_B;
 constexpr int COLOR_CTX_ROWS = 1 << (COLOR_CTX_BITS_A + COLOR_CTX_BITS_B);

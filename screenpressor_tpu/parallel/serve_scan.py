@@ -43,6 +43,9 @@ from screenpressor_tpu.spec.codec import FTYPE_I, FTYPE_P
 # kind codes in the pulled [F, S] matrix
 K_FLAT, K_I, K_NOCHANGE, K_P, K_RAW = 0, 1, 2, 3, 4
 
+# dense-analysis switchover (mirrors serving._DENSE_BATCH_MIN)
+_DENSE_MIN = 16
+
 
 # ---------------------------------------------------------------------------
 # Device container emission
@@ -153,14 +156,14 @@ def _i_head(n_rec, n_lit):
     _kernel_jit,
     static_argnames=("h", "w", "nby", "nbx", "rmax", "nbp", "msr_x", "msr_y",
                      "low_x", "low_y", "k", "bcap", "rec_cap", "col_cap",
-                     "irec_cap", "icol_cap", "pack_cap", "loss"),
+                     "irec_cap", "icol_cap", "pack_cap", "loss", "dense"),
     donate_argnums=(3, 4, 5, 6),
 )
 def encode_window_scan(frames_fs, key_fs, icmeta_fs, prev, tables_b,
                        last_flat, flat_color, cands, cols,
                        h, w, nby, nbx, rmax, nbp, msr_x, msr_y, low_x, low_y,
                        k, bcap, rec_cap, col_cap, irec_cap, icol_cap,
-                       pack_cap, loss):
+                       pack_cap, loss, dense):
     """The window program. frames_fs [F, S, H, W, 3] uint8; key_fs [F, S]
     bool; icmeta_fs [F, C, 2] int32 (pad, stream idx) — the compact keyframe
     schedule. Carry state as in BatchedEncoder. Returns the advanced carry
@@ -195,15 +198,25 @@ def encode_window_scan(frames_fs, key_fs, icmeta_fs, prev, tables_b,
         frames = jax.vmap(lambda f: apply_loss_device(f, loss))(frames)
         own_p = ~key
 
-        # ---- P analysis (lax.map keeps idle/small branches real) ----
-        def one_an(fp):
-            f, pv = fp
-            return jb2.analyze_compact(
-                f, pv, cands, cols, h, w, nby, nbx, rmax, nbp,
-                msr_x, msr_y, low_x, low_y,
-            )
+        # ---- P analysis: dense batches vmap (single probe tier, bytes
+        # identical — serving._batched_analyze_dense); idle-dominated
+        # batches lax.map (real no-change/small branches per stream) ----
+        if dense:
+            arrs, counts, flat4 = jax.vmap(
+                lambda f, pv: jb2.analyze_compact(
+                    f, pv, cands, cols, h, w, nby, nbx, rmax, nbp,
+                    msr_x, msr_y, low_x, low_y, force_dense=True,
+                )
+            )(frames, prev)
+        else:
+            def one_an(fp):
+                f, pv = fp
+                return jb2.analyze_compact(
+                    f, pv, cands, cols, h, w, nby, nbx, rmax, nbp,
+                    msr_x, msr_y, low_x, low_y,
+                )
 
-        arrs, counts, flat4 = jax.lax.map(one_an, (frames, prev))
+            arrs, counts, flat4 = jax.lax.map(one_an, (frames, prev))
 
         # ---- data-block classification (fixed bcap, cond-gated) ----
         nd_eff = jnp.where(
@@ -435,6 +448,15 @@ def encode_window(enc, frames_list, wcfg: WindowConfig):
     device state. Caller must ensure: enc.prev is set, no step force-keys
     all streams, and each step keyframes at most wcfg.c streams (use
     plan_windows). Returns a list of per-step encode() result lists."""
+    return encode_window_finish(encode_window_begin(enc, frames_list, wcfg))
+
+
+def encode_window_begin(enc, frames_list, wcfg: WindowConfig):
+    """Dispatch a window's device work and commit the encoder's device state
+    WITHOUT any tunnel pull; returns a handle for encode_window_finish.
+    The next window's begin may be issued before this one's finish — the
+    chip then never idles on the host's pulls/assembly (window-level
+    cross-batch pipelining)."""
     from screenpressor_tpu.jx.pframe import _cands_rmax
 
     cfg = enc.cfg
@@ -468,15 +490,32 @@ def encode_window(enc, frames_list, wcfg: WindowConfig):
             lows[0], lows[1], cfg.k_fixed, wcfg.bcap, wcfg.rec_cap,
             wcfg.col_cap, wcfg.irec_cap, wcfg.icol_cap, wcfg.pack_cap,
             cfg.loss,
+            # same sticky heuristic as the sequential path: busy batches use
+            # the vmapped single-tier analysis (bytes identical either way)
+            getattr(enc, "_last_active", 0) >= _DENSE_MIN,
         )
     )
     enc.prev = prev
     enc.tables_b = tables_b
     enc.last_flat = np.array(last_flat)
     enc.flat_color = np.array(flat_color)
+    for a in (lens, kinds):
+        try:
+            a.copy_to_host_async()
+        except Exception:
+            pass
+    return enc, wcfg, frames_fs, outs, lens, kinds, f
+
+
+def encode_window_finish(handle):
+    """Pull a begun window's results and assemble the containers."""
+    enc, wcfg, frames_fs, outs, lens, kinds, f = handle
+    cfg = enc.cfg
+    s = enc.s
 
     # ---- pull 1: the [F, S] length/kind matrices ----
     lens_h, kinds_h = jax.device_get((lens, kinds))
+    enc._last_active = int((kinds_h[-1] == K_P).sum() + (kinds_h[-1] == K_RAW).sum())
     # ---- pull 2: one tight gather of exactly the used container bytes ----
     from screenpressor_tpu.jx.transfer import gather_segments, pow2_bucket
 
@@ -559,24 +598,34 @@ def serve_windowed(enc, batches, dec=None, wcfg: WindowConfig | None = None,
     batches = list(batches)
     plan = plan_windows(enc, len(batches), wcfg)
     t = 0
-    for kind, ln in plan:
-        if kind == "step":
-            outs = enc.encode(batches[t])
-            steps = [outs]
-        else:
-            steps = encode_window(enc, batches[t: t + ln], wcfg)
+    pend = None  # a begun-but-unfinished window (device work in flight)
+
+    def emit_window(handle):
+        steps = encode_window_finish(handle)
         if dec is None:
-            for outs in steps:
-                yield outs, None
-        elif kind == "step":
-            yield steps[0], dec.decode(
-                [p for p, _ in steps[0]], device_out=device_out)
+            return [(outs, None) for outs in steps]
+        frames_fs = decode_window(dec, [[p for p, _ in outs] for outs in steps])
+        return [(outs, frames_fs[j]) for j, outs in enumerate(steps)]
+
+    for kind, ln in plan:
+        if kind == "window":
+            # dispatch this window BEFORE pulling the previous one: its
+            # device compute then overlaps the host's pulls/parse/assembly
+            handle = encode_window_begin(enc, batches[t: t + ln], wcfg)
+            if pend is not None:
+                yield from emit_window(pend)
+            pend = handle
         else:
-            frames_fs = decode_window(
-                dec, [[p for p, _ in outs] for outs in steps])
-            for j, outs in enumerate(steps):
-                yield outs, frames_fs[j]
+            if pend is not None:
+                yield from emit_window(pend)
+                pend = None
+            outs = enc.encode(batches[t])
+            decoded = (None if dec is None else
+                       dec.decode([p for p, _ in outs], device_out=device_out))
+            yield outs, decoded
         t += ln
+    if pend is not None:
+        yield from emit_window(pend)
 
 
 # ---------------------------------------------------------------------------

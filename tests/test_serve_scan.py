@@ -205,3 +205,28 @@ def synth_desktop_local(i):
     from tests.test_spec_iframe import synth_desktop
 
     return synth_desktop(H, W, seed=40 + i)
+
+
+def test_single_stream_window_matches_sequential():
+    """S=1 windows (the windowed main-bench profile): one stream's frame
+    chain through encode_window/decode_window must match the sequential
+    batched paths byte-for-byte and decode losslessly."""
+    from screenpressor_tpu.parallel.serve_scan import decode_window
+
+    cfg = CodecConfig(width=W, height=H, kf_interval=100, k_fixed=8,
+                      msr_x=8, msr_y=8)
+    batches = [b[:1] for b in staggered_session_batches(4, H, W, steps=7)]
+    seq = BatchedEncoder(1, cfg)
+    win = BatchedEncoder(1, cfg)
+    want = [seq.encode(b) for b in batches]
+    got = [win.encode(batches[0])]
+    wcfg = _wcfg(cfg, f=6, c=1)
+    got += encode_window(win, batches[1:7], wcfg)
+    for t, (wt, gt) in enumerate(zip(want, got)):
+        assert (wt[0][0], wt[0][1]) == (gt[0][0], gt[0][1]), t
+    dec = BatchedDecoder(1, cfg)
+    dec.decode([got[0][0][0]])
+    frames_fs = np.asarray(decode_window(dec, [[g[0][0]] for g in got[1:]]))
+    dec.validate()
+    for t in range(1, len(batches)):
+        assert np.array_equal(frames_fs[t - 1, 0], batches[t][0]), t
