@@ -30,161 +30,12 @@ U32 = jnp.uint32
 
 
 # ---------------------------------------------------------------------------
-# Record codecs: static schedules of (table kind, dynamic row) sub-steps
+# Record codecs: the shared substep description (jx/substeps.py) on [K]
+# lane vectors. The Pallas kernels execute the SAME schedule on [K, 1]
+# columns — a format change edits substeps.py only (VERDICT r3 #7).
 # ---------------------------------------------------------------------------
 
-
-class RecCodec:
-    """(ptype, run) records; see spec.coder.RecCodec."""
-
-    name = "rec"
-    kinds = ("ptype", "nrun")
-    rec_width = 2  # (ptype, n)
-
-    def init_state(self, k):
-        return jnp.zeros((k,), jnp.int32)
-
-    def dec_row(self, j, partial, state):
-        return state if j == 0 else partial[0]
-
-    def enc_syms(self, j, rec, state):
-        # rec: [K, 2] (ptype, n)
-        if j == 0:
-            return state, rec[:, 0], None
-        return rec[:, 0], rec[:, 1] - 1, None
-
-    def dec_finish(self, partial, state):
-        rec = jnp.stack([partial[0], partial[1] + 1], axis=1)
-        return rec, partial[0]
-
-    def enc_next_state(self, rec, state):
-        return rec[:, 0]
-
-
-class ColCodec:
-    """RGB literal triples with the stream-local context chain."""
-
-    name = "col"
-    kinds = ("color", "color", "color")
-    rec_width = 3
-
-    def init_state(self, k):
-        return jnp.zeros((k, 2), jnp.int32)  # (prevg, prevb)
-
-    def _row(self, j, partial_or_rec, state):
-        from screenpressor_tpu.config import COLOR_CTX_ROWS, color_ctx
-
-        prevg, prevb = state[:, 0], state[:, 1]
-        if j == 0:
-            return color_ctx(prevg, prevb)
-        if j == 1:
-            r = partial_or_rec[0]
-            return COLOR_CTX_ROWS + color_ctx(prevb, r)
-        r, g = partial_or_rec[0], partial_or_rec[1]
-        return 2 * COLOR_CTX_ROWS + color_ctx(r, g)
-
-    def dec_row(self, j, partial, state):
-        return self._row(j, partial, state)
-
-    def enc_syms(self, j, rec, state):
-        parts = [rec[:, 0], rec[:, 1]]
-        return self._row(j, parts, state), rec[:, j], None
-
-    def dec_finish(self, partial, state):
-        rec = jnp.stack(partial, axis=1)
-        return rec, rec[:, 1:3]
-
-    def enc_next_state(self, rec, state):
-        return rec[:, 1:3]
-
-
-class BTCodec:
-    name = "bt"
-    kinds = ("bt", "btn")
-    rec_width = 2
-
-    def init_state(self, k):
-        return jnp.zeros((k,), jnp.int32)
-
-    def dec_row(self, j, partial, state):
-        return jnp.zeros_like(state)
-
-    def enc_syms(self, j, rec, state):
-        zero = jnp.zeros_like(state)
-        return (zero, rec[:, 0], None) if j == 0 else (zero, rec[:, 1] - 1, None)
-
-    def dec_finish(self, partial, state):
-        return jnp.stack([partial[0], partial[1] + 1], axis=1), state
-
-    def enc_next_state(self, rec, state):
-        return state
-
-
-class SxyCodec:
-    name = "sxy"
-    kinds = ("sxy", "sxy", "sxy", "sxy")
-    rec_width = 4
-
-    def init_state(self, k):
-        return jnp.zeros((k,), jnp.int32)
-
-    def dec_row(self, j, partial, state):
-        return jnp.full_like(state, j)
-
-    def enc_syms(self, j, rec, state):
-        return jnp.full_like(state, j), rec[:, j], None
-
-    def dec_finish(self, partial, state):
-        return jnp.stack(partial, axis=1), state
-
-    def enc_next_state(self, rec, state):
-        return state
-
-
-class MVCodec:
-    """(mx, my) with lane-local same-flag; sub-steps 1/2 conditional."""
-
-    name = "mv"
-    kinds = ("mvflag", "mv", "mv")
-    rec_width = 2
-
-    def init_state(self, k):
-        return jnp.zeros((k, 2), jnp.int32)  # last (mx, my)
-
-    def dec_row(self, j, partial, state):
-        k = state.shape[0]
-        if j == 0:
-            return jnp.zeros((k,), jnp.int32), None
-        skip = partial[0] == 1
-        row = jnp.full((k,), j - 1, jnp.int32)
-        return row, ~skip
-
-    def enc_syms(self, j, rec, state):
-        k = state.shape[0]
-        same = (rec[:, 0] == state[:, 0]) & (rec[:, 1] == state[:, 1])
-        if j == 0:
-            return jnp.zeros((k,), jnp.int32), same.astype(jnp.int32), None
-        row = jnp.full((k,), j - 1, jnp.int32)
-        return row, rec[:, j - 1] + MV_OFFSET, ~same
-
-    def dec_finish(self, partial, state):
-        same = (partial[0] == 1)[:, None]
-        decoded = jnp.stack([partial[1] - MV_OFFSET, partial[2] - MV_OFFSET], axis=1)
-        rec = jnp.where(same, state, decoded)
-        return rec, rec
-
-    def enc_next_state(self, rec, state):
-        return rec
-
-
-CODECS = {"rec": RecCodec(), "col": ColCodec(), "bt": BTCodec(), "sxy": SxyCodec(), "mv": MVCodec()}
-
-# dec_row may return (row, extra_active) for conditional sub-steps
-def _dec_row(codec, j, partial, state):
-    out = codec.dec_row(j, partial, state)
-    if isinstance(out, tuple):
-        return out
-    return out, None
+from screenpressor_tpu.jx.substeps import SUBSTEP_CODECS as CODECS
 
 
 # ---------------------------------------------------------------------------
@@ -324,14 +175,14 @@ def decode_section_scan(payload, lens, tables, codec_name: str, k: int, t_steps:
     """
     codec = CODECS[codec_name]
     x, pos = _dec_init(payload)
-    state0 = codec.init_state(k)
+    state0 = codec.init_state(jnp.zeros((k,), jnp.int32))
 
     def step(carry, t):
         x, pos, state, tables = carry
         lane_active = t < lens
         partial = []
         for j, kind in enumerate(codec.kinds):
-            row, extra = _dec_row(codec, j, partial, state)
+            row, extra = codec.dec_row(j, partial, state)
             active = lane_active if extra is None else (lane_active & extra)
             row = jnp.clip(row, 0, tables[kind]["cnt"].shape[0] - 1)
             freq_rows = effective_rows(tables[kind], row)
@@ -345,8 +196,8 @@ def decode_section_scan(payload, lens, tables, codec_name: str, k: int, t_steps:
             tables[kind] = update_batch(
                 tables[kind], row, sym, active, kind_step(kind), kind_gstep(kind)
             )
-        rec, new_state = codec.dec_finish(partial, state)
-        state = jnp.where(lane_active[..., None] if new_state.ndim > 1 else lane_active, new_state, state)
+        rec_l, state = codec.dec_finish(partial, state, lane_active)
+        rec = jnp.stack(rec_l, axis=1)
         return (x, pos, state, tables), rec
 
     (x, pos, state, tables), recs = jax.lax.scan(
@@ -390,15 +241,16 @@ def model_scan(recs, lens, tables, codec_name: str, k: int, t_steps: int):
     Returns (cum [T, K, S], freq [T, K, S], act [T, K, S], tables').
     """
     codec = CODECS[codec_name]
-    state0 = codec.init_state(k)
+    state0 = codec.init_state(jnp.zeros((k,), jnp.int32))
 
     def step(carry, inp):
         state, tables = carry
         rec, t = inp
+        rec_l = [rec[:, j] for j in range(codec.rec_width)]
         lane_active = t < lens
         cums, freqs, acts = [], [], []
         for j, kind in enumerate(codec.kinds):
-            row, sym, extra = codec.enc_syms(j, rec, state)
+            row, sym, extra = codec.enc_syms(j, rec_l, state)
             active = lane_active if extra is None else (lane_active & extra)
             row = jnp.clip(row, 0, tables[kind]["cnt"].shape[0] - 1)
             symc = jnp.clip(sym, 0, tables[kind]["cnt"].shape[1] - 1)
@@ -413,8 +265,7 @@ def model_scan(recs, lens, tables, codec_name: str, k: int, t_steps: int):
             tables[kind] = update_batch(
                 tables[kind], row, symc, active, kind_step(kind), kind_gstep(kind)
             )
-        new_state = codec.enc_next_state(rec, state)
-        state = jnp.where(lane_active[..., None] if new_state.ndim > 1 else lane_active, new_state, state)
+        state = codec.enc_next_state(rec_l, state, lane_active)
         return (state, tables), (jnp.stack(cums, 1), jnp.stack(freqs, 1), jnp.stack(acts, 1))
 
     (state, tables), (cum, freq, act) = jax.lax.scan(
@@ -517,14 +368,14 @@ def use_kernels() -> bool:
 # Single-kernel VMEM ceiling: a section whose state (payload/records +
 # table + MXU transients) exceeds this falls back to the scan path rather
 # than risking a Mosaic VMEM OOM. Every program that can reach a section
-# kernel is compiled with a 96 MB scoped-VMEM cap (jitopts.kernel_jit;
-# v5e has 128 MB VMEM), so the estimate budget is 80 MB — sized for the
+# kernel is compiled with a 48 MB scoped-VMEM cap (jitopts.kernel_jit;
+# v5e has 128 MB VMEM), so the estimate budget is 36 MB — sized for the
 # SPTC4 (8,4) color tables: ~30 MB single-stream, and the BATCHED serving
 # kernels (under a stream vmap) double-buffer the table block in+out
 # across the stream grid, which _kernel_fits accounts for by scaling the
 # resident-table term 4x when its operands are batch tracers (Mosaic
 # measured 65.9 MB at the 64x360p decode-I shapes).
-_KERNEL_VMEM_LIMIT = 80 * 1024 * 1024
+_KERNEL_VMEM_LIMIT = 36 * 1024 * 1024
 
 
 def _batched_args(*arrs) -> bool:

@@ -29,14 +29,15 @@ try:  # jax 0.9: no public alias; the serving path needs nested detection
 except ImportError:  # pragma: no cover - future jax
     _trace_state_clean = None
 
-# 96 MB of v5e's 128 MB VMEM: the SPTC4 (8,4) color tables quadruple the
-# resident table block (12.6 MB f32/stream). Single-stream kernels need
-# ~30 MB (the old 32 MB cap pushed them to the scan path, measured -14%
-# on the 1080p bench); the BATCHED serving kernels additionally
-# double-buffer the per-stream table block in AND out across the stream
-# grid (~4x the table term — Mosaic measured 65.9 MB at 64x360p decode-I),
-# so the cap is sized for them with headroom.
-SCOPED_VMEM_KIB = "98304"
+# Scoped-VMEM cap for kernel-bearing programs. This is a RESERVATION taken
+# from the same 128 MB pool XLA's own fusion buffers use, so bigger is not
+# better: 96 MB measured 84.9 Mpix/s combined on the 1080p bench (general
+# ops starved), 32 MB forces the SPTC4 (8,4) color sections (est 29.9 MB)
+# off the kernel path (-14%). 48 MB fits the single-stream kernels while
+# leaving 80 MB for the compiler; the BATCHED serving kernels (which
+# double-buffer the per-stream table block, ~66 MB at (8,4)) fall back to
+# the scan path via the batched-aware estimate in coder._kernel_fits.
+SCOPED_VMEM_KIB = "49152"
 
 
 def _nested(args, kwargs) -> bool:

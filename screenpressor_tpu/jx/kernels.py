@@ -72,154 +72,12 @@ HIGH = jax.lax.Precision.HIGHEST
 
 
 # ---------------------------------------------------------------------------
-# Kernel-side codec adapters: the record schedules of jx.coder's codecs on
-# [K, 1] column vectors. State is a tuple of [K, 1] int32 columns.
+# Record codecs: the shared substep description (jx/substeps.py) on [K, 1]
+# lane columns. One schedule serves both this kernel layer and the lax.scan
+# coder — a format change edits substeps.py only.
 # ---------------------------------------------------------------------------
 
-
-class KRec:
-    kinds = ("ptype", "nrun")
-    rec_width = 2
-
-    def init_state(self, k):
-        return (jnp.zeros((k, 1), I32),)
-
-    def dec_row(self, j, partial, state):
-        return (state[0] if j == 0 else partial[0]), None
-
-    def dec_finish(self, partial, state, active):
-        rec = [partial[0], partial[1] + 1]
-        return rec, (jnp.where(active, partial[0], state[0]),)
-
-    def enc_syms(self, j, rec, state):
-        if j == 0:
-            return state[0], rec[0], None
-        return rec[0], rec[1] - 1, None
-
-    def enc_next_state(self, rec, state, active):
-        return (jnp.where(active, rec[0], state[0]),)
-
-
-class KCol:
-    kinds = ("color", "color", "color")
-    rec_width = 3
-
-    @staticmethod
-    def sub_base(j):
-        # substep j codes plane j: its context rows live in the static
-        # window [j*COLOR_CTX_ROWS, (j+1)*COLOR_CTX_ROWS) of the color
-        # table, so kernels gather/scatter a 1024-row slice instead of the
-        # full 3072-row table (3x smaller one-hots and MXU transients)
-        return j * COLOR_CTX_ROWS
-
-    def init_state(self, k):
-        return (jnp.zeros((k, 1), I32), jnp.zeros((k, 1), I32))  # (prevg, prevb)
-
-    def _row(self, j, parts, state):
-        prevg, prevb = state
-        cc = lambda a, b: ((a >> COLOR_CTX_SHIFT_A) << COLOR_CTX_BITS_B) | (
-            b >> COLOR_CTX_SHIFT
-        )
-        if j == 0:
-            return cc(prevg, prevb)
-        if j == 1:
-            return COLOR_CTX_ROWS + cc(prevb, parts[0])
-        return 2 * COLOR_CTX_ROWS + cc(parts[0], parts[1])
-
-    def dec_row(self, j, partial, state):
-        return self._row(j, partial, state), None
-
-    def dec_finish(self, partial, state, active):
-        new = (partial[1], partial[2])
-        return list(partial), tuple(
-            jnp.where(active, n, s) for n, s in zip(new, state)
-        )
-
-    def enc_syms(self, j, rec, state):
-        return self._row(j, rec, state), rec[j], None
-
-    def enc_next_state(self, rec, state, active):
-        new = (rec[1], rec[2])
-        return tuple(jnp.where(active, n, s) for n, s in zip(new, state))
-
-
-class KBT:
-    kinds = ("bt", "btn")
-    rec_width = 2
-
-    def init_state(self, k):
-        return (jnp.zeros((k, 1), I32),)
-
-    def dec_row(self, j, partial, state):
-        return jnp.zeros_like(state[0]), None
-
-    def dec_finish(self, partial, state, active):
-        return [partial[0], partial[1] + 1], state
-
-    def enc_syms(self, j, rec, state):
-        zero = jnp.zeros_like(state[0])
-        return (zero, rec[0], None) if j == 0 else (zero, rec[1] - 1, None)
-
-    def enc_next_state(self, rec, state, active):
-        return state
-
-
-class KSxy:
-    kinds = ("sxy", "sxy", "sxy", "sxy")
-    rec_width = 4
-
-    def init_state(self, k):
-        return (jnp.zeros((k, 1), I32),)
-
-    def dec_row(self, j, partial, state):
-        return jnp.full_like(state[0], j), None
-
-    def dec_finish(self, partial, state, active):
-        return list(partial), state
-
-    def enc_syms(self, j, rec, state):
-        return jnp.full_like(state[0], j), rec[j], None
-
-    def enc_next_state(self, rec, state, active):
-        return state
-
-
-class KMV:
-    kinds = ("mvflag", "mv", "mv")
-    rec_width = 2
-
-    def init_state(self, k):
-        return (jnp.zeros((k, 1), I32), jnp.zeros((k, 1), I32))  # last (mx, my)
-
-    def dec_row(self, j, partial, state):
-        if j == 0:
-            return jnp.zeros_like(state[0]), None
-        skip = partial[0] == 1
-        return jnp.full_like(state[0], j - 1), ~skip
-
-    def dec_finish(self, partial, state, active):
-        same = partial[0] == 1
-        mx = jnp.where(same, state[0], partial[1] - MV_OFFSET)
-        my = jnp.where(same, state[1], partial[2] - MV_OFFSET)
-        return [mx, my], (
-            jnp.where(active, mx, state[0]),
-            jnp.where(active, my, state[1]),
-        )
-
-    def enc_syms(self, j, rec, state):
-        same = (rec[0] == state[0]) & (rec[1] == state[1])
-        if j == 0:
-            return jnp.zeros_like(state[0]), same.astype(I32), None
-        return jnp.full_like(state[0], j - 1), rec[j - 1] + MV_OFFSET, ~same
-
-    def enc_next_state(self, rec, state, active):
-        return (
-            jnp.where(active, rec[0], state[0]),
-            jnp.where(active, rec[1], state[1]),
-        )
-
-
-KCODECS = {"rec": KRec(), "col": KCol(), "bt": KBT(), "sxy": KSxy(), "mv": KMV()}
+from screenpressor_tpu.jx.substeps import SUBSTEP_CODECS as KCODECS
 
 
 def _unique_kinds(codec):
@@ -551,7 +409,7 @@ def _build_decode_kernel(codec_name: str, k: int, l: int, t_steps: int):
             xi = xi | (col << (8 * i))
         x = pltpu.bitcast(xi, U32)  # [K, 1]
         pos = jnp.full((k, 1), 4, I32)
-        state = codec.init_state(k)
+        state = codec.init_state(jnp.zeros((k, 1), I32))
         lens = lens_ref[:, :]  # [K, 1]
         stage0 = tuple(jnp.zeros((k, PAYBLK), I32) for _ in range(w))
 
@@ -724,7 +582,7 @@ def _emit_encode_section(codec_name: str, k: int, t_steps: int, cap: int,
         lens = lens_ref[:, :]  # [K, 1]
 
         # ---- phase 1: forward model pass ----
-        state0 = codec.init_state(k)
+        state0 = codec.init_state(jnp.zeros((k, 1), I32))
         rstage0 = tuple(jnp.zeros((k, PAYBLK), I32) for _ in range(w))
         istage0 = jnp.zeros((k, PAYBLK), I32)
 
@@ -1035,12 +893,12 @@ def _enc_vmem_estimate(kts):
 
 
 # fuse sections into one kernel only while the estimate stays inside the
-# 96 MB scoped-VMEM cap set by jitopts.kernel_jit (with headroom for the
+# 48 MB scoped-VMEM cap set by jitopts.kernel_jit (with headroom for the
 # estimate's error); larger sections fall back to one kernel each. Under a
 # stream vmap (serving) the stream-grid pipeline double-buffers the table
 # block in AND out, so the estimate gains 3 extra copies of the resident
 # tables (see coder._kernel_fits).
-_FUSE_VMEM_LIMIT = 48 * 1024 * 1024
+_FUSE_VMEM_LIMIT = 36 * 1024 * 1024
 
 
 def _batch_table_overhead(kts) -> int:

@@ -216,15 +216,16 @@ def _scan_pack_sp(recs, lens, tables, codec_name: str, t_steps: int):
 
     codec = jc.CODECS[codec_name]
     k_loc = recs.shape[1]
-    state0 = codec.init_state(k_loc)
+    state0 = codec.init_state(jnp.zeros((k_loc,), jnp.int32))
 
     def step(carry, inp):
         state, tables = carry
         rec, t = inp
+        rec_l = [rec[:, j] for j in range(codec.rec_width)]
         lane_active = t < lens
         cums, freqs, acts = [], [], []
         for j, kind in enumerate(codec.kinds):
-            row, sym, extra = codec.enc_syms(j, rec, state)
+            row, sym, extra = codec.enc_syms(j, rec_l, state)
             active = lane_active if extra is None else (lane_active & extra)
             row = jnp.clip(row, 0, tables[kind]["cnt"].shape[0] - 1)
             symc = jnp.clip(sym, 0, tables[kind]["cnt"].shape[1] - 1)
@@ -246,11 +247,7 @@ def _scan_pack_sp(recs, lens, tables, codec_name: str, t_steps: int):
                 tables[kind], row_all, sym_all, act_all,
                 kind_step(kind), kind_gstep(kind),
             )
-        new_state = codec.enc_next_state(rec, state)
-        state = jnp.where(
-            lane_active[..., None] if new_state.ndim > 1 else lane_active,
-            new_state, state,
-        )
+        state = codec.enc_next_state(rec_l, state, lane_active)
         return (state, tables), (
             jnp.stack(cums, 1), jnp.stack(freqs, 1), jnp.stack(acts, 1)
         )
