@@ -85,28 +85,34 @@ def main():
     while True:
         attempt += 1
         try:
-            # init AND a tiny data round-trip: a degraded tunnel can list
-            # devices fine yet hang every host pull (observed 2026-08-20)
+            # init AND a 4 MB data round-trip under a tight deadline: a
+            # degraded tunnel can list devices fine yet move bytes at
+            # KB/s (observed 2026-08-20: a 4 MB pull took 251 s), which
+            # poisons every measurement without failing anything
             probe = subprocess.run(
                 [sys.executable, "-c",
                  "import jax, jax.numpy as jnp; jax.devices(); "
-                 "assert jax.device_get(jnp.arange(4) + 1).sum() == 10"],
-                timeout=180, capture_output=True,
+                 "assert jax.device_get(jnp.zeros((1 << 22,), jnp.uint8))"
+                 ".nbytes == 1 << 22"],
+                timeout=90, capture_output=True,
             )
             ok = probe.returncode == 0
             detail = probe.stderr.decode(errors="replace")[-300:]
         except subprocess.TimeoutExpired:
-            ok, detail = False, "probe subprocess timed out (180 s)"
+            ok, detail = False, "probe subprocess timed out (90 s)"
         if ok:
             break
         remaining = probe_deadline - time.monotonic()
         if remaining <= 0:
-            raise SystemExit(
-                "bench: TPU backend init probe failed/timed out after "
-                f"{attempt} attempts (the axon tunnel hangs jax.devices() "
-                "when down — see BACKLOG.md and tools/tpu_checkup.sh). "
-                f"last: {detail}"
+            print(
+                "bench: WARNING — tunnel never reached healthy data rates "
+                f"within the probe window ({attempt} attempts; last: "
+                f"{detail.strip() or 'timeout'}). Running anyway; numbers "
+                "may understate the codec (a number with this warning "
+                "beats no number).",
+                file=sys.stderr, flush=True,
             )
+            break
         wait = min(60.0, remaining)
         print(
             f"bench: probe attempt {attempt} failed ({detail.strip() or 'timeout'}); "
@@ -118,6 +124,24 @@ def main():
     _enable_compile_cache()
     import jax
     import jax.numpy as jnp
+
+    # tunnel-health ruler: the axon data path's speed varies run to run and
+    # confounds A/Bs; time a fixed compute + a fixed 4 MB pull so every
+    # run's stderr carries a comparable baseline
+    xcal = jnp.ones((2048, 2048), jnp.bfloat16)
+    jax.block_until_ready(xcal @ xcal)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        xcal = (xcal @ xcal) / 2048.0
+    jax.block_until_ready(xcal)
+    t_mm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _ = jax.device_get(jnp.zeros((4 * 1024 * 1024,), jnp.uint8))
+    t_pull = time.perf_counter() - t0
+    print(
+        f"bench-cal: 10x2048-matmul {t_mm*1e3:.1f} ms, 4MB pull "
+        f"{t_pull*1e3:.1f} ms", file=sys.stderr, flush=True,
+    )
 
     if os.environ.get("BENCH_ONLY_SERVING") == "1":
         # A/B convenience: skip the main 1080p bench, run the serving
