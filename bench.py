@@ -87,19 +87,20 @@ def main():
         try:
             # init AND a 4 MB data round-trip under a tight deadline: a
             # degraded tunnel can list devices fine yet move bytes at
-            # KB/s (observed 2026-08-20: a 4 MB pull took 251 s), which
-            # poisons every measurement without failing anything
+            # KB/s (observed 2026-08-20: 4 MB pulls of 78-251 s), which
+            # poisons every measurement without failing anything. Healthy
+            # is ~1 s incl. interpreter start; 20 s separates cleanly
             probe = subprocess.run(
                 [sys.executable, "-c",
                  "import jax, jax.numpy as jnp; jax.devices(); "
                  "assert jax.device_get(jnp.zeros((1 << 22,), jnp.uint8))"
                  ".nbytes == 1 << 22"],
-                timeout=90, capture_output=True,
+                timeout=20, capture_output=True,
             )
             ok = probe.returncode == 0
             detail = probe.stderr.decode(errors="replace")[-300:]
         except subprocess.TimeoutExpired:
-            ok, detail = False, "probe subprocess timed out (90 s)"
+            ok, detail = False, "probe subprocess timed out (20 s)"
         if ok:
             break
         remaining = probe_deadline - time.monotonic()
@@ -198,9 +199,13 @@ def main():
             t2 = time.perf_counter()
             return results, outs, t1 - t0, t2 - t1
 
-        # warmup + timed (same protocol as the default path)
+        # warmup + timed best-of-N (same protocol as the default path)
         results, outs, _, _ = run()
-        results, outs, t_enc, t_dec = run()
+        t_enc = t_dec = float("inf")
+        for _ in range(int(os.environ.get("BENCH_REPEATS", 3))):
+            results, outs, te, td = run()
+            if te + td < t_enc + t_dec:
+                t_enc, t_dec = te, td
         ok = bool(
             jax.device_get(
                 jnp.all(jnp.stack([jnp.all(o == f) for o, f in zip(outs, frames)]))
@@ -252,8 +257,15 @@ def main():
     # warmup / compile pass (persistent compilation cache in
     # JAX_COMPILATION_CACHE_DIR carries the jits across runs)
     results, outs, _, _ = run()
-    # timed steady-state pass
-    results, outs, t_enc, t_dec = run()
+    # timed steady-state passes: the axon tunnel's latency swings run to
+    # run by up to ~2x at identical calibration (measured 61 vs 134 Mpix/s
+    # back-to-back); a timed pass costs ~1-2 s, so take the best of
+    # BENCH_REPEATS (the codec's capability, not the tunnel's mood)
+    t_enc = t_dec = float("inf")
+    for _ in range(int(os.environ.get("BENCH_REPEATS", 3))):
+        results, outs, te, td = run()
+        if te + td < t_enc + t_dec:
+            t_enc, t_dec = te, td
 
     ok = bool(
         jax.device_get(

@@ -367,15 +367,13 @@ def use_kernels() -> bool:
 
 # Single-kernel VMEM ceiling: a section whose state (payload/records +
 # table + MXU transients) exceeds this falls back to the scan path rather
-# than risking a Mosaic VMEM OOM. Every program that can reach a section
-# kernel is compiled with a 48 MB scoped-VMEM cap (jitopts.kernel_jit;
-# v5e has 128 MB VMEM), so the estimate budget is 36 MB — sized for the
-# SPTC4 (8,4) color tables: ~30 MB single-stream, and the BATCHED serving
-# kernels (under a stream vmap) double-buffer the table block in+out
-# across the stream grid, which _kernel_fits accounts for by scaling the
-# resident-table term 4x when its operands are batch tracers (Mosaic
-# measured 65.9 MB at the 64x360p decode-I shapes).
-_KERNEL_VMEM_LIMIT = 36 * 1024 * 1024
+# than risking a Mosaic VMEM OOM — and, at SPTC4's 4096-row color windows,
+# rather than paying the kernel's O(window) per-substep table update
+# (measured slower than the scan coder; see jitopts.SCOPED_VMEM_KIB).
+# The batched (stream-vmapped) serving kernels double-buffer the table
+# block in+out across the stream grid; _kernel_fits scales the resident
+# table term 4x for them (Mosaic measured 65.9 MB at 64x360p decode-I).
+_KERNEL_VMEM_LIMIT = 24 * 1024 * 1024
 
 
 def _batched_args(*arrs) -> bool:

@@ -31,13 +31,13 @@ except ImportError:  # pragma: no cover - future jax
 
 # Scoped-VMEM cap for kernel-bearing programs. This is a RESERVATION taken
 # from the same 128 MB pool XLA's own fusion buffers use, so bigger is not
-# better: 96 MB measured 84.9 Mpix/s combined on the 1080p bench (general
-# ops starved), 32 MB forces the SPTC4 (8,4) color sections (est 29.9 MB)
-# off the kernel path (-14%). 48 MB fits the single-stream kernels while
-# leaving 80 MB for the compiler; the BATCHED serving kernels (which
-# double-buffer the per-stream table block, ~66 MB at (8,4)) fall back to
-# the scan path via the batched-aware estimate in coder._kernel_fits.
-SCOPED_VMEM_KIB = "49152"
+# better. Round-4 A/Bs (healthy-tunnel, calibrated): raising it so the
+# SPTC4 (8,4) color sections kernelize made things WORSE — the kernel's
+# whole-window table update is O(window x alphabet) per substep, and at
+# 4096 rows/plane the lax.scan coder's O(K x alphabet) update wins. With
+# 32 MB (round-3 proven) the estimates route (8,4) color sections to the
+# scan path automatically and every smaller kernel behaves as before.
+SCOPED_VMEM_KIB = "32768"
 
 
 def _nested(args, kwargs) -> bool:

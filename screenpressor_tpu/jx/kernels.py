@@ -893,12 +893,12 @@ def _enc_vmem_estimate(kts):
 
 
 # fuse sections into one kernel only while the estimate stays inside the
-# 48 MB scoped-VMEM cap set by jitopts.kernel_jit (with headroom for the
+# 32 MB scoped-VMEM cap set by jitopts.kernel_jit (with headroom for the
 # estimate's error); larger sections fall back to one kernel each. Under a
 # stream vmap (serving) the stream-grid pipeline double-buffers the table
 # block in AND out, so the estimate gains 3 extra copies of the resident
 # tables (see coder._kernel_fits).
-_FUSE_VMEM_LIMIT = 36 * 1024 * 1024
+_FUSE_VMEM_LIMIT = 24 * 1024 * 1024
 
 
 def _batch_table_overhead(kts) -> int:

@@ -157,7 +157,10 @@ def _i_head(n_rec, n_lit):
     static_argnames=("h", "w", "nby", "nbx", "rmax", "nbp", "msr_x", "msr_y",
                      "low_x", "low_y", "k", "bcap", "rec_cap", "col_cap",
                      "irec_cap", "icol_cap", "pack_cap", "loss", "dense"),
-    donate_argnums=(3, 4, 5, 6),
+    # prev is NOT donated: BatchedEncoder.encode_begin stores the caller's
+    # frame batch there, and donating it would delete a buffer the caller
+    # may still hold (measured: "Array has been deleted" in window mode)
+    donate_argnums=(4, 5, 6),
 )
 def encode_window_scan(frames_fs, key_fs, icmeta_fs, prev, tables_b,
                        last_flat, flat_color, cands, cols,
@@ -637,7 +640,9 @@ def serve_windowed(enc, batches, dec=None, wcfg: WindowConfig | None = None,
     _kernel_jit,
     static_argnames=("h", "w", "nbx", "nby", "k", "kts", "caps", "lls",
                      "mcap", "bcap", "t_irec", "t_icol", "lr", "lc"),
-    donate_argnums=(8, 9, 10, 11),
+    # prev is NOT donated: decode(device_out=True) hands the same array to
+    # the caller as its decoded frames
+    donate_argnums=(9, 10, 11),
 )
 def decode_window_scan(pay_fs, pmeta_fs, ipay_fs, imeta_fs, kinds_fs,
                        colors_fs, rvals, rmeta, prev, tables_b, last_flat,
