@@ -342,7 +342,7 @@ def serving_diag():
     import jax.numpy as jnp
     batches = [jax.block_until_ready(jnp.asarray(b)) for b in host_batches]
 
-    def run_serving():
+    def run_serving(window):
         from screenpressor_tpu.parallel.serve_scan import (
             WindowConfig, serve_windowed)
         from screenpressor_tpu.parallel.serving import serve_pipelined
@@ -350,7 +350,7 @@ def serving_diag():
         enc = BatchedEncoder(s, cfg, kf_offsets=offsets)
         dec = BatchedDecoder(s, cfg)
         t0 = time.perf_counter()
-        if use_window:
+        if window:
             wcfg = WindowConfig(
                 cfg, s, f=int(os.environ.get("BENCH_SERVE_F", 8)), c=2)
             for _, outs in serve_windowed(enc, batches, dec, wcfg):
@@ -362,8 +362,20 @@ def serving_diag():
         dec.validate()
         return outs, time.perf_counter() - t0
 
-    run_serving()  # warm (compile)
-    outs, dt = run_serving()
+    if use_window:
+        try:
+            run_serving(True)  # warm (compile)
+        except Exception as e:
+            # never lose the serving number to a window-path failure:
+            # fall back to the per-step loop
+            print(f"bench-serving: window path failed ({type(e).__name__}: "
+                  f"{str(e)[:200]}); falling back to per-step",
+                  file=sys.stderr, flush=True)
+            use_window = False
+            run_serving(False)
+    else:
+        run_serving(False)
+    outs, dt = run_serving(use_window)
     if not bool(np.asarray(jax.device_get(outs == batches[-1])).all()):
         print("bench-serving: LOSSLESS CHECK FAILED", file=sys.stderr)
         return

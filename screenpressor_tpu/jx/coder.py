@@ -380,10 +380,13 @@ def _batched_args(*arrs) -> bool:
     """True when any operand is a vmap BatchTracer (the serving batch
     paths): the Pallas stream grid then double-buffers table blocks."""
     try:
-        from jax.interpreters import batching
+        try:
+            from jax._src.interpreters.batching import BatchTracer
+        except ImportError:  # pragma: no cover - jax internals moved
+            from jax.interpreters.batching import BatchTracer
 
         return any(
-            isinstance(a, batching.BatchTracer)
+            isinstance(a, BatchTracer)
             for a in jax.tree_util.tree_leaves(arrs)
         )
     except Exception:  # pragma: no cover - jax internals moved
