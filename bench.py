@@ -369,7 +369,7 @@ def serving_diag():
             # never lose the serving number to a window-path failure:
             # fall back to the per-step loop
             print(f"bench-serving: window path failed ({type(e).__name__}: "
-                  f"{str(e)[:200]}); falling back to per-step",
+                  f"{str(e)[:2000]}); falling back to per-step",
                   file=sys.stderr, flush=True)
             use_window = False
             run_serving(False)

@@ -409,21 +409,28 @@ def _kernel_fits(codec_name: str, k: int, t_steps: int, pay_bytes: int = 0,
     return est + 4 * max(k, 8) * pay_bytes <= _KERNEL_VMEM_LIMIT
 
 
-def decode_section_auto(payload, lens, tables, codec_name: str, k: int, t_steps: int):
-    """Kernel/scan dispatch; identical contract and bytes either way."""
+def decode_section_auto(payload, lens, tables, codec_name: str, k: int,
+                        t_steps: int, batched: bool | None = None):
+    """Kernel/scan dispatch; identical contract and bytes either way.
+    batched: True when called under a stream vmap (the caller must say so —
+    a nested jit boundary hides BatchTracers from auto-detection)."""
+    if batched is None:
+        batched = _batched_args(payload, tables)
     if use_kernels() and _kernel_fits(codec_name, k, t_steps, payload.shape[1],
-                                      _batched_args(payload, tables)):
+                                      batched):
         from screenpressor_tpu.jx import kernels as kx
 
         return kx.decode_section_kernel(payload, lens, tables, codec_name, k, t_steps)
     return decode_section_scan(payload, lens, tables, codec_name, k, t_steps)
 
 
-def encode_section_auto(recs, lens, tables, codec_name: str, k: int, t_steps: int):
+def encode_section_auto(recs, lens, tables, codec_name: str, k: int,
+                        t_steps: int, batched: bool | None = None):
     """Kernel/scan dispatch -> (buf [K, cap], start [K], tables'). Blob bytes
     (buf[i, start[i]:]) are identical either way; only cap padding differs."""
-    if use_kernels() and _kernel_fits(codec_name, k, t_steps,
-                                      batched=_batched_args(recs, tables)):
+    if batched is None:
+        batched = _batched_args(recs, tables)
+    if use_kernels() and _kernel_fits(codec_name, k, t_steps, batched=batched):
         from screenpressor_tpu.jx import kernels as kx
 
         return kx.encode_section_kernel(recs, lens, tables, codec_name, k, t_steps)
@@ -433,20 +440,26 @@ def encode_section_auto(recs, lens, tables, codec_name: str, k: int, t_steps: in
     return buf, start, tables
 
 
-def encode_sections_auto(dealt_list, lens_list, tables, kts):
+def encode_sections_auto(dealt_list, lens_list, tables, kts,
+                         batched: bool | None = None):
     """Encode several sections in order with chained tables.
 
     kts: tuple of (codec_name, k, t_steps). On the kernel path consecutive
     sections are fused into as few Pallas launches as VMEM allows (each
     launch has ~3 ms fixed cost on tunnel-attached rigs); bytes are
-    identical to sequential encode_section_auto calls either way."""
+    identical to sequential encode_section_auto calls either way.
+    batched: see decode_section_auto."""
+    if batched is None:
+        batched = _batched_args(dealt_list, tables)
     if use_kernels():
         from screenpressor_tpu.jx import kernels as kx
 
-        return kx.encode_sections_fused(dealt_list, lens_list, tables, kts)
+        return kx.encode_sections_fused(dealt_list, lens_list, tables, kts,
+                                        batched)
     bufs, starts = [], []
     for (name, k, t), recs, lens in zip(kts, dealt_list, lens_list):
-        buf, start, tables = encode_section_auto(recs, lens, tables, name, k, t)
+        buf, start, tables = encode_section_auto(recs, lens, tables, name, k,
+                                                 t, batched)
         bufs.append(buf)
         starts.append(start)
     return bufs, starts, tables

@@ -906,16 +906,15 @@ def _batch_table_overhead(kts) -> int:
     return 3 * sum(4 * TABLE_KINDS[kd][0] * TABLE_KINDS[kd][1] for kd in union)
 
 
-def encode_sections_fused(dealt_list, lens_list, tables, kts):
+def encode_sections_fused(dealt_list, lens_list, tables, kts,
+                          batched: bool = False):
     """Encode several sections with as few kernel launches as possible
     (~3 ms fixed cost per launch on tunnel-attached TPUs). Greedily packs
     consecutive sections into fused kernels under a VMEM budget; falls back
     to per-section kernels for oversized groups. Bytes and table chaining
-    are identical to sequential encode_section_kernel calls."""
-    from screenpressor_tpu.jx.coder import _batched_args
-
-    extra = (_batch_table_overhead(kts)
-             if _batched_args(dealt_list, tables) else 0)
+    are identical to sequential encode_section_kernel calls. batched: the
+    caller runs under a stream vmap (table blocks double-buffer in+out)."""
+    extra = _batch_table_overhead(kts) if batched else 0
 
     def est(group):
         return _enc_vmem_estimate(group) + extra

@@ -291,8 +291,8 @@ _SECTION_NAMES = ("bt", "sxy", "mv", "rec", "col")
 _SECTION_WIDTHS = {"bt": 2, "sxy": 4, "mv": 2, "rec": 2, "col": 3}
 
 
-@functools.partial(jax.jit, static_argnames=("kts",))
-def encode_sections_device(recs_cap, ns, tables, kts):
+@functools.partial(jax.jit, static_argnames=("kts", "batched"))
+def encode_sections_device(recs_cap, ns, tables, kts, batched: bool = False):
     """Fused encode of all five P sections.
 
     recs_cap: dict name -> [cap, W] capacity record arrays; ns: dict of traced
@@ -304,7 +304,7 @@ def encode_sections_device(recs_cap, ns, tables, kts):
         dealt_l.append(jc.deal_device(recs_cap[name], n, k, t))
         lens_l.append(jc.lane_lens_device(n, k))
     bufs_l, starts_l, tables = jc.encode_sections_auto(
-        dealt_l, lens_l, tables, kts
+        dealt_l, lens_l, tables, kts, batched
     )
     bufs = {name: b for (name, _, _), b in zip(kts, bufs_l)}
     starts = {name: s for (name, _, _), s in zip(kts, starts_l)}
@@ -312,14 +312,16 @@ def encode_sections_device(recs_cap, ns, tables, kts):
     return bufs, starts, lens_out, tables
 
 
-@functools.partial(jax.jit, static_argnames=("kts", "caps"))
-def decode_sections_device(payloads, ns, tables, kts, caps):
+@functools.partial(jax.jit, static_argnames=("kts", "caps", "batched"))
+def decode_sections_device(payloads, ns, tables, kts, caps,
+                           batched: bool = False):
     """Fused decode of all five P sections -> global record arrays."""
     out = {}
     for (name, k, t), cap in zip(kts, caps):
         n = ns[name]
         lens = jc.lane_lens_device(n, k)
-        scan_out, tables = jc.decode_section_auto(payloads[name], lens, tables, name, k, t)
+        scan_out, tables = jc.decode_section_auto(
+            payloads[name], lens, tables, name, k, t, batched)
         out[name] = jc.undeal_device(scan_out, n, k, cap)
     return out, tables
 
@@ -496,13 +498,14 @@ def classify_assemble(frame, prev, rects, n_data, h: int, w: int, bcap: int):
 
 def decode_p_resolve(payloads, ns, xx1, xx2, n_data, prev, tables,
                      h: int, w: int, nbx: int, nby: int, kts, caps,
-                     mcap: int, bcap: int):
+                     mcap: int, bcap: int, batched: bool = False):
     """Section scans + BT-run expansion + per-block rect/record resolution
     (everything up to the pixel rebuild). Returns
     ((mo_rects, mo_mvs, d_rects, pt, rlg, lt), err, tables) — the inputs
     rebuild_frame_device needs; split out so batched decoders can vmap the
     resolution but lift rare rebuild fallbacks above the vmap."""
-    recs, tables = decode_sections_device(payloads, ns, tables, kts, caps)
+    recs, tables = decode_sections_device(payloads, ns, tables, kts, caps,
+                                          batched)
     bt, sxy, mv = recs["bt"], recs["sxy"], recs["mv"]
     pix, lit = recs["rec"], recs["col"]
     nb = nbx * nby
@@ -757,7 +760,7 @@ def encode_p_dispatch_batch(pairs, cfg: CodecConfig):
 
 @functools.partial(kernel_jit, static_argnames=("kts", "caps", "raw_threshold"))
 def encode_sections_raw(sources, hdr_vals, tables, kts, caps,
-                        raw_threshold: int):
+                        raw_threshold: int, batched: bool = False):
     """encode_sections_device + exact container size + raw-escape table
     select on device (the host applies the identical size rule when it
     assembles the container, so the table chain never waits on a pull).
@@ -778,7 +781,8 @@ def encode_sections_raw(sources, hdr_vals, tables, kts, caps,
         name: hdr_vals[i]
         for i, name in zip((2, 3, 4, 5, 6), _SECTION_NAMES)
     }
-    bufs, starts, lens_out, tables2 = encode_sections_device(recs_cap, ns, tables, kts)
+    bufs, starts, lens_out, tables2 = encode_sections_device(
+        recs_cap, ns, tables, kts, batched)
     total = jnp.int32(2) + varint_len_device(hdr_vals).sum()
     for name, k, t in kts:
         total = total + section_bytes_device(

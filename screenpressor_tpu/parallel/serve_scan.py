@@ -272,7 +272,7 @@ def encode_window_scan(frames_fs, key_fs, icmeta_fs, prev, tables_b,
                         "rec": pix[:rec_cap], "col": lit[:col_cap]}
             ns = {nm: hv[i] for i, nm in zip((2, 3, 4, 5, 6), _SECTION_NAMES)}
             bufs, starts, lens_out, tables2 = encode_sections_device(
-                recs_cap, ns, tables, kts_p)
+                recs_cap, ns, tables, kts_p, batched=True)
             total = jnp.int32(2) + varint_len_device(hv).sum()
             for name, kk, _t in kts_p:
                 total = total + section_bytes_device(
@@ -306,10 +306,13 @@ def encode_window_scan(frames_fs, key_fs, icmeta_fs, prev, tables_b,
             lens_rec = jc.lane_lens_device(n_rec_e, k)
             col_dealt = jc.deal_device(lits[:icol_cap], n_lit_e, k, t_icol)
             lens_col = jc.lane_lens_device(n_lit_e, k)
+            # lax.map body (not a vmap): the I kernel runs one stream at a
+            # time, so batched=False — the per-stream table block is single
             (buf_r, buf_c), (st_r, st_c), tables2 = (
                 jc.encode_sections_auto(
                     [rec_dealt, col_dealt], [lens_rec, lens_col], tables,
-                    (("rec", k, t_irec), ("col", k, t_icol)))
+                    (("rec", k, t_irec), ("col", k, t_icol)),
+                    batched=False)
             )
             head, head_len = _i_head(n_rec_e, n_lit_e)
             total = jnp.int32(1) + varint_len_device(

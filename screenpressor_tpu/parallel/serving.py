@@ -95,12 +95,12 @@ def _encode_i_one(records, n_rec, lits, n_lit, sk, tables, k, t_rec, t_col,
     rec_dealt = jc.deal_device(records, n_rec, k, t_rec)
     lens_rec = jc.lane_lens_device(n_rec, k)
     buf_rec, start_rec, tables = jc.encode_section_auto(
-        rec_dealt, lens_rec, tables, "rec", k, t_rec
+        rec_dealt, lens_rec, tables, "rec", k, t_rec, batched=True
     )
     col_dealt = jc.deal_device(lits, n_lit, k, t_col)
     lens_col = jc.lane_lens_device(n_lit, k)
     buf_col, start_col, tables = jc.encode_section_auto(
-        col_dealt, lens_col, tables, "col", k, t_col
+        col_dealt, lens_col, tables, "col", k, t_col, batched=True
     )
     kts = (("rec", k, t_rec), ("col", k, t_col))
     packed = _pack_sections_device(
@@ -442,7 +442,7 @@ def _batched_sections_raw(sources, tables_b, kts, sec_caps, hdr_vals_b, thr,
         # the already-bucketed record array shapes
         caps = tuple(rc[name].shape[0] for name, _, _ in kts)
         bufs, starts, lens_out, stats, sel = encode_sections_raw(
-            rc, hv, t, kts, caps, thr
+            rc, hv, t, kts, caps, thr, batched=True
         )
         packed = _pack_sections_device(bufs, starts, lens_out, kts, pack_cap)
         # single pull-ready metadata vector (per-section starts+lens, then
@@ -1055,7 +1055,8 @@ def _batched_decode_i(pay, meta, tables_b, h, w, k, t_rec, t_col, lr, lc):
         n_rec = jnp.where(sk, 0, n_rec)
         n_lit = jnp.where(sk, 0, n_lit)
         frame, total, tables = decode_i_device(
-            pr, pc, n_rec, n_lit, tables, h, w, k, t_rec, k, t_col
+            pr, pc, n_rec, n_lit, tables, h, w, k, t_rec, k, t_col,
+            batched=True,
         )
         ok = sk | (total == h * w)
         return frame, ok, tables
@@ -1091,7 +1092,8 @@ def _batched_decode_i_compact(pay, meta, prevs, tables_b, h, w, k,
         n_rec = jnp.where(sk, 0, n_rec)
         n_lit = jnp.where(sk, 0, n_lit)
         frame, total, tables = decode_i_device(
-            pr, pc, n_rec, n_lit, tables, h, w, k, t_rec, k, t_col
+            pr, pc, n_rec, n_lit, tables, h, w, k, t_rec, k, t_col,
+            batched=True,
         )
         ok = sk | (total == h * w)
         return frame, ok, tables
@@ -1147,7 +1149,7 @@ def _batched_decode_p(pay_flat, meta, prevs, tables_b,
     def one_resolve(payloads, ns, xx1, xx2, n_data, prev, tables):
         return decode_p_resolve(
             payloads, ns, xx1, xx2, n_data, prev, tables,
-            h, w, nbx, nby, kts, caps, mcap, bcap,
+            h, w, nbx, nby, kts, caps, mcap, bcap, batched=True,
         )
 
     parts, err, tables2 = jax.vmap(one_resolve)(
