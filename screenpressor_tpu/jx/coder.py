@@ -374,6 +374,10 @@ def use_kernels() -> bool:
 # block in+out across the stream grid; _kernel_fits scales the resident
 # table term 4x for them (Mosaic measured 65.9 MB at 64x360p decode-I).
 _KERNEL_VMEM_LIMIT = 24 * 1024 * 1024
+# batched (stream-vmapped) kernels live in batch_kernel_jit programs with a
+# 96 MB scoped cap, so their budget is larger — it must cover the 4x
+# double-buffered table block (Mosaic measured 65.9 MB at 64x360p SPTC4)
+_BATCH_KERNEL_VMEM_LIMIT = 80 * 1024 * 1024
 
 
 def _batched_args(*arrs) -> bool:
@@ -398,15 +402,18 @@ def _kernel_fits(codec_name: str, k: int, t_steps: int, pay_bytes: int = 0,
     from screenpressor_tpu.jx import kernels as kx
 
     est = kx._enc_vmem_estimate(((codec_name, k, t_steps),))
+    limit = _KERNEL_VMEM_LIMIT
     if batched:
         # the stream-grid pipeline double-buffers the table block in AND
-        # out: add 3 more copies of the resident tables
+        # out: add 3 more copies of the resident tables. Batched kernels
+        # compile inside batch_kernel_jit programs (96 MB scoped cap).
         from screenpressor_tpu.config import TABLE_KINDS
 
         union = kx._union_kinds([codec_name])
         est += 3 * sum(4 * TABLE_KINDS[kd][0] * TABLE_KINDS[kd][1]
                        for kd in union)
-    return est + 4 * max(k, 8) * pay_bytes <= _KERNEL_VMEM_LIMIT
+        limit = _BATCH_KERNEL_VMEM_LIMIT
+    return est + 4 * max(k, 8) * pay_bytes <= limit
 
 
 def decode_section_auto(payload, lens, tables, codec_name: str, k: int,

@@ -49,8 +49,15 @@ def _nested(args, kwargs) -> bool:
     )
 
 
-def kernel_jit(fn, *, static_argnames, donate_argnums=None):
+def kernel_jit(fn, *, static_argnames, donate_argnums=None, vmem_kib=None):
+    """vmem_kib: override the scoped cap for this entry point. The serving
+    batch programs are section-kernel-dominated and their per-stream table
+    blocks double-buffer in+out (~66 MB at SPTC4 shapes), so they compile
+    with a 96 MB cap; general programs keep the default 32 MB (a bigger
+    reservation starves XLA's own fusion buffers — measured -43% on the
+    1080p bench at 96 MB)."""
     jitted = None
+    cap = vmem_kib or SCOPED_VMEM_KIB
     jkw = {"static_argnames": static_argnames}
     if donate_argnums is not None:
         jkw["donate_argnums"] = donate_argnums
@@ -63,7 +70,7 @@ def kernel_jit(fn, *, static_argnames, donate_argnums=None):
             return plain(*args, **kwargs)
         if jitted is None:
             opts = (
-                {"xla_tpu_scoped_vmem_limit_kib": SCOPED_VMEM_KIB}
+                {"xla_tpu_scoped_vmem_limit_kib": cap}
                 if jax.default_backend() != "cpu"
                 else None
             )
@@ -71,3 +78,13 @@ def kernel_jit(fn, *, static_argnames, donate_argnums=None):
         return jitted(*args, **kwargs)
 
     return call
+
+
+# cap for the serving batch entry points (see kernel_jit docstring)
+BATCH_VMEM_KIB = "98304"
+
+
+def batch_kernel_jit(fn, *, static_argnames, donate_argnums=None):
+    return kernel_jit(fn, static_argnames=static_argnames,
+                      donate_argnums=donate_argnums,
+                      vmem_kib=BATCH_VMEM_KIB)

@@ -914,6 +914,7 @@ def encode_sections_fused(dealt_list, lens_list, tables, kts,
     to per-section kernels for oversized groups. Bytes and table chaining
     are identical to sequential encode_section_kernel calls. batched: the
     caller runs under a stream vmap (table blocks double-buffer in+out)."""
+    limit = _FUSE_VMEM_LIMIT if not batched else 80 * 1024 * 1024
     extra = _batch_table_overhead(kts) if batched else 0
 
     def est(group):
@@ -923,10 +924,10 @@ def encode_sections_fused(dealt_list, lens_list, tables, kts,
     i = 0
     while i < len(kts):
         j = i + 1
-        while j <= len(kts) and est(kts[i:j]) <= _FUSE_VMEM_LIMIT:
+        while j <= len(kts) and est(kts[i:j]) <= limit:
             j += 1
         j = max(j - 1, i + 1)
-        if j == i + 1 and est(kts[i:j]) > _FUSE_VMEM_LIMIT:
+        if j == i + 1 and est(kts[i:j]) > limit:
             # single section too big for VMEM: scan path (bytes identical)
             from screenpressor_tpu.jx import coder as jc
 

@@ -505,7 +505,7 @@ def decode_p_resolve(payloads, ns, xx1, xx2, n_data, prev, tables,
     rebuild_frame_device needs; split out so batched decoders can vmap the
     resolution but lift rare rebuild fallbacks above the vmap."""
     recs, tables = decode_sections_device(payloads, ns, tables, kts, caps,
-                                          batched)
+                                          batched=batched)
     bt, sxy, mv = recs["bt"], recs["sxy"], recs["mv"]
     pix, lit = recs["rec"], recs["col"]
     nb = nbx * nby
@@ -758,7 +758,8 @@ def encode_p_dispatch_batch(pairs, cfg: CodecConfig):
     return arrs, counts
 
 
-@functools.partial(kernel_jit, static_argnames=("kts", "caps", "raw_threshold"))
+@functools.partial(kernel_jit,
+                   static_argnames=("kts", "caps", "raw_threshold", "batched"))
 def encode_sections_raw(sources, hdr_vals, tables, kts, caps,
                         raw_threshold: int, batched: bool = False):
     """encode_sections_device + exact container size + raw-escape table
@@ -782,7 +783,7 @@ def encode_sections_raw(sources, hdr_vals, tables, kts, caps,
         for i, name in zip((2, 3, 4, 5, 6), _SECTION_NAMES)
     }
     bufs, starts, lens_out, tables2 = encode_sections_device(
-        recs_cap, ns, tables, kts, batched)
+        recs_cap, ns, tables, kts, batched=batched)
     total = jnp.int32(2) + varint_len_device(hdr_vals).sum()
     for name, k, t in kts:
         total = total + section_bytes_device(

@@ -36,7 +36,7 @@ from screenpressor_tpu.config import (
     next_pow2,
 )
 from screenpressor_tpu.jx import coder as jc
-from screenpressor_tpu.jx.jitopts import kernel_jit as _kernel_jit
+from screenpressor_tpu.jx.jitopts import batch_kernel_jit as _kernel_jit
 from screenpressor_tpu.jx.tables import renew_tables
 from screenpressor_tpu.spec.codec import FTYPE_I, FTYPE_P
 

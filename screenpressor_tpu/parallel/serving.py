@@ -36,7 +36,7 @@ from screenpressor_tpu.spec.codec import FTYPE_I, FTYPE_P, apply_loss
 # profile vs the compiler's 16 MB default scoped-VMEM reservation (v5e has
 # 128 MB total). jitopts.kernel_jit raises the cap for the jits that wrap
 # section kernels.
-from screenpressor_tpu.jx.jitopts import kernel_jit as _kernel_jit
+from screenpressor_tpu.jx.jitopts import batch_kernel_jit as _kernel_jit
 
 
 @functools.partial(jax.jit, donate_argnums=0)

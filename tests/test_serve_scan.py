@@ -2,8 +2,20 @@
 byte for byte within its static capacities, and fall back to the lossless
 raw escape beyond them."""
 
+import jax
 import numpy as np
 import pytest
+
+
+@pytest.fixture(autouse=True)
+def _clear_caches_per_test():
+    """The window programs are the suite's largest XLA CPU executables;
+    keeping several alive pushes the process past the order-dependent
+    XLA-CPU segfault threshold (see conftest). Dropping caches per TEST in
+    this module keeps the live-executable volume bounded; the persistent
+    disk cache makes the recompiles cheap."""
+    yield
+    jax.clear_caches()
 
 from screenpressor_tpu.config import CodecConfig
 from screenpressor_tpu.parallel.serving import BatchedDecoder, BatchedEncoder
