@@ -317,9 +317,13 @@ def serving_diag():
 
     # the real conferencing profile (BASELINE.md): 64 concurrent 360p streams,
     # reference-strength +-256 motion, staggered per-stream keyframes.
-    # BENCH_SERVE_WINDOW=0 forces the per-step path (default: F-step window
-    # scan, serve_scan.serve_windowed — the round-4 dispatch-amortized loop).
-    use_window = os.environ.get("BENCH_SERVE_WINDOW", "1") != "0"
+    # BENCH_SERVE_WINDOW=1 runs the F-step window scan
+    # (serve_scan.serve_windowed); default is the per-step loop — at the
+    # SPTC4 table sizes the window's fixed-capacity section scans were
+    # measured slower than the per-step path's per-step-sized scans
+    # (13 vs 117 sf/s at the scan-fallback config), so the window stays
+    # opt-in until it wins on this profile.
+    use_window = os.environ.get("BENCH_SERVE_WINDOW", "0") == "1"
     s, h, w, steps = (
         int(os.environ.get("BENCH_STREAMS", 64)), 360, 640,
         # window mode: 1 + 2*F steps -> one fallback step + two full F=8
