@@ -262,8 +262,10 @@ def main():
     # back-to-back); a timed pass costs ~1-2 s, so take the best of
     # BENCH_REPEATS (the codec's capability, not the tunnel's mood)
     t_enc = t_dec = float("inf")
-    for _ in range(int(os.environ.get("BENCH_REPEATS", 3))):
+    for i in range(int(os.environ.get("BENCH_REPEATS", 6))):
         results, outs, te, td = run()
+        print(f"bench-pass {i}: enc {te*1e3:.0f} ms dec {td*1e3:.0f} ms",
+              file=sys.stderr, flush=True)
         if te + td < t_enc + t_dec:
             t_enc, t_dec = te, td
 
