@@ -358,7 +358,9 @@ def serving_diag():
         t0 = time.perf_counter()
         if window:
             wcfg = WindowConfig(
-                cfg, s, f=int(os.environ.get("BENCH_SERVE_F", 8)), c=2)
+                cfg, s, f=int(os.environ.get("BENCH_SERVE_F", 8)), c=2,
+                rec_cap=int(os.environ.get("BENCH_SERVE_REC_CAP", 8192)),
+                col_cap=int(os.environ.get("BENCH_SERVE_COL_CAP", 8192)))
             for _, outs in serve_windowed(enc, batches, dec, wcfg):
                 pass
         else:
