@@ -302,3 +302,32 @@ def test_pipelined_serving_matches_sequential():
     for t, ((outs, back), b) in enumerate(zip(got, batches)):
         assert outs == want[t], f"step {t}: pipelined bytes differ"
         np.testing.assert_array_equal(back, b, err_msg=f"step {t}")
+
+
+@pytest.mark.slow
+def test_serving_kernel_paths_interpret(monkeypatch):
+    """Serving round-trip with the Pallas kernels FORCED ON (interpret mode
+    on CPU). The batched-kernel plumbing (static `batched` flags, the
+    BatchTracer import, the batch VMEM budgets) is only exercised when
+    use_kernels() is true, which CPU tests otherwise never hit — two round-4
+    TPU-only failures (TracerBoolConversionError, Mosaic scoped-VMEM OOM
+    from a silent never-firing batched estimate) escaped that way."""
+    from screenpressor_tpu.parallel.serving import BatchedDecoder
+
+    monkeypatch.setenv("SPTC_KERNELS", "1")
+    cfg = CodecConfig(width=48, height=32, kf_interval=3, k_fixed=8,
+                      msr_x=8, msr_y=8)
+    s = 4
+    rng = np.random.default_rng(0)
+    base = np.stack(
+        [rng.integers(0, 200, (32, 48, 3), dtype=np.uint8) | 1
+         for _ in range(s)]
+    )
+    b1 = base.copy()
+    b1[:, 4:8, 4:12] = 200
+    enc = BatchedEncoder(s, cfg, kf_offsets=[0, 1, 2, 0])
+    dec = BatchedDecoder(s, cfg)
+    for t, b in enumerate((base, b1, b1.copy())):
+        outs = enc.encode(b)
+        got = dec.decode([p for p, _ in outs])
+        assert np.array_equal(np.asarray(got), b), t
