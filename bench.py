@@ -260,14 +260,26 @@ def main():
     # timed steady-state passes: the axon tunnel's latency swings run to
     # run by up to ~2x at identical calibration (measured 61 vs 134 Mpix/s
     # back-to-back); a timed pass costs ~1-2 s, so take the best of
-    # BENCH_REPEATS (the codec's capability, not the tunnel's mood)
+    # BENCH_REPEATS (the codec's capability, not the tunnel's mood).
+    # Each pass's encode-phase attribution is collected (jx.codec
+    # PHASE_TOTALS) and the BEST pass's breakdown rides along in the JSON
+    # line, so the headline number carries its own evidence against
+    # tunnel-mood variance.
+    from screenpressor_tpu.jx import codec as jxc
+
     t_enc = t_dec = float("inf")
+    best_phases: dict = {}
+    jxc.PHASE_COLLECT["on"] = True
     for i in range(int(os.environ.get("BENCH_REPEATS", 6))):
+        jxc.PHASE_TOTALS.clear()
         results, outs, te, td = run()
         print(f"bench-pass {i}: enc {te*1e3:.0f} ms dec {td*1e3:.0f} ms",
               file=sys.stderr, flush=True)
         if te + td < t_enc + t_dec:
             t_enc, t_dec = te, td
+            best_phases = {k: round(v * 1e3, 1)
+                           for k, v in jxc.PHASE_TOTALS.items()}
+    jxc.PHASE_COLLECT["on"] = False
 
     ok = bool(
         jax.device_get(
@@ -296,6 +308,11 @@ def main():
                 "value": round(mpix, 3),
                 "unit": "Mpix/s",
                 "vs_baseline": round(mpix / 1000.0, 5),
+                "enc_mpix_s": round(pixels / t_enc / 1e6, 1),
+                "dec_mpix_s": round(pixels / t_dec / 1e6, 1),
+                "cal_matmul_ms": round(t_mm * 1e3, 1),
+                "cal_pull4mb_ms": round(t_pull * 1e3, 1),
+                "enc_phases_ms": best_phases,
             }
         ),
         flush=True,

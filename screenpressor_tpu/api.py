@@ -334,9 +334,32 @@ class Decoder:
             raise ValueError("device_out requires RGB24")
         if self.crashed and datas and (not datas[0] or (datas[0][0] & 0x0F) == ALG_P):
             raise bs.CorruptStreamError("decoder poisoned; keyframe required")
-        datas = [self._strip_format_prefix(d) for d in datas]
-        if device_out and self.fmt.pixel_format is not PixelFormat.RGB24:
+        # Parse format prefixes WITHOUT committing the fmt/adapter mutation:
+        # a validation failure below must not leave the decoder
+        # reconfigured, and a mid-batch format change must convert each
+        # frame with the format in effect at ITS position, not the last.
+        stripped, fmts = [], []
+        fmt = self.fmt
+        for d in datas:
+            parsed, pos = bs.parse_format_prefix(d)
+            if parsed is not None:
+                bpp, rmask, gmask, bmask = parsed
+                if bpp == 32:
+                    fmt = FormatParams(pixel_format=PixelFormat.RGB32)
+                else:
+                    fmt = FormatParams(pixel_format=PixelFormat.RGB16,
+                                       rmask=rmask, gmask=gmask, bmask=bmask)
+                d = d[pos:]
+                if not d:
+                    raise bs.CorruptStreamError(
+                        "format prefix without frame payload")
+            stripped.append(d)
+            fmts.append(fmt)
+        if device_out and any(
+            f.pixel_format is not PixelFormat.RGB24 for f in fmts
+        ):
             raise ValueError("device_out requires RGB24 (stream carries a format prefix)")
+        datas = stripped
         from screenpressor_tpu.config import SPTC_VERSION_NIBBLE
 
         all_sptc = all(d and (d[0] >> 4) == SPTC_VERSION_NIBBLE for d in datas)
@@ -350,6 +373,13 @@ class Decoder:
             self.crashed = True
             raise
         self.crashed = False
+        if fmts and fmts[-1] != self.fmt:
+            self.fmt = fmts[-1]
+            self._adapter = _FormatAdapter(fmts[-1])
         if device_out:
             return frames
-        return [self._adapter.from_internal(f) for f in frames]
+        return [
+            (_FormatAdapter(f).from_internal(fr) if f != self.fmt
+             else self._adapter.from_internal(fr))
+            for f, fr in zip(fmts, frames)
+        ]

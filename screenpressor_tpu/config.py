@@ -77,6 +77,14 @@ BLOCK = 16
 # implementations share this policy so streams stay byte-identical.
 SEG_TILE = 1024
 
+# Compact color-table encode buckets (shape-only, NOT format-relevant): an
+# encoder whose color section touches <= bucket distinct context rows runs
+# its section kernel over a gathered touched-row table of that static size
+# instead of the full 3*COLOR_CTX_ROWS window (jx.coder
+# color_compact_sections). Streams are byte-identical either way; this only
+# bounds the per-substep table gather/scatter cost on TPU.
+COL_COMPACT_BUCKETS = (256, 1024)
+
 # Pixel types (reference `screencap.cpp:502-556`)
 PT_LITERAL = 0
 PT_LEFT = 1

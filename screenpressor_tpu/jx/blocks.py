@@ -651,6 +651,112 @@ def mv_cand_cols(cands_np, msr_x: int, msr_y: int, mlow: int):
     return np.asarray(cols, np.int32)
 
 
+def block_types_from(valid, found, rects_f, nb: int, nbx: int, h: int,
+                     w: int):
+    """Block types [nb] from the change map, motion verdicts and sub-rects
+    (reference block-type assignment, `screencap.cpp:1033-1042`)."""
+    from screenpressor_tpu.config import BT_FULL_DATA, BT_PARTIAL_DATA
+
+    bx = jnp.arange(nb) % nbx
+    by = jnp.arange(nb) // nbx
+    x_lo, y_lo = bx * BLOCK, by * BLOCK
+    x_hi = jnp.minimum(x_lo + BLOCK, w)
+    y_hi = jnp.minimum(y_lo + BLOCK, h)
+    partial = valid & ~(
+        (rects_f[:, 0] == x_lo) & (rects_f[:, 1] == y_lo)
+        & (rects_f[:, 2] == x_hi) & (rects_f[:, 3] == y_hi)
+    )
+    return jnp.where(
+        valid,
+        jnp.where(partial, BT_PARTIAL_DATA, BT_FULL_DATA) + 2 * found,
+        0,
+    ).astype(jnp.int32)
+
+
+def compact_block_records(bts, rects_f, mvs, nb: int, nbp: int, h: int,
+                          w: int, nbx: int):
+    """Block-level arrays -> the five global record arrays + counts.
+
+    bts [nb] block types; rects_f [nb, 4] absolute sub-rects; mvs [nb, 2]
+    chosen MVs (garbage where not motion). Shared by analyze_compact and
+    the sp-sharded P pipeline (parallel/mesh.py), which computes bts/mvs
+    per row shard, all_gathers the tiny block-level arrays, and runs this
+    compaction replicated."""
+    from screenpressor_tpu.config import (
+        BT_FULL_MOTION,
+        BT_PARTIAL_DATA,
+        BT_PARTIAL_MOTION,
+        BT_FULL_DATA,
+        MAX_RUN,
+    )
+
+    valid = bts > 0
+    bx = jnp.arange(nb) % nbx
+    by = jnp.arange(nb) // nbx
+    x_lo, y_lo = bx * BLOCK, by * BLOCK
+    lin = jnp.arange(nb)
+    xx1 = jnp.min(jnp.where(valid, lin, nb)).astype(jnp.int32)
+    xx2 = jnp.max(jnp.where(valid, lin, -1)).astype(jnp.int32)
+
+    # --- BT run-length records (greedy, 255 cap) over xx1..xx2 ---
+    linp = jnp.arange(nbp)
+    v = bts[jnp.clip(linp + xx1, 0, nb - 1)]
+    lenr = xx2 - xx1 + 1
+    inr = linp < lenr
+    vm = jnp.where(inr, v, -1)
+    prev_v = jnp.concatenate([jnp.full((1,), -2, vm.dtype), vm[:-1]])
+    bnd = (vm != prev_v) & inr
+    run_start = jax.lax.cummax(jnp.where(bnd, linp, -1), axis=0)
+    new_rec = (bnd | (((linp - run_start) % MAX_RUN) == 0)) & inr
+    n_bt = jnp.sum(new_rec).astype(jnp.int32)
+    rid = jnp.cumsum(new_rec) - 1
+    starts = jnp.full((nbp,), lenr, jnp.int32).at[
+        jnp.where(new_rec, rid, nbp)
+    ].set(linp, mode="drop")
+    ends = jnp.concatenate([starts[1:], jnp.full((1,), lenr, jnp.int32)])
+    ends = jnp.minimum(ends, lenr)
+    bt_vals = v[jnp.clip(starts, 0, nbp - 1)]
+    bt_recs = jnp.stack([bt_vals, ends - starts], axis=1)
+
+    # --- per-kind compaction in block raster order ---
+    is_partial = (bts == BT_PARTIAL_DATA) | (bts == BT_PARTIAL_MOTION)
+    is_motion = (bts == BT_FULL_MOTION) | (bts == BT_PARTIAL_MOTION)
+    is_data = (bts == BT_FULL_DATA) | (bts == BT_PARTIAL_DATA)
+    rel = jnp.stack(
+        [
+            rects_f[:, 0] - x_lo,
+            rects_f[:, 1] - y_lo,
+            rects_f[:, 2] - 1 - x_lo,
+            rects_f[:, 3] - 1 - y_lo,
+        ],
+        axis=1,
+    )
+
+    def compact(mask, vals, width):
+        idx = jnp.cumsum(mask) - 1
+        out = jnp.zeros((nbp, width), jnp.int32)
+        return out.at[jnp.where(mask, idx, nbp)].set(vals, mode="drop")
+
+    counts = jnp.stack(
+        [
+            jnp.int32(1),
+            xx1,
+            xx2,
+            n_bt,
+            jnp.sum(is_partial).astype(jnp.int32),
+            jnp.sum(is_motion).astype(jnp.int32),
+            jnp.sum(is_data).astype(jnp.int32),
+        ]
+    )
+    return (
+        bt_recs,
+        compact(is_partial, rel, 4),
+        compact(is_motion, mvs, 2),
+        compact(is_data, rects_f, 4),
+        counts,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=(
     "h", "w", "nby", "nbx", "rmax", "nbp", "msr_x", "msr_y", "low_x",
     "low_y", "force_dense"))
@@ -712,83 +818,8 @@ def analyze_compact(frame, prev, cands, cand_cols, h: int, w: int, nby: int,
         choice = run_search()
         found = valid & (choice < c_count)
         mvs = cands[jnp.clip(choice, 0, c_count - 1)]
-
-        bx = jnp.arange(nb) % nbx
-        by = jnp.arange(nb) // nbx
-        x_lo, y_lo = bx * BLOCK, by * BLOCK
-        x_hi = jnp.minimum(x_lo + BLOCK, w)
-        y_hi = jnp.minimum(y_lo + BLOCK, h)
-        partial = valid & ~(
-            (rects_f[:, 0] == x_lo) & (rects_f[:, 1] == y_lo)
-            & (rects_f[:, 2] == x_hi) & (rects_f[:, 3] == y_hi)
-        )
-        bts = jnp.where(
-            valid,
-            jnp.where(partial, BT_PARTIAL_DATA, BT_FULL_DATA) + 2 * found,
-            0,
-        ).astype(jnp.int32)
-
-        lin = jnp.arange(nb)
-        xx1 = jnp.min(jnp.where(valid, lin, nb)).astype(jnp.int32)
-        xx2 = jnp.max(jnp.where(valid, lin, -1)).astype(jnp.int32)
-
-        # --- BT run-length records (greedy, 255 cap) over xx1..xx2 ---
-        linp = jnp.arange(nbp)
-        v = bts[jnp.clip(linp + xx1, 0, nb - 1)]
-        lenr = xx2 - xx1 + 1
-        inr = linp < lenr
-        vm = jnp.where(inr, v, -1)
-        prev_v = jnp.concatenate([jnp.full((1,), -2, vm.dtype), vm[:-1]])
-        bnd = (vm != prev_v) & inr
-        run_start = jax.lax.cummax(jnp.where(bnd, linp, -1), axis=0)
-        new_rec = (bnd | (((linp - run_start) % MAX_RUN) == 0)) & inr
-        n_bt = jnp.sum(new_rec).astype(jnp.int32)
-        rid = jnp.cumsum(new_rec) - 1
-        starts = jnp.full((nbp,), lenr, jnp.int32).at[
-            jnp.where(new_rec, rid, nbp)
-        ].set(linp, mode="drop")
-        ends = jnp.concatenate([starts[1:], jnp.full((1,), lenr, jnp.int32)])
-        ends = jnp.minimum(ends, lenr)
-        bt_vals = v[jnp.clip(starts, 0, nbp - 1)]
-        bt_recs = jnp.stack([bt_vals, ends - starts], axis=1)
-
-        # --- per-kind compaction in block raster order ---
-        is_partial = (bts == BT_PARTIAL_DATA) | (bts == BT_PARTIAL_MOTION)
-        is_motion = (bts == BT_FULL_MOTION) | (bts == BT_PARTIAL_MOTION)
-        is_data = (bts == BT_FULL_DATA) | (bts == BT_PARTIAL_DATA)
-        rel = jnp.stack(
-            [
-                rects_f[:, 0] - x_lo,
-                rects_f[:, 1] - y_lo,
-                rects_f[:, 2] - 1 - x_lo,
-                rects_f[:, 3] - 1 - y_lo,
-            ],
-            axis=1,
-        )
-
-        def compact(mask, vals, width):
-            idx = jnp.cumsum(mask) - 1
-            out = jnp.zeros((nbp, width), jnp.int32)
-            return out.at[jnp.where(mask, idx, nbp)].set(vals, mode="drop")
-
-        counts = jnp.stack(
-            [
-                jnp.int32(1),
-                xx1,
-                xx2,
-                n_bt,
-                jnp.sum(is_partial).astype(jnp.int32),
-                jnp.sum(is_motion).astype(jnp.int32),
-                jnp.sum(is_data).astype(jnp.int32),
-            ]
-        )
-        return (
-            bt_recs,
-            compact(is_partial, rel, 4),
-            compact(is_motion, mvs, 2),
-            compact(is_data, rects_f, 4),
-            counts,
-        )
+        bts = block_types_from(valid, found, rects_f, nb, nbx, h, w)
+        return compact_block_records(bts, rects_f, mvs, nb, nbp, h, w, nbx)
 
     def no_changes():
         return (

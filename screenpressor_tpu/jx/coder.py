@@ -380,9 +380,18 @@ _KERNEL_VMEM_LIMIT = 24 * 1024 * 1024
 _BATCH_KERNEL_VMEM_LIMIT = 80 * 1024 * 1024
 
 
+_BATCH_TRACER_WARNED = False
+
+
 def _batched_args(*arrs) -> bool:
     """True when any operand is a vmap BatchTracer (the serving batch
-    paths): the Pallas stream grid then double-buffers table blocks."""
+    paths): the Pallas stream grid then double-buffers table blocks.
+
+    Auto-detection reaches into jax internals; if they move, warn LOUDLY
+    once (a silent False under-budgets the batched kernels' double-buffered
+    table VMEM — the exact Mosaic OOM round 4 fixed) and fall back to the
+    explicit `batched` flags every call site passes."""
+    global _BATCH_TRACER_WARNED
     try:
         try:
             from jax._src.interpreters.batching import BatchTracer
@@ -394,6 +403,16 @@ def _batched_args(*arrs) -> bool:
             for a in jax.tree_util.tree_leaves(arrs)
         )
     except Exception:  # pragma: no cover - jax internals moved
+        if not _BATCH_TRACER_WARNED:
+            import sys
+
+            print(
+                "screenpressor_tpu: BatchTracer import failed (jax internals "
+                "moved?); batched-kernel auto-detection disabled — relying on "
+                "explicit batched= flags for VMEM budgeting",
+                file=sys.stderr,
+            )
+            _BATCH_TRACER_WARNED = True
         return False
 
 
@@ -407,13 +426,148 @@ def _kernel_fits(codec_name: str, k: int, t_steps: int, pay_bytes: int = 0,
         # the stream-grid pipeline double-buffers the table block in AND
         # out: add 3 more copies of the resident tables. Batched kernels
         # compile inside batch_kernel_jit programs (96 MB scoped cap).
-        from screenpressor_tpu.config import TABLE_KINDS
-
-        union = kx._union_kinds([codec_name])
-        est += 3 * sum(4 * TABLE_KINDS[kd][0] * TABLE_KINDS[kd][1]
-                       for kd in union)
+        est += kx._batch_table_overhead(((codec_name, k, t_steps),))
         limit = _BATCH_KERNEL_VMEM_LIMIT
     return est + 4 * max(k, 8) * pay_bytes <= limit
+
+
+# ---------------------------------------------------------------------------
+# Compact color-table encode (touched-row windowing, shape-only)
+# ---------------------------------------------------------------------------
+
+
+def _col_rows_exact(recs, lens):
+    """Exact color-context rows accessed by a col section's encode.
+
+    recs: [T, K, 3] dealt RGB records; lens [K]. Returns [T, K, 3] int32
+    rows (padded steps parked on row 0). Mirrors substeps.Col._row with the
+    per-lane (prevg, prevb) chain: lane state starts at (0, 0); active
+    steps are a prefix of each lane, so step t's predecessor is step t-1."""
+    from screenpressor_tpu.config import COLOR_CTX_ROWS, color_ctx
+
+    t_steps, k, _ = recs.shape
+    r, g, b = recs[..., 0], recs[..., 1], recs[..., 2]
+    z = jnp.zeros((1, k), recs.dtype)
+    pg = jnp.concatenate([z, g[:-1]], axis=0)
+    pb = jnp.concatenate([z, b[:-1]], axis=0)
+    rows = jnp.stack(
+        [
+            color_ctx(pg, pb),
+            COLOR_CTX_ROWS + color_ctx(pb, r),
+            2 * COLOR_CTX_ROWS + color_ctx(r, g),
+        ],
+        axis=-1,
+    ).astype(jnp.int32)
+    active = jnp.arange(t_steps)[:, None] < lens[None, :]
+    return jnp.where(active[..., None], rows, 0)
+
+
+def color_touched_count(lits, n_lit):
+    """Geometry-independent OVERAPPROXIMATION of the distinct color-context
+    rows a col section over these literals will touch, for any lane count.
+
+    lits: [cap, 3] int32 literal RGB in global record order (first n_lit
+    valid). The global-prev chain covers every lane-interior step (lane
+    chunks are contiguous); lane-START steps see state (0, b=0), so their
+    possible rows are row 0 (plane 0) and plane 1's color_ctx(0, R[i]) for
+    any i — both force-included. Padded kernel steps park on row 0."""
+    from screenpressor_tpu.config import COLOR_CTX_ROWS, color_ctx
+
+    cap = lits.shape[0]
+    lits = lits.astype(jnp.int32)
+    r, g, b = lits[:, 0], lits[:, 1], lits[:, 2]
+    z = jnp.zeros((1,), jnp.int32)
+    pg = jnp.concatenate([z, g[:-1]])
+    pb = jnp.concatenate([z, b[:-1]])
+    valid = jnp.arange(cap) < n_lit
+    nrows = 3 * COLOR_CTX_ROWS
+    bm = jnp.zeros((nrows,), bool)
+    for rows in (
+        color_ctx(pg, pb),
+        COLOR_CTX_ROWS + color_ctx(pb, r),
+        COLOR_CTX_ROWS + color_ctx(jnp.zeros_like(r), r),  # lane starts
+        2 * COLOR_CTX_ROWS + color_ctx(r, g),
+    ):
+        bm = bm.at[jnp.where(valid, rows, 0)].set(True)
+    bm = bm.at[0].set(True)  # lane starts (plane 0) + padding park row
+    return bm.sum().astype(jnp.int32)
+
+
+def col_compact_bucket(n_touch: int) -> int | None:
+    """Host-side static bucket choice for the compact color-table encode.
+
+    Returns the smallest COL_COMPACT_BUCKETS entry >= n_touch that is
+    still smaller than the full per-plane window (otherwise compaction
+    cannot win), or None for the full-window path. SPTC_COLW=0 disables;
+    SPTC_COLW=1 forces it on even where kernels are off (CPU test rigs —
+    the lax.scan coder handles colw sections identically)."""
+    import os
+
+    from screenpressor_tpu.config import COL_COMPACT_BUCKETS, COLOR_CTX_ROWS
+
+    env = os.environ.get("SPTC_COLW")
+    if env == "0":
+        return None
+    if env != "1" and not use_kernels():
+        return None
+    for b in COL_COMPACT_BUCKETS:
+        if n_touch <= b and b < COLOR_CTX_ROWS:
+            return b
+    return None
+
+
+def color_compact_sections(dealt_list, lens_list, tables, kts, col_w: int):
+    """Rewrite a section group's 'col' section to the compact-table 'colw'
+    form (byte-identical; see substeps.ColW).
+
+    Returns (dealt2, kts2, tables_compact, restore) where restore maps the
+    encoded-group's output tables (compact color) back onto the full
+    table. The caller GUARANTEES the section touches <= col_w distinct
+    rows (host check against color_touched_count's overapproximation)."""
+    from screenpressor_tpu.config import COLOR_CTX_ROWS
+
+    nrows = 3 * COLOR_CTX_ROWS
+    idx = next(i for i, (cn, _, _) in enumerate(kts) if cn == "col")
+    recs, lens = dealt_list[idx], lens_list[idx]
+    rows = _col_rows_exact(recs, lens)  # [T, K, 3]
+    bm = jnp.zeros((nrows,), bool).at[rows.reshape(-1)].set(True)
+    bm = bm.at[0].set(True)  # padding park row
+    perm = jnp.nonzero(bm, size=col_w, fill_value=nrows)[0]
+    lut = (
+        jnp.zeros((nrows,), jnp.int32)
+        .at[jnp.minimum(perm, nrows - 1)]
+        .set(jnp.arange(col_w, dtype=jnp.int32))
+    )
+    rows_c = lut[rows]
+    recs2 = jnp.concatenate([recs, rows_c.astype(recs.dtype)], axis=-1)
+
+    ctab = tables["color"]
+    permc = jnp.minimum(perm, nrows - 1)
+    ctab_c = dict(ctab)
+    ctab_c["cnt"] = ctab["cnt"][permc]
+    ctab_c["cntsum"] = ctab["cntsum"][permc]
+    tables_c = dict(tables)
+    tables_c["color"] = ctab_c
+
+    def restore(tables_out):
+        cc = tables_out["color"]
+        full = dict(ctab)
+        full["cnt"] = ctab["cnt"].at[perm].set(cc["cnt"], mode="drop")
+        full["cntsum"] = ctab["cntsum"].at[perm].set(cc["cntsum"], mode="drop")
+        for key in ("gcnt", "gsum"):
+            if key in cc:
+                full[key] = cc[key]
+        out = dict(tables_out)
+        out["color"] = full
+        return out
+
+    dealt2 = list(dealt_list)
+    dealt2[idx] = recs2
+    kts2 = tuple(
+        (f"colw{col_w}", kt[1], kt[2]) if i == idx else kt
+        for i, kt in enumerate(kts)
+    )
+    return dealt2, kts2, tables_c, restore
 
 
 def decode_section_auto(payload, lens, tables, codec_name: str, k: int,
@@ -448,27 +602,40 @@ def encode_section_auto(recs, lens, tables, codec_name: str, k: int,
 
 
 def encode_sections_auto(dealt_list, lens_list, tables, kts,
-                         batched: bool | None = None):
+                         batched: bool | None = None,
+                         col_w: int | None = None):
     """Encode several sections in order with chained tables.
 
     kts: tuple of (codec_name, k, t_steps). On the kernel path consecutive
     sections are fused into as few Pallas launches as VMEM allows (each
     launch has ~3 ms fixed cost on tunnel-attached rigs); bytes are
     identical to sequential encode_section_auto calls either way.
-    batched: see decode_section_auto."""
+    batched: see decode_section_auto. col_w: static compact color-table
+    bucket (host-checked against color_touched_count) — rewrites the 'col'
+    section to the touched-row 'colw' form, byte-identical."""
     if batched is None:
         batched = _batched_args(dealt_list, tables)
+    restore = None
+    if col_w is not None and any(cn == "col" for cn, _, _ in kts):
+        dealt_list, kts, tables, restore = color_compact_sections(
+            dealt_list, lens_list, tables, kts, col_w
+        )
     if use_kernels():
         from screenpressor_tpu.jx import kernels as kx
 
-        return kx.encode_sections_fused(dealt_list, lens_list, tables, kts,
-                                        batched)
+        bufs, starts, tables = kx.encode_sections_fused(
+            dealt_list, lens_list, tables, kts, batched)
+        if restore is not None:
+            tables = restore(tables)
+        return bufs, starts, tables
     bufs, starts = [], []
     for (name, k, t), recs, lens in zip(kts, dealt_list, lens_list):
         buf, start, tables = encode_section_auto(recs, lens, tables, name, k,
                                                  t, batched)
         bufs.append(buf)
         starts.append(start)
+    if restore is not None:
+        tables = restore(tables)
     return bufs, starts, tables
 
 

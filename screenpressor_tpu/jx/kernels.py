@@ -312,7 +312,11 @@ def _substep_tables(cnts, kd, rowc, active, k, base=0):
     spec.tables.Table._eff); update applies the batched count update to the
     row table and, for mixed kinds, the global row."""
     r, a = TABLE_KINDS[kd]
+    # per-substep table window: the color chain addresses one plane per
+    # substep (COLOR_CTX_ROWS rows), and a COMPACT color table (colw
+    # sections — fewer resident rows than the full table) bounds it further
     window = COLOR_CTX_ROWS if kd == "color" else r
+    window = min(window, cnts[kd].shape[0])
     rowc = jnp.clip(rowc - base, 0, window - 1)  # local window row
     small = window <= SMALL_R
     if small:
@@ -867,16 +871,32 @@ def _encode_sections_pallas(dealt_list, lens_list, tables, kts):
     return bufs, starts, tables
 
 
+def _color_rows_limit(kts) -> int:
+    """Resident color-table rows for this section group: the full table,
+    unless every color-using codec in the group is a compact (colw)
+    variant — then the largest compact_rows bound."""
+    full = TABLE_KINDS["color"][0]
+    rows = 0
+    for cn, _, _ in kts:
+        c = KCODECS[cn]
+        if "color" in c.kinds:
+            rows = max(rows, getattr(c, "compact_rows", 0) or full)
+    return rows or full
+
+
 def _enc_vmem_estimate(kts):
     """Rough VMEM bytes for a fused encode of these sections (tables,
     records, payload buffers, interval scratch, per-step temporaries)."""
     total = 1 * 1024 * 1024  # fixed temporaries headroom
     union = _union_kinds([cn for cn, _, _ in kts])
+    color_rows = _color_rows_limit(kts)
     r_max = 8
     for kd in union:
         r, a = TABLE_KINDS[kd]
+        if kd == "color":
+            r = min(r, color_rows)
         total += 4 * r * a  # resident f32 table
-        window = COLOR_CTX_ROWS if kd == "color" else r
+        window = min(COLOR_CTX_ROWS, r) if kd == "color" else r
         if window > SMALL_R:
             r_max = max(r_max, window)
     for cn, k, t in kts:
@@ -903,7 +923,12 @@ _FUSE_VMEM_LIMIT = 24 * 1024 * 1024
 
 def _batch_table_overhead(kts) -> int:
     union = _union_kinds([cn for cn, _, _ in kts])
-    return 3 * sum(4 * TABLE_KINDS[kd][0] * TABLE_KINDS[kd][1] for kd in union)
+    color_rows = _color_rows_limit(kts)
+    return 3 * sum(
+        4 * (min(TABLE_KINDS[kd][0], color_rows) if kd == "color"
+             else TABLE_KINDS[kd][0]) * TABLE_KINDS[kd][1]
+        for kd in union
+    )
 
 
 def encode_sections_fused(dealt_list, lens_list, tables, kts,

@@ -291,8 +291,9 @@ _SECTION_NAMES = ("bt", "sxy", "mv", "rec", "col")
 _SECTION_WIDTHS = {"bt": 2, "sxy": 4, "mv": 2, "rec": 2, "col": 3}
 
 
-@functools.partial(jax.jit, static_argnames=("kts", "batched"))
-def encode_sections_device(recs_cap, ns, tables, kts, batched: bool = False):
+@functools.partial(jax.jit, static_argnames=("kts", "batched", "col_w"))
+def encode_sections_device(recs_cap, ns, tables, kts, batched: bool = False,
+                           col_w: int | None = None):
     """Fused encode of all five P sections.
 
     recs_cap: dict name -> [cap, W] capacity record arrays; ns: dict of traced
@@ -304,7 +305,7 @@ def encode_sections_device(recs_cap, ns, tables, kts, batched: bool = False):
         dealt_l.append(jc.deal_device(recs_cap[name], n, k, t))
         lens_l.append(jc.lane_lens_device(n, k))
     bufs_l, starts_l, tables = jc.encode_sections_auto(
-        dealt_l, lens_l, tables, kts, batched
+        dealt_l, lens_l, tables, kts, batched, col_w=col_w
     )
     bufs = {name: b for (name, _, _), b in zip(kts, bufs_l)}
     starts = {name: s for (name, _, _), s in zip(kts, starts_l)}
@@ -492,7 +493,11 @@ def classify_assemble(frame, prev, rects, n_data, h: int, w: int, bcap: int):
     lit_rank = jnp.cumsum(is_lit, axis=1) - 1
     tgt_l = jnp.where(is_lit, lit_off[:, None] + lit_rank, pcap)
     lit_cap = jnp.zeros((pcap, 3), jnp.int32).at[tgt_l].set(lits, mode="drop")
-    counts = jnp.stack([n_recs.sum(), nlit_b.sum()]).astype(jnp.int32)
+    n_lit_total = nlit_b.sum()
+    n_ctouch = jc.color_touched_count(lit_cap, n_lit_total)
+    counts = jnp.stack(
+        [n_recs.sum(), n_lit_total, n_ctouch]
+    ).astype(jnp.int32)
     return pix_cap, lit_cap, counts
 
 
@@ -759,9 +764,11 @@ def encode_p_dispatch_batch(pairs, cfg: CodecConfig):
 
 
 @functools.partial(kernel_jit,
-                   static_argnames=("kts", "caps", "raw_threshold", "batched"))
+                   static_argnames=("kts", "caps", "raw_threshold", "batched",
+                                    "col_w"))
 def encode_sections_raw(sources, hdr_vals, tables, kts, caps,
-                        raw_threshold: int, batched: bool = False):
+                        raw_threshold: int, batched: bool = False,
+                        col_w: int | None = None):
     """encode_sections_device + exact container size + raw-escape table
     select on device (the host applies the identical size rule when it
     assembles the container, so the table chain never waits on a pull).
@@ -783,7 +790,7 @@ def encode_sections_raw(sources, hdr_vals, tables, kts, caps,
         for i, name in zip((2, 3, 4, 5, 6), _SECTION_NAMES)
     }
     bufs, starts, lens_out, tables2 = encode_sections_device(
-        recs_cap, ns, tables, kts, batched=batched)
+        recs_cap, ns, tables, kts, batched=batched, col_w=col_w)
     total = jnp.int32(2) + varint_len_device(hdr_vals).sum()
     for name, k, t in kts:
         total = total + section_bytes_device(
@@ -818,11 +825,12 @@ def encode_p_sections(arrs, counts_host, phase_b, pl_counts_host, tables,
     any_ch, xx1, xx2, n_bt, n_sxy, n_mv, n_data = (int(v) for v in counts_host[:7])
     if phase_b is not None:
         pix_cap, lit_cap, _ = phase_b
-        n_pix, n_lit = (int(v) for v in pl_counts_host)
+        n_pix, n_lit, n_ctouch = (int(v) for v in pl_counts_host[:3])
     else:
         pix_cap = jnp.zeros((1, 2), jnp.int32)
         lit_cap = jnp.zeros((1, 3), jnp.int32)
         n_pix = n_lit = 0
+        n_ctouch = 1
 
     nums = {"bt": n_bt, "sxy": n_sxy, "mv": n_mv, "rec": n_pix, "col": n_lit}
     sources = {
@@ -841,7 +849,8 @@ def encode_p_sections(arrs, counts_host, phase_b, pl_counts_host, tables,
         [xx1, xx2, n_bt, n_sxy, n_mv, n_pix, n_lit, n_data], np.int32
     )
     bufs, starts, lens_l, stats, tables = encode_sections_raw(
-        sources, hdr_vals, tables, tuple(kts), tuple(caps), raw_threshold
+        sources, hdr_vals, tables, tuple(kts), tuple(caps), raw_threshold,
+        col_w=jc.col_compact_bucket(n_ctouch),
     )
     handle = (kts, nums, (xx1, xx2, n_data), bufs, starts, lens_l, stats)
     return handle, tables

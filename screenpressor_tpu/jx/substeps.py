@@ -198,5 +198,54 @@ class MV:
         )
 
 
+class ColW(Col):
+    """Encoder-internal compact-color variant of `Col` (NOT a format
+    change): the records carry 3 extra fields — this section's color rows
+    remapped into a compact touched-row table built by
+    `jx.coder.color_compact_sections`. The coding distributions, and
+    therefore the emitted bytes, are identical to `Col` over the full
+    table; only the table indexing is re-parameterized so the section
+    kernels' per-substep gather/scatter touches `compact_rows` rows
+    instead of the full COLOR_CTX_ROWS window. Encode-only: decoders
+    always run `Col` (rows are data-dependent on decoded symbols)."""
+
+    kinds = ("color", "color", "color")
+    rec_width = 6
+    compact_rows = 0  # static compact-table rows; set per registered variant
+
+    @staticmethod
+    def sub_base(j):
+        return 0
+
+    def init_state(self, z):
+        return ()
+
+    def enc_syms(self, j, rec, state):
+        return rec[3 + j], rec[j], None
+
+    def enc_next_state(self, rec, state, active):
+        return ()
+
+    def dec_row(self, j, partial, state):
+        raise NotImplementedError("colw is encode-only; decoders use 'col'")
+
+    def dec_finish(self, partial, state, active):
+        raise NotImplementedError("colw is encode-only; decoders use 'col'")
+
+
 SUBSTEP_CODECS = {"rec": Rec(), "col": Col(), "bt": BT(), "sxy": Sxy(),
                   "mv": MV()}
+
+
+def _register_colw():
+    from screenpressor_tpu.config import COL_COMPACT_BUCKETS
+
+    for wrows in COL_COMPACT_BUCKETS:
+        cls = type(
+            f"ColW{wrows}", (ColW,),
+            {"name": f"colw{wrows}", "compact_rows": wrows},
+        )
+        SUBSTEP_CODECS[f"colw{wrows}"] = cls()
+
+
+_register_colw()

@@ -283,6 +283,14 @@ def encode_i_sp(frame, mesh: Mesh, cfg, tables=None):
 
     Returns (payload bytes, ftype, tables'). Requires h % sp == 0 and
     (h // sp) * w % SEG_TILE == 0 (shard seams on run-break boundaries).
+
+    Single-keyframe helper: the flat shortcut below returns `tables`
+    unchanged, while a stateful Encoder renews tables when a flat frame's
+    color differs from the previous flat frame (RenewI on flat-color
+    transition). Callers chaining the returned tables across frames must
+    handle flat transitions themselves (see Encoder.last_flat_color);
+    chaining through repeated encode_i_sp calls across a flat-color change
+    would diverge from the session backends' table state.
     """
     from screenpressor_tpu import bitstream as bs
     from screenpressor_tpu.config import (

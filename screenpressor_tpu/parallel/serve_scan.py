@@ -447,6 +447,15 @@ class WindowConfig:
         self.icol_cap = min(icol_cap, next_pow2(cfg.width * cfg.height))
         self.bcap = min(bcap, next_pow2(cfg.nbx * cfg.nby))
         self.pack_cap = pack_cap
+        # _varint_emit encodes at most 4 LEB128 bytes per header field;
+        # every header field is bounded by the pixel count, so guard the
+        # bound here where the frame dimensions are statically known
+        # (host-side bs.pack_varint handles 5 bytes, the device emitter
+        # does not).
+        assert cfg.width * cfg.height < 1 << 28, (
+            "window programs require frame fields < 2^28 (device varint "
+            "emitter is 4-byte LEB128)"
+        )
 
 
 def encode_window(enc, frames_list, wcfg: WindowConfig):

@@ -425,9 +425,10 @@ def _pack_sections_device(bufs, starts, lens_l, kts, pack_cap: int):
     return gather_segments(flat, segs, pack_cap)
 
 
-@functools.partial(_kernel_jit, static_argnames=("kts", "sec_caps", "thr", "pack_cap"))
+@functools.partial(_kernel_jit, static_argnames=("kts", "sec_caps", "thr",
+                                                 "pack_cap", "col_w"))
 def _batched_sections_raw(sources, tables_b, kts, sec_caps, hdr_vals_b, thr,
-                          pack_cap):
+                          pack_cap, col_w=None):
     from screenpressor_tpu.jx.pframe import encode_sections_raw
 
     # slice the record sources to their per-step caps INSIDE the jit (five
@@ -442,7 +443,7 @@ def _batched_sections_raw(sources, tables_b, kts, sec_caps, hdr_vals_b, thr,
         # the already-bucketed record array shapes
         caps = tuple(rc[name].shape[0] for name, _, _ in kts)
         bufs, starts, lens_out, stats, sel = encode_sections_raw(
-            rc, hv, t, kts, caps, thr, batched=True
+            rc, hv, t, kts, caps, thr, batched=True, col_w=col_w
         )
         packed = _pack_sections_device(bufs, starts, lens_out, kts, pack_cap)
         # single pull-ready metadata vector (per-section starts+lens, then
@@ -923,10 +924,16 @@ class BatchedEncoder:
             [ch[:, 1], ch[:, 2], nums["bt"], nums["sxy"], nums["mv"],
              nums["rec"], nums["col"], n_data], axis=1).astype(np.int32))
         pack_cap = self._pack_cap
+        # compact color-table bucket: one static choice for the whole batch
+        # (the vmapped transform compacts per stream; the bucket must bound
+        # every stream's touched rows)
+        n_ctouch = int(np.where(active, plc[:, 2], 1).max()) if (
+            plc.shape[1] > 2) else 1
         bufs, starts, lens_l, meta, self.tables_b, packed = (
             _batched_sections_raw(
                 sources, self.tables_b, tuple(kts), tuple(sec_caps),
                 hdr_vals_b, raw_threshold, pack_cap,
+                col_w=jc.col_compact_bucket(max(n_ctouch, 1)),
             )
         )
 

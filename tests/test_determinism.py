@@ -36,6 +36,7 @@ def _flaky_frame(h=48, w=64):
     return f
 
 
+@pytest.mark.slow
 def test_loss2_iframe_bytes_match_spec_repeated():
     """Fast guard: 25 fresh-encoder repeats of the flaky config."""
     from screenpressor_tpu.api import Encoder

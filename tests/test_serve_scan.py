@@ -49,6 +49,7 @@ def _wcfg(cfg, **kw):
     return WindowConfig(cfg, S, **kw)
 
 
+@pytest.mark.slow
 def test_window_matches_sequential_bytes():
     cfg = _cfg()
     offsets = [0, 1, 2, 3]
@@ -67,6 +68,7 @@ def test_window_matches_sequential_bytes():
             assert pw == pg, (t, i, len(pw), len(pg))
 
 
+@pytest.mark.slow
 def test_window_covers_staggered_keyframes():
     """Keyframes inside the window (per-stream staggered) must still match."""
     cfg = _cfg(kf_interval=3)
@@ -82,6 +84,7 @@ def test_window_covers_staggered_keyframes():
             assert (fw, pw) == (fg, pg), (t, i)
 
 
+@pytest.mark.slow
 def test_serve_windowed_decodes_lossless():
     cfg = _cfg()
     offsets = [0, 1, 2, 3]
@@ -98,6 +101,7 @@ def test_serve_windowed_decodes_lossless():
     assert len(outs_all) == len(batches)
 
 
+@pytest.mark.slow
 def test_window_overflow_raw_escape():
     """A stream-step exceeding the record capacity is emitted as a raw frame
     (lossless, tables renewed) instead of corrupting the stream."""
@@ -137,6 +141,7 @@ def test_plan_windows_shapes():
     assert total == 6
 
 
+@pytest.mark.slow
 def test_decode_window_matches_sequential():
     """decode_window must produce the sequential BatchedDecoder's frames and
     leave identical session state (tables chained through mixed kinds)."""
@@ -167,6 +172,7 @@ def test_decode_window_matches_sequential():
     assert np.array_equal(np.asarray(d_win.decode(pe)), np.asarray(d_seq.decode(pe)))
 
 
+@pytest.mark.slow
 def test_decode_window_raw_and_flat():
     cfg = _cfg(kf_interval=50)
     from screenpressor_tpu.parallel.serve_scan import decode_window
@@ -219,6 +225,7 @@ def synth_desktop_local(i):
     return synth_desktop(H, W, seed=40 + i)
 
 
+@pytest.mark.slow
 def test_single_stream_window_matches_sequential():
     """S=1 windows (the windowed main-bench profile): one stream's frame
     chain through encode_window/decode_window must match the sequential

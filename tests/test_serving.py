@@ -93,6 +93,7 @@ def test_batched_second_keyframe_keeps_table_lockstep():
         assert outs1[i][0] == b
 
 
+@pytest.mark.slow
 def test_batched_decoder_roundtrip():
     """BatchedDecoder must losslessly decode BatchedEncoder streams across
     I, P, flat, and no-change frames with device-resident state."""
@@ -174,6 +175,7 @@ def test_staggered_keyframes_match_per_stream_sessions():
             np.testing.assert_array_equal(decs[i].decode(got), f[i])
 
 
+@pytest.mark.slow
 def test_staggered_keyframes_batched_decoder_roundtrip():
     """Mixed I/P batches through BatchedDecoder: the compacted I decode
     (only the keyframing streams run the record scan) must stay lossless
