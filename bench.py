@@ -312,7 +312,7 @@ def main():
                 "dec_mpix_s": round(pixels / t_dec / 1e6, 1),
                 "cal_matmul_ms": round(t_mm * 1e3, 1),
                 "cal_pull4mb_ms": round(t_pull * 1e3, 1),
-                "enc_phases_ms": best_phases,
+                "phases_ms": best_phases,
             }
         ),
         flush=True,

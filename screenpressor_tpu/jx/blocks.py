@@ -435,53 +435,97 @@ def motion_search_pruned(frame, prev, rects, in_sub, changed, probes, cands,
         )
         return ~bad & inb_ci & chb
 
-    # ---- stage 1: vectorized pre-sweep over static candidates ----
-    # First-match order is preserved (min matching index) -> bitstream-
-    # neutral. Always on: with static slices there is no loop overhead to
-    # skip, and under vmap it shrinks every stream's plausible set.
-    def presweep(base, lo: int, hi: int):
-        """Verify static candidates [lo, hi) for every changed block still
-        unresolved in `base`; returns min-index merge (spec order)."""
-        matches = []
-        for ci in range(lo, hi):
-            mx, my = cands_np[ci]
-            win = jax.lax.slice(
-                pvP, (rmax + my, rmax + mx), (rmax + my + h, rmax + mx + w)
-            )
-            bad = block_any((win != fr2d) & in_sub)
-            inb_ci = (
-                (x1 + mx >= 0) & (x2 + mx <= w)
-                & (y1 + my >= 0) & (y2 + my <= h)
-            )
-            matches.append(~bad & inb_ci & chb)
-        m_pre = jnp.stack(matches)  # [hi-lo, nb]
-        ii = jnp.arange(lo, hi, dtype=jnp.int32)[:, None]
-        found = jnp.min(jnp.where(m_pre, ii, c_count), axis=0).astype(jnp.int32)
-        return jnp.where(base == c_count, found, base)
+    # ---- stage 1: coarse-reject pre-sweep over static candidates ----
+    # First-match order is preserved -> bitstream-neutral. Two tiers per
+    # candidate: a row-subsampled fold16 compare REJECTS candidates cheaply
+    # (mismatch on any compared pixel implies mismatch, so rejection is
+    # sound; ~1/8 the traffic of the exact compare), then the exact
+    # whole-frame verify runs only for candidates some block coarse-matched
+    # (a scroll frame exact-verifies 1-2 of the 64, measured round 5).
+    SUBS = 4  # coarse pass compares every 4th row
+    hs = -(-h // SUBS)
+    pv16P = _fold16(pvP)
+    fr16sub = _fold16(fr2d)[::SUBS]
+    sub_rows = nby * (BLOCK // SUBS)
+    sub_mask = jnp.zeros((sub_rows, nbx * BLOCK), bool).at[:hs, :w].set(
+        in_sub[::SUBS]
+    )
 
-    pre1 = min(24, c_count)
+    def full_check_static(ci: int):
+        """Exact per-block verdict for a STATIC candidate (static slices)."""
+        mx, my = cands_np[ci]
+        win = jax.lax.slice(
+            pvP, (rmax + my, rmax + mx), (rmax + my + h, rmax + mx + w)
+        )
+        bad = block_any((win != fr2d) & in_sub)
+        inb_ci = (
+            (x1 + mx >= 0) & (x2 + mx <= w)
+            & (y1 + my >= 0) & (y2 + my <= h)
+        )
+        return ~bad & inb_ci & chb
+
+    def coarse_match(ci: int):
+        """Per-block PLAUSIBILITY for a static candidate: subsampled fold16
+        compare (false positives possible, false negatives impossible)."""
+        mx, my = cands_np[ci]
+        win = jax.lax.slice(
+            pv16P, (rmax + my, rmax + mx),
+            (rmax + my + h, rmax + mx + w), (SUBS, 1),
+        )
+        neq = win != fr16sub
+        p = jnp.ones((sub_rows, nbx * BLOCK), bool).at[:hs, :w].set(neq)
+        bad = (
+            (p & sub_mask)
+            .reshape(nby, BLOCK // SUBS, nbx, BLOCK)
+            .any(axis=(1, 3))
+            .reshape(nb)
+        )
+        inb_ci = (
+            (x1 + mx >= 0) & (x2 + mx <= w)
+            & (y1 + my >= 0) & (y2 + my <= h)
+        )
+        return ~bad & inb_ci & chb
+
+    def presweep(base, lo: int, hi: int):
+        """First-match merge of static candidates [lo, hi): coarse-reject,
+        exact-verify survivors in spec order."""
+        best = base
+        for ci in range(lo, hi):
+            need = coarse_match(ci) & (best == c_count)
+            best = jax.lax.cond(
+                jnp.any(need),
+                lambda b, ci=ci, need=need: jnp.where(
+                    full_check_static(ci) & need & (b == c_count), ci, b
+                ),
+                lambda b: b,
+                best,
+            )
+        return best
+
     pre2 = min(64, c_count)
     best0 = jnp.full((nb,), c_count, jnp.int32)
-    if pre1:
-        best0 = presweep(best0, 0, pre1)
-    n1 = (chb & (best0 == c_count)).sum()
-    # stage 2 (busy frames only): extend the verified prefix through the
-    # vertical +-32 candidates — scrolls are THE dominant screen motion and
-    # usually land here, skipping the probe passes entirely. Runtime cond:
-    # small edits go straight to the gather tier without paying 40 more
-    # whole-frame compares.
-    if pre2 > pre1 and not force_dense:
-        best0 = jax.lax.cond(
-            n1 > 96,
-            lambda: presweep(best0, pre1, pre2),
-            lambda: best0,
+    nch = chb.sum()
+    coarse_gate = None
+    if pre2 and force_dense:
+        # vmapped callers (serving): lax.cond flattens to select under
+        # vmap, so the cond-gated exact verifies would ALL run. Instead
+        # the coarse verdicts prune the dense tier's plausibility matrix
+        # and its while_loop exact-verifies survivors in spec order.
+        coarse_gate = jnp.ones((nb, c_count), bool).at[:, :pre2].set(
+            jnp.stack([coarse_match(ci) for ci in range(pre2)], axis=1)
         )
-        verified_upto = jnp.where(n1 > 96, pre2, pre1)
-    elif force_dense and pre2 > pre1:
-        best0 = presweep(best0, pre1, pre2)
-        verified_upto = jnp.int32(pre2)
+        verified_upto = jnp.int32(0)
+    elif pre2:
+        # small edits skip the pre-sweep entirely: the probe-pruned gather
+        # tier verifies the same candidates in the same order (bytes
+        # identical), at window-gather cost instead of 64 whole-frame
+        # coarse compares
+        best0 = jax.lax.cond(
+            nch > 96, lambda: presweep(best0, 0, pre2), lambda: best0
+        )
+        verified_upto = jnp.where(nch > 96, pre2, 0)
     else:
-        verified_upto = jnp.int32(pre1)
+        verified_upto = jnp.int32(0)
     unresolved = chb & (best0 == c_count)
     n_unres = unresolved.sum()
 
@@ -592,6 +636,8 @@ def motion_search_pruned(frame, prev, rects, in_sub, changed, probes, cands,
             & unresolved[:, None]
             & (iota_c >= verified_upto)[None, :]
         )
+        if coarse_gate is not None:
+            plaus = plaus & coarse_gate
         nxt, lastp = sweep_tables(plaus)
 
         def verify(best, ci):
@@ -652,13 +698,14 @@ def mv_cand_cols(cands_np, msr_x: int, msr_y: int, mlow: int):
 
 
 def block_types_from(valid, found, rects_f, nb: int, nbx: int, h: int,
-                     w: int):
+                     w: int, lin0=0):
     """Block types [nb] from the change map, motion verdicts and sub-rects
-    (reference block-type assignment, `screencap.cpp:1033-1042`)."""
+    (reference block-type assignment, `screencap.cpp:1033-1042`).
+    lin0: global linear index of the first block (row-sharded callers)."""
     from screenpressor_tpu.config import BT_FULL_DATA, BT_PARTIAL_DATA
 
-    bx = jnp.arange(nb) % nbx
-    by = jnp.arange(nb) // nbx
+    bx = (lin0 + jnp.arange(nb)) % nbx
+    by = (lin0 + jnp.arange(nb)) // nbx
     x_lo, y_lo = bx * BLOCK, by * BLOCK
     x_hi = jnp.minimum(x_lo + BLOCK, w)
     y_hi = jnp.minimum(y_lo + BLOCK, h)

@@ -449,6 +449,7 @@ class JaxDecoder:
         instance until a keyframe)."""
         cfg = self.cfg
         h, w = cfg.height, cfg.width
+        mark = _phase_timer()
         outs: list = [None] * len(datas)
         checks = []
         tables = self.tables
@@ -514,8 +515,10 @@ class JaxDecoder:
             prev = frame
             outs[i] = frame
 
+        mark("dec dispatch")
         if checks:
             errs = np.asarray(jnp.stack([e for _, e in checks]))
+            mark("dec checks pull")
             for (i, _), err in zip(checks, errs):
                 if int(err):
                     if int(err) == 1 and bs.parse_header_byte(datas[i][0]) == ALG_I:
