@@ -196,10 +196,21 @@ def pad_cap(n: int) -> int:
 
 
 def lane_count(n_records: int, k_max: int = K_MAX, target: int = TARGET_PER_LANE) -> int:
-    """Number of interleaved rANS lanes for a section of n_records (FORMAT.md)."""
+    """Number of interleaved rANS lanes for a section of n_records
+    (FORMAT.md "Lane policy", format-normative).
+
+    Small sections target `target` records/lane (parallel warm-up, short
+    scans). Sections beyond 64 lanes thin to 8*target records/lane: every
+    lane costs ~6 B of stream overhead (4 B rANS state flush + a size-table
+    entry), which at 256 lanes measured ~3 KB per 1080p keyframe — 28% of
+    the frame (round 5, RATIO.md). Sections with n <= 64*target are
+    unaffected (golden streams pinned at small sizes stay valid)."""
     if n_records <= 0:
         return 1
-    return min(k_max, next_pow2(-(-n_records // target)))
+    k = next_pow2(-(-n_records // target))
+    if k > 64:
+        k = max(64, next_pow2(-(-n_records // (8 * target))))
+    return min(k_max, k)
 
 
 def lane_ranges(n_records: int, k: int) -> list[tuple[int, int]]:

@@ -24,22 +24,57 @@ from screenpressor_tpu.spec.blocks import mv_candidates  # shared encoder policy
 _PROBE_SMALL_CAP = 512
 
 
+def _memb_x(w: int, nbx: int):
+    """[w, nbx] 0/1 f32 block-column membership (x // BLOCK == bx)."""
+    return (
+        jnp.arange(w)[:, None] // BLOCK == jnp.arange(nbx)[None, :]
+    ).astype(jnp.float32)
+
+
+def _expand_cols(vals_hb, w: int):
+    """[rows, nbx] integer-valued f32 -> [rows, w] per-pixel-column values
+    via one MXU matmul with the one-hot membership (each output is a single
+    input value — exact at any precision; HIGHEST keeps the f32 operand
+    intact, values exceed bf16's integer range)."""
+    nbx = vals_hb.shape[1]
+    memb = _memb_x(w, nbx).T  # [nbx, w]
+    return jax.lax.dot(vals_hb, memb, precision=jax.lax.Precision.HIGHEST)
+
+
 @functools.partial(jax.jit, static_argnames=("h", "w", "nby", "nbx"))
 def change_analysis(frame, prev, h: int, w: int, nby: int, nbx: int):
     """-> (block_changed [nby,nbx], rects [nby,nbx,4] absolute sub-rects,
-    subrect_mask [h,w])."""
-    diff = jnp.any(frame != prev, axis=-1)  # [h, w]
-    pad = jnp.zeros((nby * BLOCK, nbx * BLOCK), bool).at[:h, :w].set(diff)
-    blocks = pad.reshape(nby, BLOCK, nbx, BLOCK)
-    changed = blocks.any(axis=(1, 3))
+    subrect_mask [h,w]).
 
-    rowany = blocks.any(axis=3)  # [nby, BLOCK, nbx]
-    colany = blocks.any(axis=1)  # [nby, nbx, BLOCK]
-    r = jnp.arange(BLOCK)
-    y1r = jnp.min(jnp.where(rowany, r[None, :, None], BLOCK), axis=1)
-    y2r = jnp.max(jnp.where(rowany, r[None, :, None] + 1, 0), axis=1)
-    x1r = jnp.min(jnp.where(colany, r[None, None, :], BLOCK), axis=2)
-    x2r = jnp.max(jnp.where(colany, r[None, None, :] + 1, 0), axis=2)
+    Layout note: all full-frame tensors keep the pixel column as the minor
+    dimension; per-block column reductions ride the MXU (0/1 membership
+    matmul) and bound expansion is one matmul per bound. The direct
+    [nby,16,nbx,16] formulation relayouts 2M-element tensors into 16-wide
+    minors (1/8 VPU lane utilization) and measured 5.4 ms/frame at 1080p —
+    the single largest analysis cost (round-5 phase_a_probe)."""
+    diff = jnp.any(frame != prev, axis=-1)  # [h, w]
+    hp, wp = nby * BLOCK, nbx * BLOCK
+    diff_p = jnp.zeros((hp, w), bool).at[:h].set(diff)
+    # per-(pixel-row, block-col) change counts on the MXU (0/1 operands,
+    # f32 accumulate -> exact)
+    colcnt = jax.lax.dot(
+        diff_p.astype(jnp.float32), _memb_x(w, nbx),
+        preferred_element_type=jnp.float32,
+    )  # [hp, nbx]
+    rows_any = colcnt > 0.5
+    ra3 = rows_any.reshape(nby, BLOCK, nbx)
+    r = jnp.arange(BLOCK)[None, :, None]
+    y1r = jnp.min(jnp.where(ra3, r, BLOCK), axis=1)
+    y2r = jnp.max(jnp.where(ra3, r + 1, 0), axis=1)
+    changed = y2r > 0
+
+    rowblk = diff_p.reshape(nby, BLOCK, w).any(axis=1)  # [nby, w] minor-w
+    rb = jnp.zeros((nby, wp), bool).at[:, :w].set(rowblk).reshape(
+        nby, nbx, BLOCK
+    )
+    c = jnp.arange(BLOCK)[None, None, :]
+    x1r = jnp.min(jnp.where(rb, c, BLOCK), axis=2)
+    x2r = jnp.max(jnp.where(rb, c + 1, 0), axis=2)
 
     bx = jnp.arange(nbx)[None, :]
     by = jnp.arange(nby)[:, None]
@@ -48,19 +83,36 @@ def change_analysis(frame, prev, h: int, w: int, nby: int, nbx: int):
         axis=-1,
     ).astype(jnp.int32)
 
-    # mask of pixels inside their block's sub-rect (changed blocks only);
-    # broadcast per-block bounds to pixel grids (cheaper than jnp.repeat)
-    ys = jnp.arange(nby * BLOCK).reshape(nby, BLOCK, 1, 1)
-    xs = jnp.arange(nbx * BLOCK).reshape(1, 1, nbx, BLOCK)
-    bb = lambda a: a[:, None, :, None]
+    # per-pixel sub-rect bounds: expand block rows by broadcast-reshape
+    # (block-grid-sized tensors), block cols by MXU matmul; the final mask
+    # compares stay in [hp, w] minor-w layout
+    def rowexp(vals):  # [nby, nbx] -> [hp, nbx] f32
+        return jnp.broadcast_to(
+            vals[:, None, :].astype(jnp.float32), (nby, BLOCK, nbx)
+        ).reshape(hp, nbx)
+
+    x1p = _expand_cols(rowexp(rects[..., 0]), w)
+    y1p = _expand_cols(rowexp(rects[..., 1]), w)
+    x2p = _expand_cols(rowexp(rects[..., 2]), w)
+    y2p = _expand_cols(rowexp(rects[..., 3]), w)
+    chp = _expand_cols(rowexp(changed), w)
+    ys = jnp.arange(hp, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
     in_sub = (
-        (ys >= bb(rects[..., 1]))
-        & (ys < bb(rects[..., 3]))
-        & (xs >= bb(rects[..., 0]))
-        & (xs < bb(rects[..., 2]))
-        & bb(changed)
-    ).reshape(nby * BLOCK, nbx * BLOCK)
-    return changed, rects, in_sub[:h, :w]
+        (ys >= y1p) & (ys < y2p) & (xs >= x1p) & (xs < x2p) & (chp > 0.5)
+    )
+    return changed, rects, in_sub[:h]
+
+
+def block_any_px(px_hw, h: int, w: int, nby: int, nbx: int):
+    """[h, w] bool -> [nby, nbx] per-16x16-block any, staged so the
+    full-frame reduction keeps the pixel column minor (see change_analysis
+    layout note)."""
+    hp, wp = nby * BLOCK, nbx * BLOCK
+    p = jnp.zeros((hp, w), bool).at[:h].set(px_hw)
+    rowblk = p.reshape(nby, BLOCK, w).any(axis=1)  # [nby, w]
+    q = jnp.zeros((nby, wp), bool).at[:, :w].set(rowblk)
+    return q.reshape(nby, nbx, BLOCK).any(axis=2)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "nby", "nbx", "rmax"))
@@ -77,7 +129,6 @@ def motion_search(frame, prev, rects, in_sub, changed, cands, h, w, nby, nbx, rm
         constant_values=-1,  # never equals a real pixel
     )
     fr = frame.astype(jnp.int16)
-    mask_pad = jnp.zeros((nby * BLOCK, nbx * BLOCK), bool).at[:h, :w].set(in_sub)
     x1, y1, x2, y2 = rects[..., 0], rects[..., 1], rects[..., 2], rects[..., 3]
 
     def body(carry):
@@ -87,8 +138,7 @@ def motion_search(frame, prev, rects, in_sub, changed, cands, h, w, nby, nbx, rm
             prev_pad, (rmax + my, rmax + mx, 0), (h, w, 3)
         )
         neq = jnp.any(win != fr, axis=-1)
-        neq_pad = jnp.ones((nby * BLOCK, nbx * BLOCK), bool).at[:h, :w].set(neq)
-        bad = (neq_pad & mask_pad).reshape(nby, BLOCK, nbx, BLOCK).any(axis=(1, 3))
+        bad = block_any_px(neq & in_sub, h, w, nby, nbx)
         inb = (x1 + mx >= 0) & (x2 + mx <= w) & (y1 + my >= 0) & (y2 + my <= h)
         match = changed & inb & ~bad
         best = jnp.where(match & (best == c_count), ci, best)
@@ -211,10 +261,11 @@ def _rarity_probes(fr2d, pv2d, diff, h: int, w: int, nby: int, nbx: int):
     )
 
     def block_min(k):
-        pad = jnp.full((nby * BLOCK, nbx * BLOCK), big, jnp.int32).at[
-            :h, :w
-        ].set(k)
-        return pad.reshape(nby, BLOCK, nbx, BLOCK).min(axis=(1, 3))
+        # two-stage block reduce, minor-w first (see change_analysis)
+        pad = jnp.full((nby * BLOCK, w), big, jnp.int32).at[:h].set(k)
+        rowmin = pad.reshape(nby, BLOCK, w).min(axis=1)  # [nby, w]
+        q = jnp.full((nby, nbx * BLOCK), big, jnp.int32).at[:, :w].set(rowmin)
+        return q.reshape(nby, nbx, BLOCK).min(axis=2)
 
     mask = (jnp.int32(1) << bits) - 1
     p1 = jnp.clip(block_min(key1) & mask, 0, h * w - 1)
@@ -417,12 +468,10 @@ def motion_search_pruned(frame, prev, rects, in_sub, changed, probes, cands,
     pvP = jnp.pad(
         pv2d, ((rmax, rmax + BLOCK), (rmax, rmax + BLOCK)), constant_values=-1
     )
-    hpad, wpad = nby * BLOCK - h, nbx * BLOCK - w
 
     def block_any(px_bool_hw):
         """[h, w] bool -> [nb] per-block any (pads with False)."""
-        p = jnp.pad(px_bool_hw, ((0, hpad), (0, wpad)))
-        return p.reshape(nby, BLOCK, nbx, BLOCK).any(axis=(1, 3)).reshape(nb)
+        return block_any_px(px_bool_hw, h, w, nby, nbx).reshape(nb)
 
     def full_check(ci):
         """[nb] per-block exact-match verdict for candidate ci (whole-frame
@@ -447,9 +496,7 @@ def motion_search_pruned(frame, prev, rects, in_sub, changed, probes, cands,
     pv16P = _fold16(pvP)
     fr16sub = _fold16(fr2d)[::SUBS]
     sub_rows = nby * (BLOCK // SUBS)
-    sub_mask = jnp.zeros((sub_rows, nbx * BLOCK), bool).at[:hs, :w].set(
-        in_sub[::SUBS]
-    )
+    sub_mask = jnp.zeros((sub_rows, w), bool).at[:hs].set(in_sub[::SUBS])
 
     def full_check_static(ci: int):
         """Exact per-block verdict for a STATIC candidate (static slices)."""
@@ -472,14 +519,13 @@ def motion_search_pruned(frame, prev, rects, in_sub, changed, probes, cands,
             pv16P, (rmax + my, rmax + mx),
             (rmax + my + h, rmax + mx + w), (SUBS, 1),
         )
-        neq = win != fr16sub
-        p = jnp.ones((sub_rows, nbx * BLOCK), bool).at[:hs, :w].set(neq)
-        bad = (
-            (p & sub_mask)
-            .reshape(nby, BLOCK // SUBS, nbx, BLOCK)
-            .any(axis=(1, 3))
-            .reshape(nb)
-        )
+        neq = jnp.zeros((sub_rows, w), bool).at[:hs].set(win != fr16sub)
+        # two-stage block reduce, minor-w first (see change_analysis)
+        rowblk = (neq & sub_mask).reshape(
+            nby, BLOCK // SUBS, w
+        ).any(axis=1)  # [nby, w]
+        q = jnp.zeros((nby, nbx * BLOCK), bool).at[:, :w].set(rowblk)
+        bad = q.reshape(nby, nbx, BLOCK).any(axis=2).reshape(nb)
         inb_ci = (
             (x1 + mx >= 0) & (x2 + mx <= w)
             & (y1 + my >= 0) & (y2 + my <= h)
@@ -838,21 +884,21 @@ def analyze_compact(frame, prev, cands, cand_cols, h: int, w: int, nby: int,
     c_count = cands.shape[0]
 
     def run_search():
-        # two changed probe pixels per block (min and max flat index)
+        # two changed probe pixels per block (min and max flat index);
+        # two-stage block reduces, minor-w first (see change_analysis)
         diff = jnp.any(frame != prev, axis=-1)
         flat_idx = jnp.where(diff, jnp.arange(h * w).reshape(h, w), h * w)
-        fpad = jnp.full((nby * BLOCK, nbx * BLOCK), h * w, jnp.int32).at[
-            :h, :w
-        ].set(flat_idx)
-        blocks4 = fpad.reshape(nby, BLOCK, nbx, BLOCK)
-        p1 = jnp.clip(blocks4.min(axis=(1, 3)), 0, h * w - 1)
+        fpad = jnp.full((nby * BLOCK, w), h * w, jnp.int32).at[:h].set(
+            flat_idx)
+        rmin = fpad.reshape(nby, BLOCK, w).min(axis=1)
+        q1 = jnp.full((nby, nbx * BLOCK), h * w, jnp.int32).at[:, :w].set(rmin)
+        p1 = jnp.clip(q1.reshape(nby, nbx, BLOCK).min(axis=2), 0, h * w - 1)
         flat_idx2 = jnp.where(diff, jnp.arange(h * w).reshape(h, w), -1)
-        fpad2 = jnp.full((nby * BLOCK, nbx * BLOCK), -1, jnp.int32).at[
-            :h, :w
-        ].set(flat_idx2)
-        p2 = jnp.clip(
-            fpad2.reshape(nby, BLOCK, nbx, BLOCK).max(axis=(1, 3)), 0, h * w - 1
-        )
+        fpad2 = jnp.full((nby * BLOCK, w), -1, jnp.int32).at[:h].set(
+            flat_idx2)
+        rmax2 = fpad2.reshape(nby, BLOCK, w).max(axis=1)
+        q2 = jnp.full((nby, nbx * BLOCK), -1, jnp.int32).at[:, :w].set(rmax2)
+        p2 = jnp.clip(q2.reshape(nby, nbx, BLOCK).max(axis=2), 0, h * w - 1)
         return motion_search_pruned(
             frame, prev, rects, in_sub, changed, (p1, p2), cands, h, w, nby,
             nbx, rmax, cand_cols, msr_x, msr_y, low_x, low_y, force_dense,

@@ -177,8 +177,8 @@ class JaxEncoder:
         row_of = {i: j for j, i in enumerate(p_idx)}
         for i, d in enumerate(devs):
             if kinds[i] == "I":
-                records, lits, counts = i_phase(d, h, w)
-                plans.append(("I", (records, lits), len(i_counts)))
+                records, lits, counts, col_bm = i_phase(d, h, w)
+                plans.append(("I", (records, lits, col_bm), len(i_counts)))
                 i_counts.append(counts)
             else:
                 j = row_of[i]
@@ -238,12 +238,14 @@ class JaxEncoder:
                 k_rec, k_col = cfg.lanes(n_rec), cfg.lanes(n_lit)
                 t_rec = jc._pad_steps(-(-n_rec // k_rec)) if n_rec else 1
                 t_col = jc._pad_steps(-(-n_lit // k_col)) if n_lit else 1
-                records, lits = payload
+                records, lits, col_bm = payload
                 tables = renew_tables_cached()
+                col_w = jc.col_compact_bucket(int(ch[6]))
                 out = encode_i_raw(
                     records, np.int32(n_rec), lits, np.int32(n_lit), tables,
                     k_rec, t_rec, k_col, t_col, raw_size,
-                    col_w=jc.col_compact_bucket(int(ch[6])),
+                    col_w=col_w,
+                    col_bm=col_bm if col_w is not None else None,
                 )
                 tables = out[7]
                 handles[i] = ("I", out, (n_rec, n_lit, k_rec, t_rec, k_col, t_col))

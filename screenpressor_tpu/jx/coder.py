@@ -462,9 +462,11 @@ def _col_rows_exact(recs, lens):
     return jnp.where(active[..., None], rows, 0)
 
 
-def color_touched_count(lits, n_lit):
+def color_touched_bitmap(lits, n_lit):
     """Geometry-independent OVERAPPROXIMATION of the distinct color-context
-    rows a col section over these literals will touch, for any lane count.
+    rows a col section over these literals will touch, for any lane count:
+    a [3 * COLOR_CTX_ROWS] bool bitmap (superset of the rows any lane
+    dealing can access).
 
     lits: [cap, 3] int32 literal RGB in global record order (first n_lit
     valid). The global-prev chain covers every lane-interior step (lane
@@ -489,8 +491,12 @@ def color_touched_count(lits, n_lit):
         2 * COLOR_CTX_ROWS + color_ctx(r, g),
     ):
         bm = bm.at[jnp.where(valid, rows, 0)].set(True)
-    bm = bm.at[0].set(True)  # lane starts (plane 0) + padding park row
-    return bm.sum().astype(jnp.int32)
+    return bm.at[0].set(True)  # lane starts (plane 0) + padding park row
+
+
+def color_touched_count(lits, n_lit):
+    """bitmap cardinality (host bucket choice); see color_touched_bitmap."""
+    return color_touched_bitmap(lits, n_lit).sum().astype(jnp.int32)
 
 
 def col_compact_bucket(n_touch: int) -> int | None:
@@ -516,22 +522,27 @@ def col_compact_bucket(n_touch: int) -> int | None:
     return None
 
 
-def color_compact_sections(dealt_list, lens_list, tables, kts, col_w: int):
+def color_compact_sections(dealt_list, lens_list, tables, kts, col_w: int,
+                           bm=None):
     """Rewrite a section group's 'col' section to the compact-table 'colw'
     form (byte-identical; see substeps.ColW).
 
     Returns (dealt2, kts2, tables_compact, restore) where restore maps the
     encoded-group's output tables (compact color) back onto the full
     table. The caller GUARANTEES the section touches <= col_w distinct
-    rows (host check against color_touched_count's overapproximation)."""
+    rows (host check against color_touched_count's overapproximation).
+    bm: optional precomputed touched bitmap (color_touched_bitmap output
+    from the analysis phase — a SUPERSET of the exact rows is fine and
+    skips re-deriving the bitmap, which costs a T*K*3-index scatter)."""
     from screenpressor_tpu.config import COLOR_CTX_ROWS
 
     nrows = 3 * COLOR_CTX_ROWS
     idx = next(i for i, (cn, _, _) in enumerate(kts) if cn == "col")
     recs, lens = dealt_list[idx], lens_list[idx]
     rows = _col_rows_exact(recs, lens)  # [T, K, 3]
-    bm = jnp.zeros((nrows,), bool).at[rows.reshape(-1)].set(True)
-    bm = bm.at[0].set(True)  # padding park row
+    if bm is None:
+        bm = jnp.zeros((nrows,), bool).at[rows.reshape(-1)].set(True)
+        bm = bm.at[0].set(True)  # padding park row
     perm = jnp.nonzero(bm, size=col_w, fill_value=nrows)[0]
     lut = (
         jnp.zeros((nrows,), jnp.int32)
@@ -603,7 +614,7 @@ def encode_section_auto(recs, lens, tables, codec_name: str, k: int,
 
 def encode_sections_auto(dealt_list, lens_list, tables, kts,
                          batched: bool | None = None,
-                         col_w: int | None = None):
+                         col_w: int | None = None, col_bm=None):
     """Encode several sections in order with chained tables.
 
     kts: tuple of (codec_name, k, t_steps). On the kernel path consecutive
@@ -618,7 +629,7 @@ def encode_sections_auto(dealt_list, lens_list, tables, kts,
     restore = None
     if col_w is not None and any(cn == "col" for cn, _, _ in kts):
         dealt_list, kts, tables, restore = color_compact_sections(
-            dealt_list, lens_list, tables, kts, col_w
+            dealt_list, lens_list, tables, kts, col_w, col_bm
         )
     if use_kernels():
         from screenpressor_tpu.jx import kernels as kx

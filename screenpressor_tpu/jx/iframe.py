@@ -33,17 +33,20 @@ def i_phase(frame, h: int, w: int):
     """Phase A for keyframes: classification + flat check in one dispatch.
 
     Returns (records, lits, counts[7] = n_rec, n_lit, is_flat, r, g, b,
-    n_ctouch) — n_ctouch is the touched color-row overapproximation the
-    host uses to pick the compact color-table bucket (jc.col_compact_bucket)."""
+    n_ctouch, col_bm) — n_ctouch (the touched color-row overapproximation)
+    picks the compact color-table bucket on the host
+    (jc.col_compact_bucket); col_bm is the bitmap itself, fed back into
+    phase C so the compact transform does not re-derive it."""
     records, n_records, lits, n_literals = classify_i(frame, h, w)
     c0 = frame.reshape(-1, 3)[0].astype(jnp.int32)
     is_flat = jnp.all(frame == frame.reshape(-1, 3)[0][None, None, :]).astype(jnp.int32)
-    n_ctouch = jc.color_touched_count(lits, n_literals)
+    col_bm = jc.color_touched_bitmap(lits, n_literals)
+    n_ctouch = col_bm.sum().astype(jnp.int32)
     counts = jnp.concatenate(
         [jnp.stack([n_records, n_literals, is_flat]), c0,
          n_ctouch[None]]
     ).astype(jnp.int32)
-    return records, lits, counts
+    return records, lits, counts, col_bm
 
 
 @functools.partial(
@@ -53,7 +56,8 @@ def i_phase(frame, h: int, w: int):
 )
 def encode_i_raw(records, n_rec, lits, n_lit, tables,
                  k_rec: int, t_rec: int, k_col: int, t_col: int,
-                 raw_threshold: int, col_w: int | None = None):
+                 raw_threshold: int, col_w: int | None = None,
+                 col_bm=None):
     """encode_i_from_records + exact container-size computation + raw-escape
     table select, all on device (lets a pipelined caller chain tables without
     pulling the payload first; the host applies the identical raw rule when
@@ -62,7 +66,7 @@ def encode_i_raw(records, n_rec, lits, n_lit, tables,
 
     out = encode_i_from_records(
         records, n_rec, lits, n_lit, tables, k_rec, t_rec, k_col, t_col,
-        col_w
+        col_w, col_bm
     )
     buf_rec, start_rec, lens_rec, buf_col, start_col, lens_col, tables2 = out
     total = jnp.int32(1) + varint_len_device(n_rec) + varint_len_device(n_lit)
@@ -116,7 +120,8 @@ def parse_i_header(data: bytes, pos: int, cfg: CodecConfig):
     jax.jit, static_argnames=("k_rec", "t_rec", "k_col", "t_col", "col_w")
 )
 def encode_i_from_records(records, n_rec, lits, n_lit, tables, k_rec, t_rec,
-                          k_col, t_col, col_w: int | None = None):
+                          k_col, t_col, col_w: int | None = None,
+                          col_bm=None):
     """Section encoding given classification outputs (classification runs
     once in classify_counts; its arrays stay on device)."""
     rec_dealt = jc.deal_device(records, n_rec, k_rec, t_rec)
@@ -126,7 +131,7 @@ def encode_i_from_records(records, n_rec, lits, n_lit, tables, k_rec, t_rec,
     bufs, starts, tables = jc.encode_sections_auto(
         [rec_dealt, col_dealt], [lens_rec, lens_col], tables,
         (("rec", k_rec, t_rec), ("col", k_col, t_col)),
-        col_w=col_w,
+        col_w=col_w, col_bm=col_bm,
     )
     return bufs[0], starts[0], lens_rec, bufs[1], starts[1], lens_col, tables
 

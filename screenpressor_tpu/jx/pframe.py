@@ -293,7 +293,7 @@ _SECTION_WIDTHS = {"bt": 2, "sxy": 4, "mv": 2, "rec": 2, "col": 3}
 
 @functools.partial(jax.jit, static_argnames=("kts", "batched", "col_w"))
 def encode_sections_device(recs_cap, ns, tables, kts, batched: bool = False,
-                           col_w: int | None = None):
+                           col_w: int | None = None, col_bm=None):
     """Fused encode of all five P sections.
 
     recs_cap: dict name -> [cap, W] capacity record arrays; ns: dict of traced
@@ -305,7 +305,7 @@ def encode_sections_device(recs_cap, ns, tables, kts, batched: bool = False,
         dealt_l.append(jc.deal_device(recs_cap[name], n, k, t))
         lens_l.append(jc.lane_lens_device(n, k))
     bufs_l, starts_l, tables = jc.encode_sections_auto(
-        dealt_l, lens_l, tables, kts, batched, col_w=col_w
+        dealt_l, lens_l, tables, kts, batched, col_w=col_w, col_bm=col_bm
     )
     bufs = {name: b for (name, _, _), b in zip(kts, bufs_l)}
     starts = {name: s for (name, _, _), s in zip(kts, starts_l)}
@@ -354,9 +354,15 @@ def _motion_pixel_maps(rects, mvs, valid_b, h: int, w: int):
     grid_is = jnp.zeros((nb + 1,), bool).at[bi].set(valid_b, mode="drop")
 
     def expand(grid):  # [nb] -> [h, w] per-pixel block value
-        g = grid[:nb].reshape(nby, 1, nbx, 1)
-        g = jnp.broadcast_to(g, (nby, BLOCK, nbx, BLOCK))
-        return g.reshape(nby * BLOCK, nbx * BLOCK)[:h, :w]
+        # row broadcast at block-grid scale, column expand on the MXU
+        # (keeps full-frame tensors minor-w; the direct [nby,16,nbx,16]
+        # broadcast relayouts 2M elements into 16-wide minors — see
+        # jx.blocks.change_analysis layout note)
+        g2 = grid[:nb].reshape(nby, nbx)
+        v = jnp.broadcast_to(
+            g2[:, None, :].astype(jnp.float32), (nby, BLOCK, nbx)
+        ).reshape(nby * BLOCK, nbx)
+        return jb._expand_cols(v, w)[:h].astype(grid.dtype)
 
     rpix = [expand(grid_rect[:, j]) for j in range(4)]
     in_rect = (
@@ -494,11 +500,11 @@ def classify_assemble(frame, prev, rects, n_data, h: int, w: int, bcap: int):
     tgt_l = jnp.where(is_lit, lit_off[:, None] + lit_rank, pcap)
     lit_cap = jnp.zeros((pcap, 3), jnp.int32).at[tgt_l].set(lits, mode="drop")
     n_lit_total = nlit_b.sum()
-    n_ctouch = jc.color_touched_count(lit_cap, n_lit_total)
+    col_bm = jc.color_touched_bitmap(lit_cap, n_lit_total)
     counts = jnp.stack(
-        [n_recs.sum(), n_lit_total, n_ctouch]
+        [n_recs.sum(), n_lit_total, col_bm.sum()]
     ).astype(jnp.int32)
-    return pix_cap, lit_cap, counts
+    return pix_cap, lit_cap, counts, col_bm
 
 
 def decode_p_resolve(payloads, ns, xx1, xx2, n_data, prev, tables,
@@ -768,7 +774,7 @@ def encode_p_dispatch_batch(pairs, cfg: CodecConfig):
                                     "col_w"))
 def encode_sections_raw(sources, hdr_vals, tables, kts, caps,
                         raw_threshold: int, batched: bool = False,
-                        col_w: int | None = None):
+                        col_w: int | None = None, col_bm=None):
     """encode_sections_device + exact container size + raw-escape table
     select on device (the host applies the identical size rule when it
     assembles the container, so the table chain never waits on a pull).
@@ -790,7 +796,8 @@ def encode_sections_raw(sources, hdr_vals, tables, kts, caps,
         for i, name in zip((2, 3, 4, 5, 6), _SECTION_NAMES)
     }
     bufs, starts, lens_out, tables2 = encode_sections_device(
-        recs_cap, ns, tables, kts, batched=batched, col_w=col_w)
+        recs_cap, ns, tables, kts, batched=batched, col_w=col_w,
+        col_bm=col_bm)
     total = jnp.int32(2) + varint_len_device(hdr_vals).sum()
     for name, k, t in kts:
         total = total + section_bytes_device(
@@ -824,11 +831,12 @@ def encode_p_sections(arrs, counts_host, phase_b, pl_counts_host, tables,
     `assemble_p_container` needs."""
     any_ch, xx1, xx2, n_bt, n_sxy, n_mv, n_data = (int(v) for v in counts_host[:7])
     if phase_b is not None:
-        pix_cap, lit_cap, _ = phase_b
+        pix_cap, lit_cap, col_bm = phase_b[0], phase_b[1], phase_b[3]
         n_pix, n_lit, n_ctouch = (int(v) for v in pl_counts_host[:3])
     else:
         pix_cap = jnp.zeros((1, 2), jnp.int32)
         lit_cap = jnp.zeros((1, 3), jnp.int32)
+        col_bm = None
         n_pix = n_lit = 0
         n_ctouch = 1
 
@@ -848,9 +856,11 @@ def encode_p_sections(arrs, counts_host, phase_b, pl_counts_host, tables,
     hdr_vals = np.asarray(
         [xx1, xx2, n_bt, n_sxy, n_mv, n_pix, n_lit, n_data], np.int32
     )
+    col_w = jc.col_compact_bucket(n_ctouch)
     bufs, starts, lens_l, stats, tables = encode_sections_raw(
         sources, hdr_vals, tables, tuple(kts), tuple(caps), raw_threshold,
-        col_w=jc.col_compact_bucket(n_ctouch),
+        col_w=col_w,
+        col_bm=col_bm if col_w is not None else None,
     )
     handle = (kts, nums, (xx1, xx2, n_data), bufs, starts, lens_l, stats)
     return handle, tables

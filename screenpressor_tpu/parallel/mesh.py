@@ -430,29 +430,20 @@ def _motion_rows(fr, pv_full, rects, in_sub, changed, cands, y_off,
         constant_values=-1,
     )
     fr16 = fr.astype(jnp.int16)
-    mask_pad = jnp.zeros((nby_loc * BLOCK, nbx * BLOCK), bool).at[
-        :h_loc, :w
-    ].set(in_sub)
     rf = rects.reshape(-1, 4)
     x1, y1, x2, y2 = rf[:, 0], rf[:, 1], rf[:, 2], rf[:, 3]
     chb = changed.reshape(-1)
 
     def body(carry):
+        from screenpressor_tpu.jx.blocks import block_any_px
+
         best, ci = carry
         mx, my = cands[ci, 0], cands[ci, 1]
         win = jax.lax.dynamic_slice(
             prev_pad, (rmax + my + y_off, rmax + mx, 0), (h_loc, w, 3)
         )
         neq = jnp.any(win != fr16, axis=-1)
-        neq_pad = jnp.ones((nby_loc * BLOCK, nbx * BLOCK), bool).at[
-            :h_loc, :w
-        ].set(neq)
-        bad = (
-            (neq_pad & mask_pad)
-            .reshape(nby_loc, BLOCK, nbx, BLOCK)
-            .any(axis=(1, 3))
-            .reshape(-1)
-        )
+        bad = block_any_px(neq & in_sub, h_loc, w, nby_loc, nbx).reshape(-1)
         inb = (
             (x1 + mx >= 0) & (x2 + mx <= w)
             & (y1 + my >= 0) & (y2 + my <= h_real)

@@ -241,7 +241,7 @@ def encode_window_scan(frames_fs, key_fs, icmeta_fs, prev, tables_b,
                     lambda sd: jnp.zeros(sd.shape, sd.dtype), shapes),
             )
 
-        pix_cap_b, lit_cap_b, plc = jax.lax.map(
+        pix_cap_b, lit_cap_b, plc, _col_bm = jax.lax.map(
             one_cl, (frames, prev, arrs["data_rects"], nd_cl))
 
         active = own_p & (counts[:, 0] != 0) & (flat4[:, 0] == 0)

@@ -428,7 +428,7 @@ def _pack_sections_device(bufs, starts, lens_l, kts, pack_cap: int):
 @functools.partial(_kernel_jit, static_argnames=("kts", "sec_caps", "thr",
                                                  "pack_cap", "col_w"))
 def _batched_sections_raw(sources, tables_b, kts, sec_caps, hdr_vals_b, thr,
-                          pack_cap, col_w=None):
+                          pack_cap, col_w=None, col_bm_b=None):
     from screenpressor_tpu.jx.pframe import encode_sections_raw
 
     # slice the record sources to their per-step caps INSIDE the jit (five
@@ -438,12 +438,12 @@ def _batched_sections_raw(sources, tables_b, kts, sec_caps, hdr_vals_b, thr,
         for (name, _, _), cap in zip(kts, sec_caps)
     }
 
-    def one(rc, t, hv):
+    def one(rc, t, hv, bm):
         # per-section counts live in the header vector (hv[2:7]); caps are
         # the already-bucketed record array shapes
         caps = tuple(rc[name].shape[0] for name, _, _ in kts)
         bufs, starts, lens_out, stats, sel = encode_sections_raw(
-            rc, hv, t, kts, caps, thr, batched=True, col_w=col_w
+            rc, hv, t, kts, caps, thr, batched=True, col_w=col_w, col_bm=bm
         )
         packed = _pack_sections_device(bufs, starts, lens_out, kts, pack_cap)
         # single pull-ready metadata vector (per-section starts+lens, then
@@ -457,7 +457,11 @@ def _batched_sections_raw(sources, tables_b, kts, sec_caps, hdr_vals_b, thr,
         )
         return bufs, starts, lens_out, meta, sel, packed
 
-    return jax.vmap(one)(recs_cap, tables_b, hdr_vals_b)
+    if col_bm_b is None:
+        # static None must not become a vmapped operand
+        return jax.vmap(lambda rc, t, hv: one(rc, t, hv, None))(
+            recs_cap, tables_b, hdr_vals_b)
+    return jax.vmap(one)(recs_cap, tables_b, hdr_vals_b, col_bm_b)
 
 
 def _tight_pull(buf_list, starts_list, lens_list, extra_parts=()):
@@ -849,7 +853,7 @@ class BatchedEncoder:
         # step) is detected from the pulled counts and redone below.
         own_d = self._dput(jnp.asarray(own))
         bcap = self._bcap
-        pix_cap, lit_cap, plc_d = _batched_classify_eager(
+        pix_cap, lit_cap, plc_d, col_bm_b = _batched_classify_eager(
             dev_frames, dev_prevs, arrs["data_rects"], counts, flat4, own_d,
             h, w, bcap,
         )
@@ -893,7 +897,7 @@ class BatchedEncoder:
             self._bcap = bcap = next_pow2(int(n_data.max()))
             _BUCKET_CACHE[self._bucket_key] = (
                 self._bcap, self._pack_cap, self._pack_cap_i)
-            pix_cap, lit_cap, plc_d = _batched_classify_eager(
+            pix_cap, lit_cap, plc_d, col_bm_b = _batched_classify_eager(
                 dev_frames, dev_prevs, arrs["data_rects"], counts, flat4,
                 own_d, h, w, bcap,
             )
@@ -929,11 +933,12 @@ class BatchedEncoder:
         # every stream's touched rows)
         n_ctouch = int(np.where(active, plc[:, 2], 1).max()) if (
             plc.shape[1] > 2) else 1
+        col_w = jc.col_compact_bucket(max(n_ctouch, 1))
         bufs, starts, lens_l, meta, self.tables_b, packed = (
             _batched_sections_raw(
                 sources, self.tables_b, tuple(kts), tuple(sec_caps),
-                hdr_vals_b, raw_threshold, pack_cap,
-                col_w=jc.col_compact_bucket(max(n_ctouch, 1)),
+                hdr_vals_b, raw_threshold, pack_cap, col_w=col_w,
+                col_bm_b=col_bm_b if col_w is not None else None,
             )
         )
 

@@ -6,7 +6,11 @@ codec, (b) the SCPR v2 legacy encoder (the reference's bitstream format,
 deterministic single-worker policy), and (c) zlib level 6 on raw frames, and
 prints per-sequence and aggregate ratios.
 
-Usage: PYTHONPATH=. python tools/ratio_report.py [HxW] [frames]
+Usage: PYTHONPATH=. python tools/ratio_report.py [HxW] [frames] [backend]
+backend: "spec" (default) or "jax" — byte-identical streams (enforced by the
+round-trip asserts + the cross-backend test suite); jax is the practical
+choice at production resolutions (the numpy spec coder's python section
+loops are O(records) per frame).
 """
 
 import sys
@@ -15,8 +19,8 @@ import zlib
 import numpy as np
 
 sys.path.insert(0, ".")
+from screenpressor_tpu.api import Decoder, Encoder
 from screenpressor_tpu.config import CodecConfig
-from screenpressor_tpu.spec.codec import SpecDecoder, SpecEncoder
 from screenpressor_tpu.native.legacy import LegacyV2Decoder, LegacyV2Encoder
 from screenpressor_tpu.native.legacy_ans import ScprAnsDecoder, ScprAnsEncoder
 
@@ -44,7 +48,7 @@ def synth(kind, h, w, n, seed=0):
     return frames
 
 
-def run(kind, h, w, n):
+def run(kind, h, w, n, backend="spec"):
     if kind.startswith("real-"):
         from tools.real_corpus import SEQUENCES
 
@@ -54,11 +58,11 @@ def run(kind, h, w, n):
     raw = n * h * w * 3
 
     cfg = CodecConfig(width=w, height=h, msr_x=16, msr_y=16)
-    se, sd = SpecEncoder(cfg), SpecDecoder(cfg)
+    se, sd = Encoder(cfg, backend=backend), Decoder(cfg, backend=backend)
     sptc = 0
     for f in frames:
         d, _ = se.encode(f)
-        assert (sd.decode(d) == f).all()
+        assert (np.asarray(sd.decode(d)) == f).all()
         sptc += len(d)
 
     ve, vd = LegacyV2Encoder(w, h, msr_x=16, msr_y=16), LegacyV2Decoder(w, h, msr_x=16, msr_y=16)
@@ -87,12 +91,13 @@ def run(kind, h, w, n):
 def main():
     dims = sys.argv[1] if len(sys.argv) > 1 else "288x512"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    backend = sys.argv[3] if len(sys.argv) > 3 else "spec"
     h, w = (int(v) for v in dims.split("x"))
     tot = np.zeros(5, np.int64)
     kinds = ("idle", "typing", "scroll", "photo",
              "real-code", "real-terminal", "real-document", "real-mixed")
     for kind in kinds:
-        tot += np.asarray(run(kind, h, w, n), np.int64)
+        tot += np.asarray(run(kind, h, w, n, backend), np.int64)
     raw, sptc, v2, v4, z = tot
     print(
         f"{'TOTAL':>7}: raw {raw:>9}B | SPTC {sptc:>8}B ({raw/sptc:7.1f}x) | "
