@@ -72,10 +72,24 @@ ALG_FMT = 5
 BLOCK = 16
 
 # Encoder segmentation policy (non-normative for decoders): I-frame runs
-# break at SEG_TILE-pixel boundaries so classification is a tile-per-lane
+# break at seg_tile-pixel boundaries so classification is a tile-per-lane
 # state machine (Pallas kernel) instead of a serial walk. All encoder
 # implementations share this policy so streams stay byte-identical.
-SEG_TILE = 1024
+SEG_TILE = 1024  # legacy tile for small frames (golden streams pinned)
+
+
+def seg_tile(n: int, w: int) -> int:
+    """Segmentation tile for a frame of n pixels, width w (shared encoder
+    policy; any tiling decodes). Small frames keep the legacy 1024. Large
+    frames use whole-row tiles near 16K pixels: every tile boundary forces
+    a run break whose atypical run length dilutes the nrun tables, which
+    measured 7059 -> ~5100 B on a 1080p idle keyframe (round 5). Row
+    alignment keeps sp row-shard seams on tile boundaries."""
+    if n <= 128 * SEG_TILE:
+        return SEG_TILE
+    cap = min(16384, n // 64)
+    rows = max(1, cap // w)
+    return rows * w
 
 # Compact color-table encode buckets (shape-only, NOT format-relevant): an
 # encoder whose color section touches <= bucket distinct context rows runs

@@ -15,6 +15,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from screenpressor_tpu.config import (
     MAX_RUN,
@@ -80,62 +81,86 @@ def streak_tables(fits):
 _WALK_LANES = 256  # tiles per kernel grid step (VPU lane batch)
 
 
-def _run_walk_kernel(fits_ref, st_ref, out_ref):
-    """Greedy run-walk state machine: serial over the SEG_TILE positions of a
-    tile, vectorized across _WALK_LANES tiles (VPU lanes). Emits the
-    record-start mask; run lengths and types derive from it afterwards.
-    This is the Pallas replacement for the serial `ClassifyPixelsI` walk
-    (`screencap.cpp:876-919`) and for pointer-doubling segmentation."""
-    from screenpressor_tpu.config import SEG_TILE
+def _make_walk_kernel(chunk: int):
+    def kernel(fits_ref, st_ref, out_ref, cur_ref, run_ref):
+        """Greedy run-walk state machine: serial over the tile positions,
+        vectorized across _WALK_LANES tiles (VPU lanes), with the walk
+        state carried across position-chunk grid steps in VMEM scratch
+        (large tiles would otherwise need the whole [tile, lanes] block in
+        VMEM at once). Emits the record-start mask; run lengths and types
+        derive from it afterwards. This is the Pallas replacement for the
+        serial `ClassifyPixelsI` walk (`screencap.cpp:876-919`)."""
+        c = pl.program_id(1)
+        lanes = fits_ref.shape[1]
 
-    lanes = fits_ref.shape[1]
+        @pl.when(c == 0)
+        def _():
+            cur_ref[:, :] = jnp.zeros_like(cur_ref)
+            run_ref[:, :] = jnp.zeros_like(run_ref)
 
-    def body(t, carry):
-        cur_pt, run = carry
-        f = fits_ref[pl.ds(t, 1), :]
-        stt = st_ref[pl.ds(t, 1), :]
-        fits_cur = (f >> cur_pt) & 1
-        ext = (fits_cur == 1) & (run < MAX_RUN) & (t > 0)
-        is_start = ~ext
-        out_ref[pl.ds(t, 1), :] = is_start.astype(jnp.int32)
-        cur_pt = jnp.where(is_start, stt, cur_pt)
-        run = jnp.where(is_start, 1, run + 1)
-        return cur_pt, run
+        def body(t, carry):
+            cur_pt, run = carry
+            f = fits_ref[pl.ds(t, 1), :]
+            stt = st_ref[pl.ds(t, 1), :]
+            fits_cur = (f >> cur_pt) & 1
+            first = (c == 0) & (t == 0)  # tile position 0 always starts
+            ext = (fits_cur == 1) & (run < MAX_RUN) & jnp.logical_not(first)
+            is_start = ~ext
+            out_ref[pl.ds(t, 1), :] = is_start.astype(jnp.int32)
+            cur_pt = jnp.where(is_start, stt, cur_pt)
+            run = jnp.where(is_start, 1, run + 1)
+            return cur_pt, run
 
-    zero = jnp.zeros((1, lanes), jnp.int32)
-    jax.lax.fori_loop(0, SEG_TILE, body, (zero, zero))
+        carry = (cur_ref[:, :], run_ref[:, :])
+        cur_pt, run = jax.lax.fori_loop(0, chunk, body, carry)
+        cur_ref[:, :] = cur_pt
+        run_ref[:, :] = run
+
+    return kernel
 
 
-def _run_walk(fits_bits, st, n: int):
+def _walk_chunk(tile: int) -> int:
+    """Largest divisor of `tile` <= 2048 (position-chunk block rows)."""
+    for k in range(1, tile + 1):
+        if tile % k == 0 and tile // k <= 2048:
+            return tile // k
+    return 1
+
+
+def _run_walk(fits_bits, st, n: int, tile: int):
     """fits_bits/st: [n] int32 -> is_start [n] bool via the Pallas kernel."""
-    
-    from screenpressor_tpu.config import SEG_TILE
-
-    n_tiles = -(-n // SEG_TILE)
+    n_tiles = -(-n // tile)
     tp = -(-n_tiles // _WALK_LANES) * _WALK_LANES
-    pad = tp * SEG_TILE - n
+    pad = tp * tile - n
     fb = jnp.concatenate([fits_bits, jnp.zeros((pad,), jnp.int32)])
     sb = jnp.concatenate([st, jnp.zeros((pad,), jnp.int32)])
     # [tiles, L] -> [L, tiles]: the tile axis is the vector lane axis
-    fb = fb.reshape(tp, SEG_TILE).T
-    sb = sb.reshape(tp, SEG_TILE).T
+    fb = fb.reshape(tp, tile).T
+    sb = sb.reshape(tp, tile).T
+    chunk = _walk_chunk(tile)
     interpret = jax.default_backend() == "cpu"
     out = pl.pallas_call(
-        _run_walk_kernel,
-        out_shape=jax.ShapeDtypeStruct((SEG_TILE, tp), jnp.int32),
-        grid=(tp // _WALK_LANES,),
+        _make_walk_kernel(chunk),
+        out_shape=jax.ShapeDtypeStruct((tile, tp), jnp.int32),
+        grid=(tp // _WALK_LANES, tile // chunk),
         in_specs=[
-            pl.BlockSpec((SEG_TILE, _WALK_LANES), lambda g: (0, g)),
-            pl.BlockSpec((SEG_TILE, _WALK_LANES), lambda g: (0, g)),
+            pl.BlockSpec((chunk, _WALK_LANES), lambda g, c: (c, g)),
+            pl.BlockSpec((chunk, _WALK_LANES), lambda g, c: (c, g)),
         ],
-        out_specs=pl.BlockSpec((SEG_TILE, _WALK_LANES), lambda g: (0, g)),
+        out_specs=pl.BlockSpec((chunk, _WALK_LANES), lambda g, c: (c, g)),
+        scratch_shapes=[
+            pltpu.VMEM((1, _WALK_LANES), jnp.int32),
+            pltpu.VMEM((1, _WALK_LANES), jnp.int32),
+        ],
         interpret=interpret,
     )(fb, sb)
-    return out.T.reshape(tp * SEG_TILE)[:n] != 0
+    return out.T.reshape(tp * tile)[:n] != 0
 
 
 def _segment_pixels(frame):
     """frame -> per-pixel (is_start [n] bool, st [n] start types)."""
+    from screenpressor_tpu.config import seg_tile
+
     h, w, _ = frame.shape
     n = h * w
     fits = fits_planes_i(frame)
@@ -143,7 +168,7 @@ def _segment_pixels(frame):
     bits = jnp.zeros((n,), jnp.int32)
     for t in range(NUM_PTYPES):
         bits = bits | (fits[:, t].astype(jnp.int32) << t)
-    return _run_walk(bits, st, n), st
+    return _run_walk(bits, st, n, seg_tile(n, w)), st
 
 
 def segment(frame):
@@ -176,19 +201,21 @@ def segment(frame):
     return path, ptypes, rlens, n_records
 
 
-def classify_from_fits(fits, pix):
+def classify_from_fits(fits, pix, tile: int):
     """Classification from precomputed fits planes: fits [n, 6] bool,
     pix [n, 3] -> (records, n_records, lits, n_literals), same contract as
-    `classify_i`. Used by the row-sharded pipeline (parallel/mesh.py), where
-    fits come from a halo exchange: a shard whose pixel range starts on a
-    SEG_TILE boundary produces exactly the global records of its range
-    (runs break at SEG_TILE boundaries, so no run crosses a shard seam)."""
+    `classify_i`. `tile` must be the GLOBAL frame's config.seg_tile (not
+    the shard's) so shards segment identically to the unsharded encoder.
+    Used by the row-sharded pipeline (parallel/mesh.py), where fits come
+    from a halo exchange: a shard whose pixel range starts on a tile
+    boundary produces exactly the global records of its range (runs break
+    at tile boundaries, so no run crosses a shard seam)."""
     n = fits.shape[0]
     st = start_types_i(fits)
     bits = jnp.zeros((n,), jnp.int32)
     for t in range(NUM_PTYPES):
         bits = bits | (fits[:, t].astype(jnp.int32) << t)
-    is_start = _run_walk(bits, st, n)
+    is_start = _run_walk(bits, st, n, tile)
     idx = jnp.arange(n, dtype=jnp.int32)
     starts_at = jnp.where(is_start, idx, n)
     nxt = jax.lax.cummin(

@@ -126,12 +126,21 @@ static void classify_i(const uint8_t* f, int h, int w, std::vector<Rec>& recs,
     if (fits(PT_GRAD, i)) return PT_GRAD;
     return PT_LIT;
   };
-  constexpr int SEG_TILE = 1024;  // shared encoder policy (config.py)
+  // shared encoder policy (config.seg_tile): legacy 1024 for small
+  // frames; large frames use whole-row tiles near 16K pixels (fewer
+  // forced run breaks — the atypical break run lengths dilute the nrun
+  // tables)
+  int seg_tile = 1024;
+  if (n > 128 * 1024) {
+    int cap = std::min(16384, n / 64);
+    int rows = std::max(1, cap / w);
+    seg_tile = rows * w;
+  }
   int i = 0;
   while (i < n) {
     int t = start_type(i);
     int ln = 1;
-    const int lim = std::min({n - i, (int)MAX_RUN, SEG_TILE - (i % SEG_TILE)});
+    const int lim = std::min({n - i, (int)MAX_RUN, seg_tile - (i % seg_tile)});
     while (ln < lim && fits(t, i + ln)) ln++;
     Rec r{};
     r.v[0] = t; r.v[1] = ln;

@@ -194,8 +194,10 @@ def _classify_sharded(frame, mesh: Mesh, h: int, w: int):
         fits = jnp.where(
             idx == 0, jnp.concatenate([row0, fits[1:]], axis=0), fits
         )
+        from screenpressor_tpu.config import seg_tile
+
         recs, n_rec, lits, n_lit = classify_from_fits(
-            fits.reshape(-1, 6), fr.reshape(-1, 3)
+            fits.reshape(-1, 6), fr.reshape(-1, 3), seg_tile(h * w, w)
         )
         return recs, n_rec[None], lits, n_lit[None]
 
@@ -289,7 +291,8 @@ def encode_i_sp(frame, mesh: Mesh, cfg, tables=None):
     Byte-identical to `Encoder(cfg, backend="jax")`'s keyframe output.
 
     Returns (payload bytes, ftype, tables'). Requires h % sp == 0 and
-    (h // sp) * w % SEG_TILE == 0 (shard seams on run-break boundaries).
+    (h // sp) * w divisible by config.seg_tile (shard seams on run-break
+    boundaries).
 
     Single-keyframe helper: the flat shortcut below returns `tables`
     unchanged, while a stateful Encoder renews tables when a flat frame's
@@ -301,7 +304,7 @@ def encode_i_sp(frame, mesh: Mesh, cfg, tables=None):
     """
     from screenpressor_tpu import bitstream as bs
     from screenpressor_tpu.config import (
-        ALG_FLAT, ALG_I, ALG_RAW, SEG_TILE, pad_cap,
+        ALG_FLAT, ALG_I, ALG_RAW, pad_cap, seg_tile,
     )
     from screenpressor_tpu.jx import coder as jc
     from screenpressor_tpu.jx.tables import renew_tables_cached
@@ -311,7 +314,8 @@ def encode_i_sp(frame, mesh: Mesh, cfg, tables=None):
     sp = mesh.shape["sp"]
     assert h % sp == 0, "sp must divide frame rows"
     n_loc = (h // sp) * w
-    assert n_loc % SEG_TILE == 0, "shard seams must land on SEG_TILE boundaries"
+    assert n_loc % seg_tile(h * w, w) == 0, (
+        "shard seams must land on seg-tile boundaries")
     frame = jnp.asarray(frame)
 
     # flat shortcut (reference IsFlat): one solid color -> 4-byte frame

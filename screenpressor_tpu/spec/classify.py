@@ -89,20 +89,23 @@ def run_tables(fits: np.ndarray) -> np.ndarray:
     return out
 
 
-def segment(start_types: np.ndarray, runs: np.ndarray, n: int, max_run: int = MAX_RUN):
-    """Greedy maximal-run segmentation with runs breaking at SEG_TILE
-    boundaries (encoder policy, shared by all implementations so streams are
-    byte-identical; decoders accept any valid segmentation).
-    Returns list[(start, ptype, n)]."""
+def segment(start_types: np.ndarray, runs: np.ndarray, n: int,
+            max_run: int = MAX_RUN, tile: int | None = None):
+    """Greedy maximal-run segmentation with runs breaking at tile
+    boundaries (encoder policy — config.seg_tile — shared by all
+    implementations so streams are byte-identical; decoders accept any
+    valid segmentation). Returns list[(start, ptype, n)]."""
     from screenpressor_tpu.config import SEG_TILE
 
+    if tile is None:
+        tile = SEG_TILE
     recs = []
     i = 0
     while i < n:
         t = int(start_types[i])
         ext = int(runs[t][i + 1]) if i + 1 < n else 0
         ln = 1 + min(ext, max_run - 1)
-        ln = min(ln, n - i, SEG_TILE - (i % SEG_TILE))
+        ln = min(ln, n - i, tile - (i % tile))
         recs.append((i, t, ln))
         i += ln
     return recs
@@ -114,7 +117,9 @@ def classify_i(frame: np.ndarray):
     fits = fits_planes_i(frame)
     st = start_types_i(fits, w)
     runs = run_tables(fits)
-    segs = segment(st, runs, h * w)
+    from screenpressor_tpu.config import seg_tile
+
+    segs = segment(st, runs, h * w, tile=seg_tile(h * w, w))
     pix = frame.reshape(h * w, 3)
     records = [(t, ln) for _, t, ln in segs]
     literals = [tuple(int(v) for v in pix[s]) for s, t, _ in segs if t == PT_LITERAL]

@@ -54,3 +54,33 @@ def test_iframe_roundtrip_noise():
     data, _ = ji.encode_i(f, renew_tables(), cfg)
     out, _ = ji.decode_i(data, 1, renew_tables(), cfg)
     np.testing.assert_array_equal(np.asarray(out), f)
+
+
+def test_large_frame_seg_tile_cross_impl():
+    """Frames above the adaptive seg-tile threshold (config.seg_tile
+    switches to whole-row ~16K tiles, round 5) must stay byte-identical
+    across spec/jax/native encoders and round-trip losslessly."""
+    import numpy as np
+    import pytest
+
+    from screenpressor_tpu.api import Decoder, Encoder
+    from screenpressor_tpu.config import CodecConfig, seg_tile
+
+    h, w = 272, 512
+    assert seg_tile(h * w, w) != 1024, "fixture must exercise the large tile"
+    rng = np.random.default_rng(9)
+    f = np.full((h, w, 3), (40, 44, 52), np.uint8)
+    f[30:240, 40:470] = (250, 250, 250)
+    for y in range(36, 230, 11):
+        f[y : y + 5, 48 : 48 + int(rng.integers(200, 400)) : 2] = (20, 20, 24)
+    cfg = CodecConfig(width=w, height=h)
+    dj, _ = Encoder(cfg, backend="jax").encode(f)
+    ds, _ = Encoder(cfg, backend="spec").encode(f)
+    assert dj == ds
+    try:
+        dn, _ = Encoder(cfg, backend="native").encode(f)
+    except Exception as e:  # native toolchain unavailable on this rig
+        pytest.skip(f"native backend unavailable: {e}")
+    assert dn == dj
+    out = Decoder(cfg, backend="jax").decode(dj)
+    assert (np.asarray(out) == f).all()
