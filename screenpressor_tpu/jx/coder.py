@@ -596,6 +596,27 @@ def decode_section_auto(payload, lens, tables, codec_name: str, k: int,
     return decode_section_scan(payload, lens, tables, codec_name, k, t_steps)
 
 
+def decode_sections_auto_multi(pay_list, lens_list, tables, kts,
+                               batched: bool | None = None):
+    """Decode several sections in order with chained tables; on the
+    unbatched kernel path consecutive sections fuse into as few Pallas
+    launches as VMEM allows (decode counterpart of encode_sections_auto —
+    a 1080p P frame's five section launches collapse to one or two).
+    Bytes identical either way. Batched (stream-vmapped) callers keep the
+    per-section kernels (their custom vmap grids over streams)."""
+    if batched is None:
+        batched = _batched_args(pay_list, tables)
+    if use_kernels() and not batched:
+        from screenpressor_tpu.jx import kernels as kx
+
+        return kx.decode_sections_fused(pay_list, lens_list, tables, kts)
+    recs = []
+    for (cn, k, t), pay, lens in zip(kts, pay_list, lens_list):
+        r, tables = decode_section_auto(pay, lens, tables, cn, k, t, batched)
+        recs.append(r)
+    return recs, tables
+
+
 def encode_section_auto(recs, lens, tables, codec_name: str, k: int,
                         t_steps: int, batched: bool | None = None):
     """Kernel/scan dispatch -> (buf [K, cap], start [K], tables'). Blob bytes

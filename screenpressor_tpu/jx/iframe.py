@@ -143,11 +143,10 @@ def encode_i_from_records(records, n_rec, lits, n_lit, tables, k_rec, t_rec,
 def decode_i_device(pay_rec, pay_col, n_rec, n_lit, tables, h, w, k_rec,
                     t_rec, k_col, t_col, batched: bool = False):
     lens_rec = jc.lane_lens_device(n_rec, k_rec)
-    recs_scan, tables = jc.decode_section_auto(
-        pay_rec, lens_rec, tables, "rec", k_rec, t_rec, batched)
     lens_col = jc.lane_lens_device(n_lit, k_col)
-    lits_scan, tables = jc.decode_section_auto(
-        pay_col, lens_col, tables, "col", k_col, t_col, batched)
+    (recs_scan, lits_scan), tables = jc.decode_sections_auto_multi(
+        [pay_rec, pay_col], [lens_rec, lens_col], tables,
+        (("rec", k_rec, t_rec), ("col", k_col, t_col)), batched)
     # tight record capacities (k*t >= n always): pixel-count-sized caps made
     # the downstream expand/reconstruct gathers 20x larger than needed
     records = jc.undeal_device(recs_scan, n_rec, k_rec, k_rec * t_rec)

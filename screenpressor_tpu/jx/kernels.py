@@ -387,21 +387,15 @@ def _substep_tables(cnts, kd, rowc, active, k, base=0):
 # ---------------------------------------------------------------------------
 
 
-def _build_decode_kernel(codec_name: str, k: int, l: int, t_steps: int):
+def _emit_decode_section(codec_name: str, k: int, l: int, t_steps: int,
+                         pay_ref, lens_ref, out_ref, cnts, prefix_m):
+    """Emit one section's decode loop into the surrounding kernel. `cnts`
+    are the live table refs — sections emitted in sequence chain table
+    state exactly like separate kernel launches do."""
     codec = KCODECS[codec_name]
-    kinds = _unique_kinds(codec)
-    names = _table_names(kinds)
     w = codec.rec_width
-    pms = {kd: TABLE_KINDS[kd][1] for kd in kinds}
-
-    def kernel(pay_ref, lens_ref, *refs):
-        # refs = (cnt_in..., out_rec, cnt_out...); cnt_in aliases cnt_out
-        out_ref = refs[len(names)]
-        cnts = dict(zip(names, refs[len(names) + 1 :]))
-        for i, kd in enumerate(names):
-            cnts[kd][:, :] = refs[i][:, :]
+    if True:
         bw = _ByteWindow(pay_ref, k, l)
-        prefix_m = {a: _prefix_matrix(a) for a in set(pms.values())}
 
         # rANS init: 4 LE bytes per lane (iota-select columns; narrow column
         # slices miscompile)
@@ -473,7 +467,174 @@ def _build_decode_kernel(codec_name: str, k: int, l: int, t_steps: int):
             for wi in range(w):
                 out_ref[wi, :, pl.ds(tb, PAYBLK)] = stage[wi]
 
+
+def _build_decode_kernel(codec_name: str, k: int, l: int, t_steps: int):
+    codec = KCODECS[codec_name]
+    kinds = _unique_kinds(codec)
+    names = _table_names(kinds)
+    w = codec.rec_width
+    pms = {kd: TABLE_KINDS[kd][1] for kd in kinds}
+
+    def kernel(pay_ref, lens_ref, *refs):
+        # refs = (cnt_in..., out_rec, cnt_out...); cnt_in aliases cnt_out
+        out_ref = refs[len(names)]
+        cnts = dict(zip(names, refs[len(names) + 1 :]))
+        for i, kd in enumerate(names):
+            cnts[kd][:, :] = refs[i][:, :]
+        prefix_m = {a: _prefix_matrix(a) for a in set(pms.values())}
+        _emit_decode_section(
+            codec_name, k, l, t_steps, pay_ref, lens_ref, out_ref, cnts,
+            prefix_m,
+        )
+
     return kernel, kinds, w
+
+
+def _dec_geometry(codec_name: str, k: int, t_steps: int, l: int):
+    codec = KCODECS[codec_name]
+    kp = max(k, 8)
+    lp = 2 * PAYBLK
+    while lp < l:
+        lp *= 2
+    tp = -(-t_steps // PAYBLK) * PAYBLK
+    return codec.rec_width, kp, lp, tp
+
+
+def _dec_vmem_estimate(kts_l):
+    """Rough VMEM bytes for a fused decode of these sections; kts_l entries
+    are (codec_name, k, t_steps, l_payload)."""
+    total = 1 * 1024 * 1024
+    union = _union_kinds([cn for cn, _, _, _ in kts_l])
+    r_max = 8
+    for kd in union:
+        r, a = TABLE_KINDS[kd]
+        total += 4 * r * a
+        window = COLOR_CTX_ROWS if kd == "color" else r
+        if window > SMALL_R:
+            r_max = max(r_max, window)
+    for cn, k, t, l in kts_l:
+        w, kp, lp, tp = _dec_geometry(cn, k, t, l)
+        a_max = max(TABLE_KINDS[kd][1] for kd in _unique_kinds(KCODECS[cn]))
+        total += 4 * kp * (lp + w * tp + 16 * PAYBLK + 6 * a_max)
+        total += 4 * a_max * a_max
+    kp_max = max(_dec_geometry(cn, k, t, l)[1] for cn, k, t, l in kts_l)
+    a_big = max(TABLE_KINDS[kd][1] for kd in union)
+    total += 2 * kp_max * r_max + 8 * r_max * a_big
+    return total
+
+
+def _build_decode_multi(sections):
+    """Kernel decoding several sections back to back, chaining table state
+    in VMEM. sections: tuple of (codec_name, kp, lp, t_steps)."""
+    kinds = _union_kinds([s[0] for s in sections])
+    names = _table_names(kinds)
+    ns = len(sections)
+
+    def kernel(*refs):
+        # refs = (pay_0, lens_0, ..., cnt_in..., out_0..., cnt_out...)
+        pos = 2 * ns
+        cnt_in = refs[pos : pos + len(names)]
+        pos += len(names)
+        outs = refs[pos : pos + ns]
+        pos += ns
+        cnts = dict(zip(names, refs[pos : pos + len(names)]))
+        for i, kd in enumerate(names):
+            cnts[kd][:, :] = cnt_in[i][:, :]
+        alphabets = {TABLE_KINDS[kd][1] for kd in kinds}
+        prefix_m = {a: _prefix_matrix(a) for a in alphabets}
+        for si, (cn, kp, lp, t) in enumerate(sections):
+            _emit_decode_section(
+                cn, kp, lp, t, refs[2 * si], refs[2 * si + 1], outs[si],
+                cnts, prefix_m,
+            )
+
+    return kernel, kinds
+
+
+def _decode_sections_pallas(pay_list, lens_list, tables, kts):
+    """Decode the given sections in ONE pallas launch (tables chained in
+    VMEM — identical to sequential decode_section_kernel calls)."""
+    geos, ins = [], []
+    for (cn, k, t), pay, lens in zip(kts, pay_list, lens_list):
+        g = _dec_geometry(cn, k, t, pay.shape[1])
+        geos.append(g)
+        w, kp, lp, tp = g
+        p = jnp.zeros((kp, lp), I32).at[:k, : pay.shape[1]].set(
+            pay.astype(I32))
+        l2 = jnp.zeros((kp, 1), I32).at[:k, 0].set(lens.astype(I32))
+        ins.extend([p, l2])
+    sections = tuple(
+        (cn, g[1], g[2], t) for (cn, k, t), g in zip(kts, geos)
+    )
+    kernel, kinds = _build_decode_multi(sections)
+    names = _table_names(kinds)
+    cnt_f32 = [_table_input(tables, nm) for nm in names]
+    out_shapes = [
+        jax.ShapeDtypeStruct((g[0], g[1], g[3]), I32) for g in geos
+    ] + [jax.ShapeDtypeStruct(c.shape, F32) for c in cnt_f32]
+    n_in = 2 * len(kts)
+    aliases = {n_in + i: len(kts) + i for i in range(len(names))}
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        * (n_in + len(names)),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        * (len(kts) + len(names)),
+        input_output_aliases=aliases,
+        interpret=jax.default_backend() == "cpu",
+    )(*ins, *cnt_f32)
+    recs = [
+        jnp.transpose(out, (2, 1, 0))[:t, :k, :]
+        for (cn, k, t), out in zip(kts, outs[: len(kts)])
+    ]
+    tables = _tables_output(tables, names, outs[len(kts) :])
+    return recs, tables
+
+
+# fused-decode VMEM budget: decode keeps the FULL color table resident
+# (rows are data-dependent), so groups containing a col section sit near
+# the kernel_jit 32 MB scoped cap already; 30 MB leaves headroom for the
+# estimate's error while still fusing the small sections together
+_DEC_FUSE_VMEM_LIMIT = 30 * 1024 * 1024
+
+
+def decode_sections_fused(pay_list, lens_list, tables, kts):
+    """Decode several sections with as few kernel launches as possible
+    (~1-3 ms fixed cost per launch on device); greedy grouping under the
+    VMEM budget, per-section kernel (which itself falls back to the scan
+    coder when oversized) for groups of one. Bytes and table chaining are
+    identical to sequential decode_section_auto calls."""
+    from screenpressor_tpu.jx import coder as jc
+
+    recs = []
+    i = 0
+    while i < len(kts):
+        j = i + 1
+        while j <= len(kts):
+            group = [
+                (cn, k, t, pay.shape[1])
+                for (cn, k, t), pay in zip(kts[i:j], pay_list[i:j])
+            ]
+            if _dec_vmem_estimate(group) > _DEC_FUSE_VMEM_LIMIT:
+                break
+            j += 1
+        j = max(j - 1, i + 1)
+        single = [(kts[i][0], kts[i][1], kts[i][2], pay_list[i].shape[1])]
+        if j == i + 1 and _dec_vmem_estimate(single) > _DEC_FUSE_VMEM_LIMIT:
+            cn, k, t = kts[i]
+            r, tables = jc.decode_section_auto(
+                pay_list[i], lens_list[i], tables, cn, k, t, batched=False
+            )
+            recs.append(r)
+            i = j
+            continue
+        r, tables = _decode_sections_pallas(
+            pay_list[i:j], lens_list[i:j], tables, tuple(kts[i:j])
+        )
+        recs.extend(r)
+        i = j
+    return recs, tables
 
 
 @functools.lru_cache(maxsize=None)

@@ -317,13 +317,13 @@ def encode_sections_device(recs_cap, ns, tables, kts, batched: bool = False,
 def decode_sections_device(payloads, ns, tables, kts, caps,
                            batched: bool = False):
     """Fused decode of all five P sections -> global record arrays."""
+    lens_l = [jc.lane_lens_device(ns[name], k) for name, k, _ in kts]
+    recs, tables = jc.decode_sections_auto_multi(
+        [payloads[name] for name, _, _ in kts], lens_l, tables, kts, batched
+    )
     out = {}
-    for (name, k, t), cap in zip(kts, caps):
-        n = ns[name]
-        lens = jc.lane_lens_device(n, k)
-        scan_out, tables = jc.decode_section_auto(
-            payloads[name], lens, tables, name, k, t, batched)
-        out[name] = jc.undeal_device(scan_out, n, k, cap)
+    for (name, k, t), cap, scan_out in zip(kts, caps, recs):
+        out[name] = jc.undeal_device(scan_out, ns[name], k, cap)
     return out, tables
 
 

@@ -112,3 +112,62 @@ def test_512_lane_sections_roundtrip():
     d2, _ = enc_s.encode(f)
     assert d == d2
     assert np.array_equal(dec.decode(d), f)
+
+
+def test_decode_sections_fused_matches_sequential(monkeypatch):
+    """The fused multi-section decode (one pallas launch, tables chained in
+    VMEM) must produce the records and table state of sequential
+    decode_section_auto calls."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from screenpressor_tpu.jx import coder as jc
+    from screenpressor_tpu.jx import kernels as kx
+    from screenpressor_tpu.jx.tables import renew_tables
+
+    monkeypatch.setenv("SPTC_KERNELS", "1")
+    rng = np.random.default_rng(3)
+    kts, pay_list, lens_list = [], [], []
+    # two sections: rec then col (chained ptype/nrun then color tables)
+    specs = [("rec", 80, 2), ("col", 60, 3)]
+    tabs_enc = renew_tables()
+    for name, n, w in specs:
+        if name == "rec":
+            data = np.stack([rng.integers(0, 6, n),
+                             rng.integers(1, 256, n)], 1).astype(np.int32)
+        else:
+            pal = rng.integers(0, 256, (5, 3))
+            data = pal[rng.integers(0, 5, n)].astype(np.int32)
+        k = 4
+        t = jc._pad_steps(-(-n // k))
+        recs = np.zeros((t, k, w), np.int32)
+        lane, tt = jc.gather_order(n, k)
+        recs[tt, lane] = data
+        lens = jc.lane_lengths(n, k)
+        buf, start, tabs_enc = jc.encode_section_auto(
+            jnp.asarray(recs), jnp.asarray(lens), tabs_enc, name, k, t)
+        buf, start = np.asarray(buf), np.asarray(start)
+        maxlen = max(int(buf.shape[1] - start[i]) for i in range(k))
+        pay = np.zeros((k, max(jc._pad_steps(maxlen), 4)), np.uint8)
+        for i in range(k):
+            if lens[i] > 0:
+                pay[i, : buf.shape[1] - start[i]] = buf[i, start[i]:]
+        kts.append((name, k, t))
+        pay_list.append(jnp.asarray(pay))
+        lens_list.append(jnp.asarray(lens))
+
+    r_seq, tab_seq = [], renew_tables()
+    for (name, k, t), pay, lens in zip(kts, pay_list, lens_list):
+        r, tab_seq = jc.decode_section_auto(pay, lens, tab_seq, name, k, t,
+                                            batched=False)
+        r_seq.append(np.asarray(r))
+    r_fus, tab_fus = kx.decode_sections_fused(
+        pay_list, lens_list, renew_tables(), tuple(kts))
+    for a, b in zip(r_seq, r_fus):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    for kind in tab_seq:
+        for key in tab_seq[kind]:
+            np.testing.assert_array_equal(
+                np.asarray(tab_seq[kind][key]), np.asarray(tab_fus[kind][key]),
+                err_msg=f"{kind}.{key}")
