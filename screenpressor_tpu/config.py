@@ -55,6 +55,17 @@ COLOR_CTX_SHIFT_A = 8 - COLOR_CTX_BITS_A
 # Lane policy (format-normative)
 K_MAX = 256
 TARGET_PER_LANE = 256
+# thinning tier for large sections (see lane_count): sections beyond
+# LANE_THIN_FLOOR lanes target LANE_THIN_MULT*TARGET_PER_LANE records/lane.
+# Round-5 sweep at 1080p (idle keyframe bytes / v4=5131): (64,8) 5040,
+# (32,16) 4562 — every 1080p class lands <= v4 at (32,16), and fewer lanes
+# also shrink the section kernels' [K,K] row-mask matmuls. SPTC_LANE_THIN
+# ="floor,mult" overrides for format experiments.
+if "SPTC_LANE_THIN" in os.environ:
+    LANE_THIN_FLOOR, LANE_THIN_MULT = (
+        int(v) for v in os.environ["SPTC_LANE_THIN"].split(","))
+else:
+    LANE_THIN_FLOOR, LANE_THIN_MULT = 32, 16
 
 # Frame header nibbles
 SPTC_VERSION_NIBBLE = 0xA
@@ -222,8 +233,9 @@ def lane_count(n_records: int, k_max: int = K_MAX, target: int = TARGET_PER_LANE
     if n_records <= 0:
         return 1
     k = next_pow2(-(-n_records // target))
-    if k > 64:
-        k = max(64, next_pow2(-(-n_records // (8 * target))))
+    if k > LANE_THIN_FLOOR:
+        k = max(LANE_THIN_FLOOR,
+                next_pow2(-(-n_records // (LANE_THIN_MULT * target))))
     return min(k_max, k)
 
 

@@ -58,13 +58,13 @@ static inline int color_ctx(int a, int b) {
 }
 
 static int lane_count(int n) {
-  // FORMAT.md "Lane policy": target 256 records/lane up to 64 lanes, then
-  // 2048 records/lane (per-lane stream overhead ~6 B; see config.lane_count)
+  // FORMAT.md "Lane policy": target 256 records/lane up to 32 lanes, then
+  // 4096 records/lane (per-lane stream overhead ~6 B; see config.lane_count)
   if (n <= 0) return 1;
   int k = next_pow2((n + TARGET_PER_LANE - 1) / TARGET_PER_LANE);
-  if (k > 64) {
-    int t8 = 8 * TARGET_PER_LANE;
-    k = std::max(64, next_pow2((n + t8 - 1) / t8));
+  if (k > 32) {
+    int t16 = 16 * TARGET_PER_LANE;
+    k = std::max(32, next_pow2((n + t16 - 1) / t16));
   }
   return std::min(K_MAX, k);
 }
