@@ -73,35 +73,38 @@ def _batched_counts(frames, own, h, w):
 
         def run():
             records, n_rec, lits, n_lit = classify_i(frame, h, w)
-            return records, n_rec, lits, n_lit
+            bm = jc.color_touched_bitmap(lits, n_lit)
+            return records, n_rec, lits, n_lit, bm
 
         shapes = jax.eval_shape(run)
-        records, n_rec, lits, n_lit = jax.lax.cond(
+        records, n_rec, lits, n_lit, bm = jax.lax.cond(
             ow, run,
             lambda: jax.tree.map(lambda sd: jnp.zeros(sd.shape, sd.dtype), shapes),
         )
         flat = ow & jnp.all(frame == frame[0, 0])
-        return records, n_rec, lits, n_lit, flat, frame[0, 0]
+        return (records, n_rec, lits, n_lit, flat, frame[0, 0], bm,
+                bm.sum().astype(jnp.int32))
 
     return jax.lax.map(one, (frames, own))
 
 
 def _encode_i_one(records, n_rec, lits, n_lit, sk, tables, k, t_rec, t_col,
-                  pack_cap):
+                  pack_cap, col_w=None, col_bm=None):
     """One stream's I-frame section encode (vmapped by the wrappers below).
     sk: stream must neither emit sections nor touch its tables."""
     n_rec = jnp.where(sk, 0, n_rec)
     n_lit = jnp.where(sk, 0, n_lit)
     rec_dealt = jc.deal_device(records, n_rec, k, t_rec)
     lens_rec = jc.lane_lens_device(n_rec, k)
-    buf_rec, start_rec, tables = jc.encode_section_auto(
-        rec_dealt, lens_rec, tables, "rec", k, t_rec, batched=True
-    )
     col_dealt = jc.deal_device(lits, n_lit, k, t_col)
     lens_col = jc.lane_lens_device(n_lit, k)
-    buf_col, start_col, tables = jc.encode_section_auto(
-        col_dealt, lens_col, tables, "col", k, t_col, batched=True
+    bufs, starts, tables = jc.encode_sections_auto(
+        [rec_dealt, col_dealt], [lens_rec, lens_col], tables,
+        (("rec", k, t_rec), ("col", k, t_col)), batched=True,
+        col_w=col_w, col_bm=col_bm,
     )
+    buf_rec, buf_col = bufs
+    start_rec, start_col = starts
     kts = (("rec", k, t_rec), ("col", k, t_col))
     packed = _pack_sections_device(
         {"rec": buf_rec, "col": buf_col},
@@ -115,22 +118,34 @@ def _encode_i_one(records, n_rec, lits, n_lit, sk, tables, k, t_rec, t_col,
     )
 
 
-@functools.partial(_kernel_jit, static_argnames=("k", "t_rec", "t_col", "pack_cap"))
+@functools.partial(_kernel_jit, static_argnames=("k", "t_rec", "t_col",
+                                                 "pack_cap", "col_w"))
 def _batched_encode_i(records_b, n_rec_b, lits_b, n_lit_b, skip, tables_b,
-                      k, t_rec, t_col, pack_cap):
+                      k, t_rec, t_col, pack_cap, col_w=None, col_bm_b=None):
     """Full-batch I encode (the sharded path: every [S, ...] operand keeps
     its stream-axis sharding; a dynamic gather would insert collectives)."""
 
-    def one(records, n_rec, lits, n_lit, sk, tables):
+    if col_bm_b is None:
+        def one(records, n_rec, lits, n_lit, sk, tables):
+            return _encode_i_one(records, n_rec, lits, n_lit, sk, tables,
+                                 k, t_rec, t_col, pack_cap, col_w)
+
+        return jax.vmap(one)(records_b, n_rec_b, lits_b, n_lit_b, skip,
+                             tables_b)
+
+    def one(records, n_rec, lits, n_lit, sk, tables, bm):
         return _encode_i_one(records, n_rec, lits, n_lit, sk, tables,
-                             k, t_rec, t_col, pack_cap)
+                             k, t_rec, t_col, pack_cap, col_w, bm)
 
-    return jax.vmap(one)(records_b, n_rec_b, lits_b, n_lit_b, skip, tables_b)
+    return jax.vmap(one)(records_b, n_rec_b, lits_b, n_lit_b, skip,
+                         tables_b, col_bm_b)
 
 
-@functools.partial(_kernel_jit, static_argnames=("k", "t_rec", "t_col", "pack_cap"))
+@functools.partial(_kernel_jit, static_argnames=("k", "t_rec", "t_col",
+                                                 "pack_cap", "col_w"))
 def _batched_encode_i_compact(records_b, n_rec_b, lits_b, n_lit_b, cmeta,
-                              tables_b, k, t_rec, t_col, pack_cap):
+                              tables_b, k, t_rec, t_col, pack_cap,
+                              col_w=None, col_bm_b=None):
     """Compacted I encode for staggered-keyframe steps: on a steady-state
     step only 1-2 of S streams keyframe, and the full-batch vmap would run
     the whole record/color scan for all S streams (measured ~100 ms of the
@@ -148,11 +163,22 @@ def _batched_encode_i_compact(records_b, n_rec_b, lits_b, n_lit_b, cmeta,
     fresh = renew_tables()
     tabs_s = jax.tree.map(lambda a: jnp.broadcast_to(a, (c,) + a.shape), fresh)
 
-    def one(records, n_rec, lits, n_lit, sk, tables):
-        return _encode_i_one(records, n_rec, lits, n_lit, sk, tables,
-                             k, t_rec, t_col, pack_cap)
+    bm_s = None if col_bm_b is None else col_bm_b[idx]
 
-    res, tabs2, packed = jax.vmap(one)(rec_s, nrec_s, lit_s, nlit_s, pad, tabs_s)
+    if bm_s is None:
+        def one(records, n_rec, lits, n_lit, sk, tables):
+            return _encode_i_one(records, n_rec, lits, n_lit, sk, tables,
+                                 k, t_rec, t_col, pack_cap, col_w)
+
+        res, tabs2, packed = jax.vmap(one)(rec_s, nrec_s, lit_s, nlit_s,
+                                           pad, tabs_s)
+    else:
+        def one(records, n_rec, lits, n_lit, sk, tables, bm):
+            return _encode_i_one(records, n_rec, lits, n_lit, sk, tables,
+                                 k, t_rec, t_col, pack_cap, col_w, bm)
+
+        res, tabs2, packed = jax.vmap(one)(rec_s, nrec_s, lit_s, nlit_s,
+                                           pad, tabs_s, bm_s)
     idx_drop = jnp.where(pad, s, idx)
     tables_out = jax.tree.map(
         lambda b, sm: b.at[idx_drop].set(sm, mode="drop"), tables_b, tabs2
@@ -697,10 +723,12 @@ class BatchedEncoder:
         cfg = self.cfg
         s, h, w = self.s, cfg.height, cfg.width
         dev_frames = frames
-        records_b, n_rec_d, lits_b, n_lit_d, flat_d, c0_d = _batched_counts(
+        (records_b, n_rec_d, lits_b, n_lit_d, flat_d, c0_d, col_bm_b,
+         nt_d) = _batched_counts(
             dev_frames, self._dput(jnp.asarray(own)), h, w)
 
-        n_rec, n_lit, flat, c0 = yield (n_rec_d, n_lit_d, flat_d, c0_d)
+        n_rec, n_lit, flat, c0, nt = yield (n_rec_d, n_lit_d, flat_d, c0_d,
+                                            nt_d)
         flat = np.asarray(flat)
 
         # flat shortcut per stream (reference `IsFlat` semantics)
@@ -732,6 +760,8 @@ class BatchedEncoder:
         k = cfg.k_fixed
         t_rec = jc._pad_steps(int(-(-max(n_rec[coded].max(), 1) // k)))
         t_col = jc._pad_steps(int(-(-max(n_lit[coded].max(), 1) // k)))
+        col_w = jc.col_compact_bucket(int(max(np.asarray(nt)[coded].max(), 1)))
+        col_bm_arg = col_bm_b if col_w is not None else None
         pack_cap = self._pack_cap_i
         if compact:
             ccap = next_pow2(len(coded_idx))
@@ -741,6 +771,7 @@ class BatchedEncoder:
             res, self.tables_b, packed = _batched_encode_i_compact(
                 records_b, n_rec_d, lits_b, n_lit_d, self._dput(cmeta),
                 self.tables_b, k, t_rec, t_col, pack_cap,
+                col_w=col_w, col_bm_b=col_bm_arg,
             )
             packed_rows = packed  # already compact (coded rows + pads)
             row_of = {int(st): j for j, st in enumerate(coded_idx)}
@@ -748,6 +779,7 @@ class BatchedEncoder:
             res, self.tables_b, packed = _batched_encode_i(
                 records_b, n_rec_d, lits_b, n_lit_d, self._dput(~coded),
                 self.tables_b, k, t_rec, t_col, pack_cap,
+                col_w=col_w, col_bm_b=col_bm_arg,
             )
             # pull the packed payloads of the coded streams only
             packed_rows = packed[jnp.asarray(coded_idx)]
