@@ -509,14 +509,18 @@ def classify_assemble(frame, prev, rects, n_data, h: int, w: int, bcap: int):
 
 def decode_p_resolve(payloads, ns, xx1, xx2, n_data, prev, tables,
                      h: int, w: int, nbx: int, nby: int, kts, caps,
-                     mcap: int, bcap: int, batched: bool = False):
+                     mcap: int, bcap: int, batched: bool = False,
+                     recs=None):
     """Section scans + BT-run expansion + per-block rect/record resolution
     (everything up to the pixel rebuild). Returns
     ((mo_rects, mo_mvs, d_rects, pt, rlg, lt), err, tables) — the inputs
     rebuild_frame_device needs; split out so batched decoders can vmap the
-    resolution but lift rare rebuild fallbacks above the vmap."""
-    recs, tables = decode_sections_device(payloads, ns, tables, kts, caps,
-                                          batched=batched)
+    resolution but lift rare rebuild fallbacks above the vmap.
+    recs: pre-decoded global record arrays (the sp-sharded decoder,
+    parallel/mesh.decode_p_sp, supplies them) — skips the section scans."""
+    if recs is None:
+        recs, tables = decode_sections_device(payloads, ns, tables, kts,
+                                              caps, batched=batched)
     bt, sxy, mv = recs["bt"], recs["sxy"], recs["mv"]
     pix, lit = recs["rec"], recs["col"]
     nb = nbx * nby

@@ -640,6 +640,176 @@ def _sections_sharded_p(dealts, lens_list, tables, mesh: Mesh, kts):
     return jax.jit(fn)(*flat_args, tables)
 
 
+def _scan_unpack_sp(payload, lens, tables, codec_name: str, t_steps: int,
+                    replicated: bool = False):
+    """Lane-group section DECODE inside shard_map (decode analog of
+    _scan_pack_sp): payload [K_loc, L], lens [K_loc]; tables replicated by
+    applying every substep's full-K update via all_gather (identical to
+    the single-device decode_section_scan's batched update)."""
+    from screenpressor_tpu.config import kind_gstep, kind_step
+    from screenpressor_tpu.jx import coder as jc
+    from screenpressor_tpu.jx.tables import effective_rows, update_batch
+
+    codec = jc.CODECS[codec_name]
+    k_loc = payload.shape[0]
+    x, pos = jc._dec_init(payload)
+    state0 = codec.init_state(jnp.zeros((k_loc,), jnp.int32))
+
+    def step(carry, t):
+        x, pos, state, tables = carry
+        lane_active = t < lens
+        partial = []
+        for j, kind in enumerate(codec.kinds):
+            row, extra = codec.dec_row(j, partial, state)
+            active = lane_active if extra is None else (lane_active & extra)
+            row = jnp.clip(row, 0, tables[kind]["cnt"].shape[0] - 1)
+            freq_rows = effective_rows(tables[kind], row)
+            cum_rows = jnp.cumsum(freq_rows, axis=1) - freq_rows
+            sf = (x & (PROB_SCALE - 1)).astype(jnp.int32)
+            sym, cum, freq = jc._lookup(cum_rows, freq_rows, sf)
+            x2, pos2 = jc._dec_advance(x, pos, payload, cum, freq, active)
+            x, pos = x2, pos2
+            sym = jnp.where(active, sym, 0)
+            partial.append(sym)
+            if replicated:
+                row_all, sym_all, act_all = row, sym, active
+            else:
+                row_all = jax.lax.all_gather(row, "sp", tiled=True)
+                sym_all = jax.lax.all_gather(sym, "sp", tiled=True)
+                act_all = jax.lax.all_gather(active, "sp", tiled=True)
+            tables = dict(tables)
+            tables[kind] = update_batch(
+                tables[kind], row_all, sym_all, act_all,
+                kind_step(kind), kind_gstep(kind),
+            )
+        rec_l, state = codec.dec_finish(partial, state, lane_active)
+        return (x, pos, state, tables), jnp.stack(rec_l, axis=1)
+
+    (x, pos, state, tables), recs = jax.lax.scan(
+        step, (x, pos, state0, tables),
+        jnp.arange(t_steps, dtype=jnp.int32),
+    )
+    return recs, tables
+
+
+def _dec_sections_sp(pay_list, lens_list, tables, mesh: Mesh, kts):
+    """Decode sections in container order inside ONE shard_map, chaining
+    tables; sections whose lane count splits over sp shard by lanes, the
+    rest run replicated. Returns ([T_i, K_i, W_i] record arrays, tables)."""
+    sp = mesh.shape["sp"]
+    modes = [k % sp == 0 and k >= sp for (_n, k, _t) in kts]
+
+    def body(*args):
+        tabs = args[-1]
+        outs = []
+        for i, (name, k, t) in enumerate(kts):
+            pay, ln = args[2 * i], args[2 * i + 1]
+            r, tabs = _scan_unpack_sp(pay, ln, tabs, name, t,
+                                      replicated=not modes[i])
+            outs.append(r)
+        return (*outs, tabs)
+
+    in_specs, out_specs = [], []
+    for m in modes:
+        in_specs += [P("sp") if m else P(), P("sp") if m else P()]
+        out_specs.append(P(None, "sp") if m else P())
+    in_specs.append(P())
+    out_specs.append(P())
+    fn = shard_map(
+        body, mesh=mesh, in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs), check_vma=False,
+    )
+    flat_args = [x for pair in zip(pay_list, lens_list) for x in pair]
+    return jax.jit(fn)(*flat_args, tables)
+
+
+def decode_i_sp(data: bytes, mesh: Mesh, cfg, tables=None):
+    """sp-sharded I-frame decode of one stream: each shard entropy-decodes
+    its lane group (the decode-side counterpart of the reference's
+    single-threaded `DecompressI`, `screencap.cpp:414-498`, which this
+    framework already parallelizes per lane — here the lanes additionally
+    split across chips with per-substep table all_gathers). Reconstruction
+    runs on the standard device path. Pixel- and state-identical to
+    `Decoder(cfg, backend="jax")`."""
+    from screenpressor_tpu import bitstream as bs
+    from screenpressor_tpu.config import ALG_FLAT, ALG_I
+    from screenpressor_tpu.jx import coder as jc
+    from screenpressor_tpu.jx.iframe import parse_i_header
+    from screenpressor_tpu.jx.recon import reconstruct_i
+    from screenpressor_tpu.jx.tables import renew_tables_cached
+
+    h, w = cfg.height, cfg.width
+    alg = bs.parse_header_byte(data[0])
+    if alg == ALG_FLAT:
+        color = (data[1], data[2], data[3])
+        frame = jnp.broadcast_to(jnp.asarray(color, jnp.uint8), (h, w, 3))
+        return frame, tables
+    assert alg == ALG_I, "decode_i_sp expects a coded I frame"
+    (pay_rec, pay_col, n_rec, n_lit, k_rec, t_rec, k_col, t_col) = (
+        parse_i_header(data, 1, cfg)
+    )
+    tables = renew_tables_cached()
+    kts = (("rec", k_rec, t_rec), ("col", k_col, t_col))
+    lens = [jnp.asarray(jc.lane_lengths(n_rec, k_rec)),
+            jnp.asarray(jc.lane_lengths(n_lit, k_col))]
+    recs_scan, lits_scan, tables = _dec_sections_sp(
+        [jnp.asarray(pay_rec), jnp.asarray(pay_col)], lens, tables, mesh,
+        kts,
+    )
+    records = jc.undeal_device(recs_scan, jnp.int32(n_rec), k_rec,
+                               k_rec * t_rec)
+    lits = jc.undeal_device(lits_scan, jnp.int32(n_lit), k_col,
+                            k_col * t_col)
+    frame = reconstruct_i(records, lits, h, w)
+    return frame, tables
+
+
+def decode_p_sp(data: bytes, prev, mesh: Mesh, cfg, tables):
+    """sp-sharded P-frame decode of one stream: the five section scans run
+    lane-sharded with replicated tables (the entropy decode dominates a
+    busy P frame); BT/rect resolution and the pixel rebuild run on the
+    standard device path. Pixel- and state-identical to the jax session
+    decoder. (Reference analog: `DecompressP` is fully single-threaded,
+    `screencap.cpp:1275-1432`.)"""
+    from screenpressor_tpu import bitstream as bs
+    from screenpressor_tpu.config import ALG_P, pad_cap
+    from screenpressor_tpu.jx import coder as jc
+    from screenpressor_tpu.jx.pframe import (
+        decode_p_resolve,
+        parse_p_header,
+        raise_p_error,
+        rebuild_frame_device,
+    )
+
+    h, w = cfg.height, cfg.width
+    assert bs.parse_header_byte(data[0]) == ALG_P
+    parsed = parse_p_header(data, 1, cfg)
+    if parsed is None:
+        return jnp.asarray(prev), tables
+    payloads, ns, kts, caps, (xx1, xx2, n_mv, n_data) = parsed
+    lens = [jnp.asarray(jc.lane_lengths(ns[name], k)) for name, k, _ in kts]
+    outs = _dec_sections_sp(
+        [jnp.asarray(payloads[name]) for name, _, _ in kts], lens, tables,
+        mesh, kts,
+    )
+    tables = outs[-1]
+    recs = {
+        name: jc.undeal_device(r, jnp.int32(ns[name]), k, cap)
+        for (name, k, _t), cap, r in zip(kts, caps, outs[:-1])
+    }
+    mcap, bcap = pad_cap(n_mv), pad_cap(n_data)
+    parts, err, tables = decode_p_resolve(
+        None, ns, np.int32(xx1), np.int32(xx2), np.int32(n_data),
+        jnp.asarray(prev), tables, h, w, cfg.nbx, cfg.nby, kts, caps,
+        mcap, bcap, recs=recs,
+    )
+    frame = rebuild_frame_device(jnp.asarray(prev), *parts, h, w, mcap, bcap)
+    err = int(err)
+    if err:
+        raise_p_error(err)
+    return frame, tables
+
+
 def encode_p_sp(frame, prev, mesh: Mesh, cfg, tables):
     """Full sp-sharded P-frame encode of one stream. Byte-identical to
     `Encoder(cfg, backend="jax")`'s P output for the same (frame, prev,

@@ -142,3 +142,47 @@ def test_sp_encode_p_session_byte_identical(sp):
     dec = Decoder(cfg, backend="jax")
     for f, d in zip(session, [got0, got1, got2, got3]):
         assert (np.asarray(dec.decode(d)) == f).all()
+
+
+def test_sp_decode_session_matches(monkeypatch):
+    """sp-sharded decode (lane-sharded section scans + replicated-table
+    all_gather updates) must reproduce the session decoder's pixels AND
+    table state across an I + P + P chain."""
+    from screenpressor_tpu.api import Encoder
+    from screenpressor_tpu.config import CodecConfig
+    from screenpressor_tpu.parallel.mesh import decode_i_sp, decode_p_sp
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8, sp=2)
+    h, w = 64, 64
+    cfg = CodecConfig(width=w, height=h, k_fixed=8, msr_x=16, msr_y=16)
+    rng = np.random.default_rng(11)
+    f0 = synth_desktop(h, w, seed=11)
+    f1 = np.roll(f0, 8, axis=0)
+    f2 = f1.copy()
+    f2[12:19, 22:31] = rng.integers(0, 256, (7, 9, 3))
+    session = [f0, f1, f2]
+    enc = Encoder(cfg, backend="jax")
+    datas = [enc.encode(f)[0] for f in session]
+
+    frame, tabs = decode_i_sp(datas[0], mesh, cfg)
+    assert (np.asarray(frame) == f0).all()
+    frame, tabs = decode_p_sp(datas[1], frame, mesh, cfg, tabs)
+    assert (np.asarray(frame) == f1).all()
+    frame, tabs = decode_p_sp(datas[2], frame, mesh, cfg, tabs)
+    assert (np.asarray(frame) == f2).all()
+
+    # table state matches the session decoder's exactly (a divergence
+    # would silently corrupt the NEXT frame, so pin it here)
+    from screenpressor_tpu.api import Decoder
+
+    dec = Decoder(cfg, backend="jax")
+    for d in datas:
+        dec.decode(d)
+    ref_tabs = dec._session.tables
+    for kind in ref_tabs:
+        for key in ref_tabs[kind]:
+            np.testing.assert_array_equal(
+                np.asarray(ref_tabs[kind][key]), np.asarray(tabs[kind][key]),
+                err_msg=f"{kind}.{key}")
