@@ -24,10 +24,22 @@ assert jax.default_backend() == "cpu", jax.default_backend()
 # CPU segfault workaround) forces shared session programs to recompile many
 # times per run; the disk cache turns each recompile into a ~100 ms
 # deserialization (measured: 2.3 s -> 0.09 s). Keyed by HLO hash + compile
-# options, so stale entries are impossible across code changes.
+# options — but NOT by host CPU features: XLA CPU AOT blobs from a
+# different machine type load with "machine feature not supported"
+# errors (observed 2026-08-21 alongside a one-off byte-mismatch flake),
+# so the directory is additionally keyed by a host fingerprint.
+import hashlib
+
+try:
+    with open("/proc/cpuinfo") as _fh:
+        _flags = next(
+            (ln for ln in _fh if ln.startswith("flags")), "")
+except OSError:  # pragma: no cover - non-Linux
+    _flags = ""
+_host_key = hashlib.sha1(_flags.encode()).hexdigest()[:8]
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.environ.get("SPTC_TEST_CACHE", "/tmp/sptc_jax_cache_cpu"),
+    os.environ.get("SPTC_TEST_CACHE", f"/tmp/sptc_jax_cache_cpu_{_host_key}"),
 )
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)

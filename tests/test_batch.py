@@ -53,6 +53,7 @@ def test_batch_matches_spec_bytes():
         assert gb == eb, f"frame {i} bytes differ"
 
 
+@pytest.mark.slow
 def test_batch_matches_single_frame_calls():
     frames = session_frames(6)
     cfg = CodecConfig(width=W, height=H, kf_interval=3)
@@ -86,6 +87,7 @@ def test_batch_decode_device_out_and_split_batches():
         assert np.array_equal(np.asarray(o), f), f"frame {i}"
 
 
+@pytest.mark.slow
 def test_batch_loss_mode_matches_spec():
     frames = session_frames(5)
     cfg = CodecConfig(width=W, height=H, kf_interval=3, loss=2)

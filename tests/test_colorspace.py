@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from screenpressor_tpu import colorspace as cs
 
@@ -28,6 +29,7 @@ def test_rgb32_roundtrip():
     assert (back[..., 3] == 255).all()
 
 
+@pytest.mark.slow
 def test_rgb16_device_path_end_to_end():
     """RGB16 (555 and 565) through the jax backend with DEVICE-resident
     frames: conversion runs on device (round-2 VERDICT missing #5) and the

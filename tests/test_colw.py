@@ -88,6 +88,7 @@ def test_touched_count_overapproximates():
             assert len(exact) <= nt, (seed, k, len(exact), nt)
 
 
+@pytest.mark.slow
 def test_colw_e2e_session_vs_spec():
     """Full session with the compact path forced on: jax bytes == spec
     bytes, lossless round-trip (covers I + P col sections, table chaining

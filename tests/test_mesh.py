@@ -61,7 +61,8 @@ def test_dryrun_entry():
     g.dryrun_multichip(8)
 
 
-@pytest.mark.parametrize("sp", [2, 4])
+@pytest.mark.parametrize(
+    "sp", [2, pytest.param(4, marks=pytest.mark.slow)])
 def test_sp_encode_i_byte_identical(sp):
     """Row/lane-sharded real-pipeline I encode (encode_i_sp) must emit the
     single-device jax Encoder's exact bytes (VERDICT r3 #4: the production
@@ -82,6 +83,7 @@ def test_sp_encode_i_byte_identical(sp):
     assert got == want, (len(got), len(want))
 
 
+@pytest.mark.slow
 def test_sp_encode_i_flat_and_noise():
     from screenpressor_tpu.api import Encoder
     from screenpressor_tpu.config import CodecConfig
@@ -103,7 +105,8 @@ def test_sp_encode_i_flat_and_noise():
     assert got == want  # raw escape path agrees too
 
 
-@pytest.mark.parametrize("sp", [2, 4])
+@pytest.mark.parametrize(
+    "sp", [2, pytest.param(4, marks=pytest.mark.slow)])
 def test_sp_encode_p_session_byte_identical(sp):
     """sp-sharded P pipeline (encode_p_sp): a 3-frame I+P+P session with
     scroll motion, partial-block edits and data blocks must emit the

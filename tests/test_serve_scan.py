@@ -194,6 +194,7 @@ def test_decode_window_raw_and_flat():
     assert np.array_equal(frames_fs[1], b2)
 
 
+@pytest.mark.slow
 def test_decode_window_corrupt_defers_error():
     import pytest as _pytest
 

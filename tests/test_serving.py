@@ -124,6 +124,7 @@ def test_batched_decoder_roundtrip():
         prev = frames
 
 
+@pytest.mark.slow
 def test_batched_decoder_matches_single_stream():
     """Batched streams decode identically through the per-stream jax backend."""
     from screenpressor_tpu.jx.codec import JaxDecoder
@@ -148,6 +149,7 @@ def test_batched_decoder_matches_single_stream():
         prev = frames
 
 
+@pytest.mark.slow
 def test_staggered_keyframes_match_per_stream_sessions():
     """Per-stream kf offsets: every stream's bytes must equal an independent
     session configured with the same keyframe phase (mixed I/P batches)."""
@@ -275,6 +277,7 @@ def test_dense_batch_analysis_bytes_match_serial():
     assert outs[0] == outs[10**9]
 
 
+@pytest.mark.slow
 def test_pipelined_serving_matches_sequential():
     """serve_pipelined (one-step encoder lookahead) must produce bytes
     identical to step-by-step encode()/decode() across mixed I/P batches
